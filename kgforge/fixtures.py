@@ -1,0 +1,328 @@
+"""Deterministic fixtures (FIXTURES.md F1-F4).
+
+All generation is seeded NumPy — two calls with the same arguments
+produce byte-identical tables. The transcript generator records the
+*intended* triple per pattern sentence, so the golden triple set is
+independent of the extractor implementation (SURVEY.md §5.2): the
+extractor must *recover* the intent, it does not define it.
+
+Reference parity: the OpenKE split fixture reproduces the reference's
+text interchange layout (``entity2id.txt`` / ``relation2id.txt`` /
+``*2id.txt`` with a leading count line, entity ids first and relation
+last per triple row) per OpenKEonSpark ``base/Reader.h::importTrainFiles``
+(recalled symbol, SURVEY.md §0 — /root/reference is empty).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+# ---------------------------------------------------------------------------
+# F2: gazetteer (entity alias groups) + pattern grammar
+# ---------------------------------------------------------------------------
+
+_PEOPLE = [
+    "Alice Johnson", "Bob Smith", "Carol White", "David Brown", "Emma Davis",
+    "Frank Miller", "Grace Wilson", "Henry Moore", "Irene Taylor", "Jack Anderson",
+    "Karen Thomas", "Liam Jackson", "Mona Harris", "Nathan Clark", "Olivia Lewis",
+    "Peter Walker", "Quinn Hall", "Rachel Young", "Sam King", "Tina Wright",
+]
+_ORGS = [
+    "Acme Corp", "Globex Inc", "Initech", "Umbrella Labs", "Stark Industries",
+    "Wayne Enterprises", "Hooli", "Pied Piper", "Vandelay Industries", "Wonka Factory",
+    "Tyrell Corp", "Cyberdyne Systems", "Aperture Science", "Black Mesa", "Oscorp",
+    "Massive Dynamic", "Soylent Corp", "Virtucon", "Zorg Industries", "Gringotts Bank",
+]
+_PLACES = [
+    "Springfield", "Gotham City", "Metropolis", "Star City", "Central City",
+    "Emerald Town", "Riverdale", "Smallville", "Sunnydale", "Twin Peaks",
+    "Hill Valley", "Bedrock", "Quahog", "Langley Falls", "South Park",
+    "Pawnee", "Scranton Heights", "Dunder Hills", "Hawkins", "Derry",
+]
+
+
+def _alias_variants(name: str, kind: str) -> list[str]:
+    """Deterministic alias group for one canonical entity."""
+    aliases = [name]
+    if kind == "org":
+        # "Acme Corp" -> "ACME CORP", "acme corp.", "Acme Corp."
+        aliases.append(name.upper())
+        aliases.append(name.lower() + ".")
+    elif kind == "person":
+        # "Alice Johnson" -> "alice johnson", "Alice  Johnson" is unsafe; use upper.
+        aliases.append(name.upper())
+    else:  # place
+        aliases.append(name.lower())
+    return aliases
+
+
+def gazetteer() -> pd.DataFrame:
+    """``surface, canonical, mtype`` rows (~200 surfaces, alias groups)."""
+    rows = []
+    for name in _PEOPLE:
+        for s in _alias_variants(name, "person"):
+            rows.append((s, name, "person"))
+    for name in _ORGS:
+        for s in _alias_variants(name, "org"):
+            rows.append((s, name, "org"))
+    for name in _PLACES:
+        for s in _alias_variants(name, "place"):
+            rows.append((s, name, "place"))
+    df = pd.DataFrame(rows, columns=["surface", "canonical", "mtype"])
+    return df.drop_duplicates(subset=["surface"]).reset_index(drop=True)
+
+
+@dataclass(frozen=True)
+class Pattern:
+    pattern_id: int
+    pred: str
+    active: str           # template with {s} {o}
+    passive: str | None   # alternative rendering, same (s, p, o) semantics
+    subj_kind: str
+    obj_kind: str
+
+
+PATTERNS: list[Pattern] = [
+    Pattern(0, "worksAt", "{s} works at {o}", "{o} employs {s}", "person", "org"),
+    Pattern(1, "locatedIn", "{s} is located in {o}", None, "org", "place"),
+    Pattern(2, "foundedBy", "{s} was founded by {o}", "{o} founded {s}", "org", "person"),
+    Pattern(3, "acquired", "{s} acquired {o}", "{o} was acquired by {s}", "org", "org"),
+    Pattern(4, "ceoOf", "{s} is the CEO of {o}", None, "person", "org"),
+    Pattern(5, "livesIn", "{s} lives in {o}", None, "person", "place"),
+    Pattern(6, "bornIn", "{s} was born in {o}", None, "person", "place"),
+    Pattern(7, "partneredWith", "{s} partnered with {o}", None, "org", "org"),
+    Pattern(8, "subsidiaryOf", "{s} is a subsidiary of {o}", "{o} owns {s}", "org", "org"),
+    Pattern(9, "investedIn", "{s} invested in {o}", None, "org", "org"),
+    Pattern(10, "manufactures", "{s} manufactures widgets for {o}", None, "org", "org"),
+    Pattern(11, "collaboratesWith", "{s} collaborates with {o}", None, "person", "person"),
+]
+
+_NOISE = [
+    "The weather has been quite pleasant this week.",
+    "Let me think about that for a moment.",
+    "That is an interesting question indeed.",
+    "The quarterly numbers look promising overall.",
+    "We should schedule a follow-up meeting soon.",
+    "The report is due by the end of the month.",
+    "There were no further updates on that topic.",
+    "Thanks, that clarifies things considerably.",
+    "Could you elaborate on the previous point?",
+    "The system performed within expected parameters.",
+]
+
+_PREFIX = ["", "By the way, ", "Note that ", "As discussed, ", "For the record, "]
+_SUFFIX = ["", " as reported earlier", " according to the filing", " per the latest memo"]
+
+_TOOLS = ["search", "calc", "lookup", "fetch"]
+
+
+def patterns_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        [(p.pattern_id, p.pred, p.active, p.passive or "", p.subj_kind, p.obj_kind) for p in PATTERNS],
+        columns=["pattern_id", "pred", "active", "passive", "subj_kind", "obj_kind"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: transcripts generator (+ golden triples from generator intent)
+# ---------------------------------------------------------------------------
+
+def _surfaces_by_kind(gaz: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    return {k: g.reset_index(drop=True) for k, g in gaz.groupby("mtype")}
+
+
+def gen_transcripts(
+    n_convs: int,
+    seed: int = SEED,
+    hot_frac: float = 0.02,
+    median_turns: int = 8,
+    hot_factor: int = 40,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Deterministic transcripts + golden triples.
+
+    Returns ``(transcripts, golden)``:
+
+    * transcripts: ``conv_id, turn_idx, role, text, tool, ts`` — row order
+      globally shuffled (stable re-ordering is actually exercised).
+    * golden: ``conv_id, turn_idx, subj, pred, obj, subj_canon, obj_canon``
+      — the generator's *intent*, the oracle for the P/R ≥ 0.95 gate.
+
+    ~``hot_frac`` of conversations are hot keys with ``hot_factor``× the
+    median turn count (skew for AQE/salting demos, FIXTURES.md F1).
+    """
+    gaz = gazetteer()
+    by_kind = _surfaces_by_kind(gaz)
+    base_ts = np.datetime64("2026-01-01T00:00:00", "us")
+
+    t_rows: list[tuple] = []
+    g_rows: list[tuple] = []
+    for ci in range(n_convs):
+        rng = np.random.default_rng(seed * 1_000_003 + ci)
+        conv_id = f"conv{ci:06d}"
+        hot = rng.random() < hot_frac
+        n_turns = int(rng.integers(max(2, median_turns // 2), median_turns * 2))
+        if hot:
+            n_turns *= hot_factor
+        for ti in range(n_turns):
+            u = rng.random()
+            if u < 1 / 6:
+                role, tool = "tool", _TOOLS[int(rng.integers(len(_TOOLS)))]
+            elif u < 0.58:
+                role, tool = "assistant", None
+            else:
+                role, tool = "user", None
+
+            sentences: list[str] = []
+            if role == "tool":
+                sentences.append(f"{tool}() returned {int(rng.integers(1, 9))} results.")
+            else:
+                n_sent = 2 if rng.random() < 0.2 else 1
+                for _ in range(n_sent):
+                    if rng.random() < 0.10:
+                        sentences.append(_NOISE[int(rng.integers(len(_NOISE)))])
+                        continue
+                    p = PATTERNS[int(rng.integers(len(PATTERNS)))]
+                    skind, okind = by_kind[p.subj_kind], by_kind[p.obj_kind]
+                    si = int(rng.integers(len(skind)))
+                    oi = int(rng.integers(len(okind)))
+                    s_row, o_row = skind.iloc[si], okind.iloc[oi]
+                    if s_row["canonical"] == o_row["canonical"]:
+                        oi = (oi + 1) % len(okind)
+                        o_row = okind.iloc[oi]
+                    tmpl = p.active
+                    if p.passive and rng.random() < 0.35:
+                        tmpl = p.passive
+                    body = tmpl.format(s=s_row["surface"], o=o_row["surface"])
+                    pre = _PREFIX[int(rng.integers(len(_PREFIX)))]
+                    suf = _SUFFIX[int(rng.integers(len(_SUFFIX)))]
+                    sentences.append(f"{pre}{body}{suf}.")
+                    g_rows.append(
+                        (conv_id, ti, s_row["surface"], p.pred, o_row["surface"],
+                         s_row["canonical"], o_row["canonical"])
+                    )
+            ts = base_ts + np.timedelta64(ci * 1440 + ti, "m")
+            t_rows.append((conv_id, ti, role, " ".join(sentences), tool, ts))
+
+    transcripts = pd.DataFrame(
+        t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    transcripts["ts"] = transcripts["ts"].astype("datetime64[us]")
+    # global shuffle so stable re-ordering is exercised
+    perm = np.random.default_rng(seed).permutation(len(transcripts))
+    transcripts = transcripts.iloc[perm].reset_index(drop=True)
+
+    golden = pd.DataFrame(
+        g_rows,
+        columns=["conv_id", "turn_idx", "subj", "pred", "obj", "subj_canon", "obj_canon"],
+    ).drop_duplicates().reset_index(drop=True)
+    golden["turn_idx"] = golden["turn_idx"].astype("int32")
+    return transcripts, golden
+
+
+# ---------------------------------------------------------------------------
+# F3: OpenKE-format split fixture (|E|=200, |R|=12, 1500/150/150)
+# ---------------------------------------------------------------------------
+
+def gen_openke_split(
+    n_ent: int = 200,
+    n_rel: int = 12,
+    n_train: int = 1500,
+    n_valid: int = 150,
+    n_test: int = 150,
+    seed: int = SEED,
+) -> dict[str, pd.DataFrame]:
+    """Random-but-seeded KG split in the reference's id space.
+
+    Triples are distinct across splits; every valid/test entity appears
+    in train (standard protocol so filtered eval is well-defined).
+    """
+    rng = np.random.default_rng(seed)
+    total = n_train + n_valid + n_test
+    seen: set[tuple[int, int, int]] = set()
+    h_l: list[int] = []
+    t_l: list[int] = []
+    r_l: list[int] = []
+    while len(seen) < total:
+        h = int(rng.integers(n_ent))
+        t = int(rng.integers(n_ent))
+        if h == t:
+            continue
+        r = int(rng.integers(n_rel))
+        if (h, t, r) in seen:
+            continue
+        seen.add((h, t, r))
+        h_l.append(h)
+        t_l.append(t)
+        r_l.append(r)
+    df = pd.DataFrame({"h": h_l, "t": t_l, "r": r_l}).astype("int64")
+    ent = pd.DataFrame({"name": [f"ent_{i}" for i in range(n_ent)], "id": np.arange(n_ent, dtype="int64")})
+    rel = pd.DataFrame({"name": [p.pred for p in PATTERNS[:n_rel]], "id": np.arange(n_rel, dtype="int64")})
+    return {
+        "entity2id": ent,
+        "relation2id": rel,
+        "train2id": df.iloc[:n_train].reset_index(drop=True),
+        "valid2id": df.iloc[n_train:n_train + n_valid].reset_index(drop=True),
+        "test2id": df.iloc[n_train + n_valid:].reset_index(drop=True),
+    }
+
+
+# ---------------------------------------------------------------------------
+# F4: frozen embedding fixture (d=16), per-model extras
+# ---------------------------------------------------------------------------
+
+def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int = SEED) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+
+    def _norm(a: np.ndarray) -> np.ndarray:
+        return (a / np.linalg.norm(a, axis=-1, keepdims=True)).astype("float32")
+
+    ent = _norm(rng.normal(size=(n_ent, dim)))
+    rel = _norm(rng.normal(size=(n_rel, dim)))
+    return {
+        "ent": ent,
+        "rel": rel,
+        # TransH per-relation hyperplane normals
+        "norm": _norm(rng.normal(size=(n_rel, dim))),
+        # TransR per-relation transfer matrices [|R|, d, d]
+        "mat": rng.normal(scale=1.0 / np.sqrt(dim), size=(n_rel, dim, dim)).astype("float32"),
+        # TransD entity/relation projection vectors
+        "ent_p": _norm(rng.normal(size=(n_ent, dim))),
+        "rel_p": _norm(rng.normal(size=(n_rel, dim))),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fixture materialization (parquet on disk, committed for small tags)
+# ---------------------------------------------------------------------------
+
+#: tag -> n_convs. sf0.1-scale is generated on demand by bench.py.
+TAG_SIZES = {"unit": 20, "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def fixture_dir(tag: str) -> str:
+    return os.path.join(FIXTURE_ROOT, tag)
+
+
+def ensure_fixtures(tag: str, seed: int = SEED) -> str:
+    """Idempotently materialize the fixture set for ``tag``; returns dir."""
+    d = fixture_dir(tag)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    transcripts, golden = gen_transcripts(TAG_SIZES[tag], seed=seed)
+    transcripts.to_parquet(os.path.join(d, "transcripts.parquet"), index=False)
+    golden.to_parquet(os.path.join(d, "golden_triples.parquet"), index=False)
+    gazetteer().to_parquet(os.path.join(d, "gazetteer.parquet"), index=False)
+    patterns_df().to_parquet(os.path.join(d, "patterns.parquet"), index=False)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d

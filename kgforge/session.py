@@ -1,0 +1,61 @@
+"""SparkSession builder tuned for the kgforge pipeline.
+
+Scale stance (100 TB / 1000 executors): AQE on (skew-join splitting +
+partition coalescing for the hot ``conv_id`` keys), Arrow on (every
+pandas UDF ships Arrow record batches), shuffle partitions sized to the
+cluster not hard-coded per query, and broadcast threshold left to AQE's
+runtime statistics. On a real cluster only ``master`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "kgforge",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with kgforge defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    in the sandbox; on a cluster pass None and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER_SET"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("KGFORGE_SHUFFLE_PARTITIONS", "32"))
+
+    conf = {
+        # Arrow transport for every pandas UDF / toPandas boundary.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        # AQE: runtime coalescing + skew-join splitting (conv_id hot keys).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Keep timestamps deterministic across JVM/Arrow/DuckDB comparisons.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        # Quieter driver in tests.
+        "spark.ui.enabled": os.environ.get("KGFORGE_SPARK_UI", "false"),
+        "spark.driver.memory": os.environ.get("KGFORGE_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

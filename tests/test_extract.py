@@ -1,0 +1,50 @@
+"""B2/B3: mention detection + triple extraction vs the generator-intent
+golden set (the P/R >= 0.95 gate; deterministic rules hit 1.0 here)."""
+
+import pandas as pd
+
+from kgforge.fixtures import gazetteer, gen_transcripts, patterns_df
+from kgforge.stages.extract import detect_mentions, extract_triples, surface_triples_dedup
+
+
+def _pr(got: pd.DataFrame, want: pd.DataFrame, keys: list[str]) -> tuple[float, float]:
+    g = set(map(tuple, got[keys].itertuples(index=False)))
+    w = set(map(tuple, want[keys].itertuples(index=False)))
+    tp = len(g & w)
+    return (tp / len(g) if g else 0.0, tp / len(w) if w else 0.0)
+
+
+def test_triple_extraction_pr_gate(spark):
+    t, golden = gen_transcripts(60)
+    df = spark.createDataFrame(t)
+    got = extract_triples(df, gazetteer(), patterns_df()).toPandas()
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    precision, recall = _pr(got.drop_duplicates(keys), golden, keys)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_mentions_cover_golden_arguments(spark):
+    t, golden = gen_transcripts(30)
+    df = spark.createDataFrame(t)
+    m = detect_mentions(df, gazetteer()).toPandas()
+    # every golden subject/object surface is detected on its turn
+    m_set = set(map(tuple, m[["conv_id", "turn_idx", "surface"]].itertuples(index=False)))
+    for col in ("subj", "obj"):
+        want = set(map(tuple, golden[["conv_id", "turn_idx", col]].itertuples(index=False)))
+        missing = want - m_set
+        assert not missing, f"missing mentions: {list(missing)[:5]}"
+    # spans point at the surface
+    sample = m.head(200)
+    texts = t.set_index(["conv_id", "turn_idx"])["text"]
+    for _, r in sample.iterrows():
+        txt = texts.loc[(r["conv_id"], r["turn_idx"])]
+        assert txt[r["start"]:r["end"]] == r["surface"]
+
+
+def test_dedup_idempotent(spark):
+    t, _ = gen_transcripts(20)
+    df = spark.createDataFrame(t)
+    tri = extract_triples(df, gazetteer(), patterns_df())
+    once = surface_triples_dedup(tri)
+    assert once.count() == surface_triples_dedup(once).count()
