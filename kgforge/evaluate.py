@@ -1,0 +1,229 @@
+"""A15–A19 — OpenKE link-prediction evaluation protocol, Spark-first.
+
+Protocol parity (OpenKEonSpark ``base/Test.h::testHead/testTail/
+test_link_prediction``, recalled — SURVEY.md §0):
+
+* For each test triple ``(h, t, r)``: score *every* entity as candidate
+  head ``f(e, r, t)`` (and symmetrically tail). Rank of the true entity
+  = ``1 + |{e : score(e) < score(true)}|`` — **strict less-than**, ties
+  rank better, exactly the reference's ``if (value < minimal) l_s++``.
+* **raw** counts all candidates; **filtered** skips candidates that form
+  a known-true triple in train ∪ valid ∪ test (the true entity itself is
+  never skipped).
+* Metrics: MR, MRR, Hits@10/3/1, head/tail averaged, raw + filtered.
+
+Spark execution: test triples flow through one Arrow-batched
+``mapInPandas``; the full entity/relation embedding matrices are
+broadcast once (``sc.broadcast`` NumPy, not a join) and each batch
+scores ``[batch × |E|]`` candidates as a single vectorized NumPy op.
+The known-triple filter ships as two hash maps keyed ``(r, t) → {h}`` /
+``(r, h) → {t}`` built from the (dictionary-scale) triple splits.
+
+Scale note: embeddings are model-parameter-sized (|E|·d floats), the
+same thing the reference holds on every worker via its parameter-server
+checkpoint — broadcasting them is the intended design, not a shortcut.
+For |E| beyond broadcast reach, the same ranks are computable with a
+block-nested-loop join (test-batch × entity-block) — documented escape
+hatch, not needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import kernels
+
+RANKS_SCHEMA = (
+    "h long, t long, r long, "
+    "rank_head_raw long, rank_head_filt long, rank_tail_raw long, rank_tail_filt long"
+)
+
+
+def _known_maps(known: pd.DataFrame) -> tuple[dict, dict]:
+    """(r, t) -> sorted np.array of known heads; (r, h) -> known tails."""
+    heads: dict[tuple[int, int], np.ndarray] = {
+        k: np.unique(g["h"].to_numpy()) for k, g in known.groupby(["r", "t"])
+    }
+    tails: dict[tuple[int, int], np.ndarray] = {
+        k: np.unique(g["t"].to_numpy()) for k, g in known.groupby(["r", "h"])
+    }
+    return heads, tails
+
+
+def link_prediction_ranks(
+    spark: SparkSession,
+    test: DataFrame,
+    emb: dict[str, np.ndarray],
+    known: pd.DataFrame,
+    model: str = "transe",
+    norm: int = 1,
+) -> DataFrame:
+    """Per-test-triple raw+filtered head/tail ranks (RANKS_SCHEMA)."""
+    n_ent = emb["ent"].shape[0]
+    b_emb = spark.sparkContext.broadcast({k: v for k, v in emb.items()})
+    b_known = spark.sparkContext.broadcast(_known_maps(known))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E = b_emb.value
+        heads_of, tails_of = b_known.value
+        all_ents = np.arange(n_ent, dtype=np.int64)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "rank_head_raw": np.empty(len(pdf), dtype=np.int64),
+                "rank_head_filt": np.empty(len(pdf), dtype=np.int64),
+                "rank_tail_raw": np.empty(len(pdf), dtype=np.int64),
+                "rank_tail_filt": np.empty(len(pdf), dtype=np.int64),
+            }
+            h_arr = pdf["h"].to_numpy(np.int64)
+            t_arr = pdf["t"].to_numpy(np.int64)
+            r_arr = pdf["r"].to_numpy(np.int64)
+            for i in range(len(pdf)):  # per test triple; inner op is |E|-vectorized
+                h, t, r = int(h_arr[i]), int(t_arr[i]), int(r_arr[i])
+                r_ids = np.full(n_ent, r, dtype=np.int64)
+                # head pass: score (e, r, t) for all e
+                s_head = kernels.score_batch(
+                    model, E, all_ents, r_ids, np.full(n_ent, t, dtype=np.int64), norm
+                )
+                true_s = s_head[h]
+                out["rank_head_raw"][i] = 1 + int((s_head < true_s).sum())
+                kh = heads_of.get((r, t))
+                filt = int((s_head < true_s).sum())
+                if kh is not None:
+                    filt -= int((s_head[kh[kh != h]] < true_s).sum())
+                out["rank_head_filt"][i] = 1 + filt
+                # tail pass: score (h, r, e) for all e
+                s_tail = kernels.score_batch(
+                    model, E, np.full(n_ent, h, dtype=np.int64), r_ids, all_ents, norm
+                )
+                true_s = s_tail[t]
+                out["rank_tail_raw"][i] = 1 + int((s_tail < true_s).sum())
+                kt = tails_of.get((r, h))
+                filt = int((s_tail < true_s).sum())
+                if kt is not None:
+                    filt -= int((s_tail[kt[kt != t]] < true_s).sum())
+                out["rank_tail_filt"][i] = 1 + filt
+            res = pdf[["h", "t", "r"]].copy()
+            for k, v in out.items():
+                res[k] = v
+            yield res
+
+    return test.select("h", "t", "r").mapInPandas(fn, RANKS_SCHEMA)
+
+
+def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
+    """A17: MR / MRR / Hits@10/3/1, raw + filtered, head+tail averaged.
+
+    One hash aggregation over the ranks table; column names are the
+    stable contract for the oracle comparison.
+    """
+    def _m(col: str, tag: str):
+        c = F.col(col).cast("double")
+        return [
+            F.avg(c).alias(f"mr_{tag}"),
+            F.avg(1.0 / c).alias(f"mrr_{tag}"),
+            F.avg((c <= 10).cast("double")).alias(f"hits10_{tag}"),
+            F.avg((c <= 3).cast("double")).alias(f"hits3_{tag}"),
+            F.avg((c <= 1).cast("double")).alias(f"hits1_{tag}"),
+        ]
+
+    both = ranks.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("rank_head_raw").alias("raw"), F.col("rank_head_filt").alias("filt")),
+                F.struct(F.col("rank_tail_raw").alias("raw"), F.col("rank_tail_filt").alias("filt")),
+            )
+        ).alias("x")
+    ).select("x.raw", "x.filt")
+    return both.agg(*_m("raw", "raw"), *_m("filt", "filt"))
+
+
+def top_k_completions(
+    spark: SparkSession,
+    queries: DataFrame,
+    emb: dict[str, np.ndarray],
+    k: int = 10,
+    model: str = "transe",
+    norm: int = 1,
+    mode: str = "tail",
+) -> DataFrame:
+    """A19: best-k completions for ``(h, r)`` (mode='tail') or ``(r, t)``.
+
+    Scores all entities per query inside the UDF and emits only the top-k
+    (partial top-k inside the batch — nothing |E|-sized ever shuffles).
+    """
+    n_ent = emb["ent"].shape[0]
+    b_emb = spark.sparkContext.broadcast(emb)
+    in_cols = ["h", "r"] if mode == "tail" else ["t", "r"]
+    out_schema = f"{in_cols[0]} long, r long, candidate long, score double, rk int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E = b_emb.value
+        all_ents = np.arange(n_ent, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for a, r in pdf[in_cols].itertuples(index=False):
+                r_ids = np.full(n_ent, int(r), dtype=np.int64)
+                fixed = np.full(n_ent, int(a), dtype=np.int64)
+                s = (
+                    kernels.score_batch(model, E, fixed, r_ids, all_ents, norm)
+                    if mode == "tail"
+                    else kernels.score_batch(model, E, all_ents, r_ids, fixed, norm)
+                )
+                top = np.argsort(s, kind="stable")[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            in_cols[0]: int(a),
+                            "r": int(r),
+                            "candidate": top.astype(np.int64),
+                            "score": s[top].astype(np.float64),
+                            "rk": np.arange(1, len(top) + 1, dtype=np.int32),
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    return queries.select(*in_cols).dropDuplicates(in_cols).mapInPandas(fn, out_schema)
+
+
+def triple_classification(
+    scored_valid: DataFrame, scored_test: DataFrame
+) -> tuple[DataFrame, float]:
+    """A18: per-relation threshold from valid, accuracy on test.
+
+    Inputs: ``(h, t, r, y, score)`` with y=1 pos / y=-1 neg. The
+    threshold sweep is a window cumulative count over scores per
+    relation: the best cut maximizes (pos below) + (neg at-or-above).
+    Returns (per-relation thresholds DF, overall test accuracy).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("r").orderBy("score", "h", "t")
+    tot = Window.partitionBy("r")
+    sweep = (
+        scored_valid
+        .withColumn("cum_pos", F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).over(w))
+        .withColumn("cum_neg", F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).over(w))
+        .withColumn("n_neg", F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).over(tot))
+        .withColumn("correct", F.col("cum_pos") + (F.col("n_neg") - F.col("cum_neg")))
+    )
+    best = Window.partitionBy("r").orderBy(F.desc("correct"), "score")
+    thresholds = (
+        sweep.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("r", F.col("score").alias("threshold"))
+    )
+    scored = scored_test.join(F.broadcast(thresholds), "r", "left").withColumn(
+        "pred", F.when(F.col("score") <= F.col("threshold"), 1).otherwise(-1)
+    )
+    acc = scored.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))).first()[0]
+    return thresholds, float(acc)

@@ -1,0 +1,112 @@
+"""OpenKE text-format codec (reference interchange; A1, A2, A20).
+
+Layout per the reference (OpenKEonSpark ``base/Reader.h::importTrainFiles``
+and upstream thunlp/OpenKE, recalled symbols — SURVEY.md §0):
+
+* ``entity2id.txt`` / ``relation2id.txt``: first line = row count, then
+  ``name<TAB>id`` rows, ids dense ``0..N-1``.
+* ``train2id.txt`` / ``valid2id.txt`` / ``test2id.txt``: first line =
+  row count, then ``h t r`` space-separated ints — **entity ids first,
+  relation id last**.
+
+The codec is the only place the text format survives; everything else is
+Parquet/DataFrame. Reads/writes are driver-side pandas (dictionaries are
+small by construction); for 100 TB-scale triple files use the Spark
+readers below which parse distributed and skip the count header.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# -- driver-side (small dictionaries / fixtures) ----------------------------
+
+def write_dict_txt(df: pd.DataFrame, path: str) -> None:
+    """``(name, id)`` → OpenKE dictionary file (count header + TSV)."""
+    df = df[["name", "id"]].sort_values("id")
+    with open(path, "w") as f:
+        f.write(f"{len(df)}\n")
+        for name, i in df.itertuples(index=False):
+            f.write(f"{name}\t{i}\n")
+
+
+def read_dict_txt(path: str) -> pd.DataFrame:
+    with open(path) as f:
+        n = int(f.readline())
+        rows = [line.rstrip("\n").split("\t") for line in f]
+    df = pd.DataFrame(rows, columns=["name", "id"])
+    df["id"] = df["id"].astype("int64")
+    assert len(df) == n, f"count header {n} != rows {len(df)} in {path}"
+    return df
+
+
+def write_triples_txt(df: pd.DataFrame, path: str) -> None:
+    """``(h, t, r)`` int triples → OpenKE split file (h t r, count header)."""
+    with open(path, "w") as f:
+        f.write(f"{len(df)}\n")
+        for h, t, r in df[["h", "t", "r"]].itertuples(index=False):
+            f.write(f"{h} {t} {r}\n")
+
+
+def read_triples_txt(path: str) -> pd.DataFrame:
+    with open(path) as f:
+        n = int(f.readline())
+        df = pd.read_csv(f, sep=" ", names=["h", "t", "r"], dtype="int64")
+    assert len(df) == n, f"count header {n} != rows {len(df)} in {path}"
+    return df
+
+
+def write_split(split: dict[str, pd.DataFrame], out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    write_dict_txt(split["entity2id"], os.path.join(out_dir, "entity2id.txt"))
+    write_dict_txt(split["relation2id"], os.path.join(out_dir, "relation2id.txt"))
+    for name in ("train2id", "valid2id", "test2id"):
+        write_triples_txt(split[name], os.path.join(out_dir, f"{name}.txt"))
+
+
+def read_split(in_dir: str) -> dict[str, pd.DataFrame]:
+    return {
+        "entity2id": read_dict_txt(os.path.join(in_dir, "entity2id.txt")),
+        "relation2id": read_dict_txt(os.path.join(in_dir, "relation2id.txt")),
+        **{
+            name: read_triples_txt(os.path.join(in_dir, f"{name}.txt"))
+            for name in ("train2id", "valid2id", "test2id")
+        },
+    }
+
+
+# -- distributed readers (scale path: triple files can be huge) -------------
+
+def read_triples_spark(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed parse of an OpenKE triple file, header row dropped.
+
+    The count header is a single short line; rather than a driver
+    read-then-skip, filter rows that don't have 3 fields (only the header
+    matches) — keeps the scan fully parallel and the validation is done
+    separately against the header when needed.
+    """
+    raw = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        raw.select(parts.alias("p"))
+        .where(F.size("p") == 3)
+        .select(
+            F.col("p")[0].cast("long").alias("h"),
+            F.col("p")[1].cast("long").alias("t"),
+            F.col("p")[2].cast("long").alias("r"),
+        )
+    )
+
+
+def read_dict_spark(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        raw.where(F.size(parts) == 2)
+        .select(parts[0].alias("name"), parts[1].cast("long").alias("id"))
+    )

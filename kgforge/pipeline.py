@@ -1,0 +1,227 @@
+"""Stage DAG + spark-submit entry (SURVEY.md §3.4).
+
+``transcripts → reassemble (B1) → extract (B2/B3) → dicts (B9) →
+link (B4–B6) → canonicalize (B7/B8) → materialize (B10) → evaluate (B12)``
+
+Each stage is a pure DataFrame → DataFrame function wrapped with:
+read inputs → build plan → execute → write parquet + ``_SUCCESS`` →
+manifest commit (B11). ``--resume`` skips stages whose manifest entry
+matches the current input fingerprint; changing any upstream output
+invalidates everything downstream automatically (the fingerprint of a
+stage includes its input stage's output listing).
+
+Launch: ``spark-submit --py-files kgforge.zip run_pipeline.py ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures, io_openke
+from .manifest import Manifest, fingerprint_config, fingerprint_paths
+from .stages import extract, link, materialize, reassemble
+
+
+def _write(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    w = df.repartition(partitions) if partitions else df
+    w.write.mode("overwrite").parquet(path)
+
+
+class Pipeline:
+    STAGES = ["reassemble", "extract", "dicts", "link", "canonicalize", "materialize", "evaluate"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        work_dir: str,
+        gazetteer_path: str,
+        patterns_path: str,
+        model: str = "transe",
+        norm: int = 1,
+        out_partitions: int = 16,
+        resume: bool = False,
+        embeddings_seed: int = 42,
+    ):
+        self.spark = spark
+        self.input_path = input_path
+        self.work = work_dir
+        self.gazetteer_path = gazetteer_path
+        self.patterns_path = patterns_path
+        self.model = model
+        self.norm = norm
+        self.out_partitions = out_partitions
+        self.resume = resume
+        self.embeddings_seed = embeddings_seed
+        os.makedirs(work_dir, exist_ok=True)
+        self.manifest = Manifest(work_dir)
+        self.cfg_fp = fingerprint_config(
+            {"model": model, "norm": norm, "out_partitions": out_partitions}
+        )
+        self.timings: dict[str, float] = {}
+
+    # -- helpers ------------------------------------------------------------
+
+    def _out(self, stage: str) -> str:
+        return os.path.join(self.work, stage)
+
+    def _run_stage(self, stage: str, input_paths: list[str], fn) -> None:
+        fp = fingerprint_paths(*input_paths) + ":" + self.cfg_fp
+        if self.resume and self.manifest.is_done(stage, fp):
+            self.timings[stage] = 0.0
+            return
+        t0 = time.time()
+        extra = fn() or {}
+        wall = (time.time() - t0) * 1000
+        self.timings[stage] = wall / 1000
+        rows = extra.pop("row_count", None)
+        self.manifest.commit(stage, fp, rows, wall, extra=extra or None)
+
+    def _gaz(self):
+        return self.spark.read.parquet(self.gazetteer_path)
+
+    # -- stages -------------------------------------------------------------
+
+    def stage_reassemble(self) -> dict:
+        df = self.spark.read.parquet(self.input_path)
+        ordered = reassemble.ordered_turns(df)
+        # partition output by conv hash for downstream locality
+        _write(ordered, self._out("reassemble"), self.out_partitions)
+        return {}
+
+    def stage_extract(self) -> dict:
+        import pandas as pd  # noqa: F401
+
+        turns = self.spark.read.parquet(self._out("reassemble"))
+        gaz_pdf = self._gaz().toPandas()
+        pat_pdf = self.spark.read.parquet(self.patterns_path).toPandas()
+        tri = extract.extract_triples(turns, gaz_pdf, pat_pdf)
+        tri = extract.surface_triples_dedup(tri)
+        _write(tri, os.path.join(self._out("extract"), "triples"))
+        men = extract.detect_mentions(turns, gaz_pdf)
+        _write(men, os.path.join(self._out("extract"), "mentions"))
+        return {}
+
+    def stage_dicts(self) -> dict:
+        gaz = self._gaz()
+        pats = self.spark.read.parquet(self.patterns_path)
+        e2id = materialize.dense_ids(gaz.select(F.col("canonical").alias("name")))
+        r2id = materialize.dense_ids(pats.select(F.col("pred").alias("name")))
+        _write(e2id, os.path.join(self._out("dicts"), "entity2id"), 1)
+        _write(r2id, os.path.join(self._out("dicts"), "relation2id"), 1)
+        return {}
+
+    def _dicts(self):
+        d = self._out("dicts")
+        return (
+            self.spark.read.parquet(os.path.join(d, "entity2id")),
+            self.spark.read.parquet(os.path.join(d, "relation2id")),
+        )
+
+    def _embeddings(self, e2id, r2id) -> dict[str, np.ndarray]:
+        """Frozen link-scoring embeddings sized to the dictionaries.
+
+        Stand-in for a trained OpenKE checkpoint import (A20) — seeded so
+        runs are reproducible; swap with ``io_openke`` checkpoint load in
+        production."""
+        n_ent = e2id.count()
+        n_rel = r2id.count()
+        return fixtures.gen_embeddings(n_ent=n_ent, n_rel=n_rel, dim=16, seed=self.embeddings_seed)
+
+    def stage_link(self) -> dict:
+        tri = self.spark.read.parquet(os.path.join(self._out("extract"), "triples"))
+        e2id, r2id = self._dicts()
+        emb = self._embeddings(e2id, r2id)
+        linked = link.link_triples(
+            self.spark, tri, self._gaz(), e2id, r2id, emb, self.model, self.norm
+        )
+        _write(linked, self._out("link"))
+        return {}
+
+    def stage_canonicalize(self) -> dict:
+        """B7/B8 — alias-group canonicalization.
+
+        v1: the gazetteer alias dictionary already canonicalizes linked
+        triples; this stage materializes the canonical entity table
+        (entity_id, canonical, aliases). MinHash-LSH + connected
+        components for *unseen* aliases plug in here (kgforge.stages.
+        canonicalize) — they emit extra alias rows into the same table.
+        """
+        gaz = self._gaz()
+        e2id, _ = self._dicts()
+        ents = (
+            gaz.groupBy("canonical")
+            .agg(F.sort_array(F.collect_set("surface")).alias("aliases"))
+            .join(e2id.withColumnRenamed("name", "canonical"), "canonical")
+            .select(F.col("id").alias("entity_id"), "canonical", "aliases")
+        )
+        _write(ents, self._out("canonicalize"), 1)
+        return {}
+
+    def stage_materialize(self) -> dict:
+        linked = self.spark.read.parquet(self._out("link"))
+        out = os.path.join(self._out("materialize"), "triples")
+        lineage = materialize.salted_write(
+            linked.select("s", "p", "o").dropDuplicates(["s", "p", "o"]),
+            out,
+            n_partitions=self.out_partitions,
+            salt_cols=("s",),
+        )
+        # OpenKE-format export (A20 interchange)
+        e2id, r2id = self._dicts()
+        exp = os.path.join(self._out("materialize"), "openke")
+        os.makedirs(exp, exist_ok=True)
+        io_openke.write_dict_txt(e2id.toPandas(), os.path.join(exp, "entity2id.txt"))
+        io_openke.write_dict_txt(r2id.toPandas(), os.path.join(exp, "relation2id.txt"))
+        tri_pdf = (
+            self.spark.read.parquet(out)
+            .selectExpr("s as h", "o as t", "p as r")
+            .toPandas()
+            .sort_values(["h", "t", "r"])
+            .reset_index(drop=True)
+        )
+        io_openke.write_triples_txt(tri_pdf, os.path.join(exp, "train2id.txt"))
+        return {"row_count": int(lineage["row_count"]), "lineage": lineage}
+
+    def stage_evaluate(self) -> dict:
+        """B12 gate: link-prediction protocol on the OpenKE-style fixture."""
+        from . import evaluate as ev
+
+        split = fixtures.gen_openke_split()
+        emb = fixtures.gen_embeddings(
+            n_ent=len(split["entity2id"]), n_rel=len(split["relation2id"])
+        )
+        import pandas as pd
+
+        known = pd.concat([split["train2id"], split["valid2id"], split["test2id"]])
+        ranks = ev.link_prediction_ranks(
+            self.spark, self.spark.createDataFrame(split["test2id"]), emb, known,
+            model=self.model, norm=self.norm,
+        )
+        metrics = ev.link_prediction_metrics(ranks).toPandas().iloc[0].to_dict()
+        with open(os.path.join(self.work, "eval_metrics.json"), "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=1, sort_keys=True)
+        return {"hits10_filt": float(metrics["hits10_filt"]), "mrr_filt": float(metrics["mrr_filt"])}
+
+    # -- driver -------------------------------------------------------------
+
+    def run(self, stages: list[str] | None = None) -> dict:
+        stages = stages or self.STAGES
+        deps = {
+            "reassemble": [self.input_path],
+            "extract": [self._out("reassemble"), self.gazetteer_path, self.patterns_path],
+            "dicts": [self.gazetteer_path, self.patterns_path],
+            "link": [self._out("extract"), self._out("dicts")],
+            "canonicalize": [self.gazetteer_path, self._out("dicts")],
+            "materialize": [self._out("link"), self._out("dicts")],
+            "evaluate": [self._out("materialize")],
+        }
+        for s in stages:
+            self._run_stage(s, deps[s], getattr(self, f"stage_{s}"))
+        return {"timings_sec": self.timings, "manifest": self.manifest.entries()}

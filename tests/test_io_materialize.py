@@ -1,0 +1,88 @@
+"""io_openke codec round-trip (A1/A2/A20), dense IDs (B9), salted write +
+lineage (B10), manifest resume (B11)."""
+
+import os
+
+import pandas as pd
+
+from kgforge.fixtures import gen_openke_split
+from kgforge.io_openke import read_split, read_triples_spark, write_split
+from kgforge.manifest import Manifest, fingerprint_paths
+from kgforge.stages.materialize import dense_ids, salted_write, to_id_triples, two_phase_dense_ids
+
+
+def test_openke_roundtrip(tmp_path):
+    split = gen_openke_split(n_ent=50, n_rel=4, n_train=200, n_valid=20, n_test=20)
+    d = str(tmp_path / "openke")
+    write_split(split, d)
+    back = read_split(d)
+    for k in split:
+        pd.testing.assert_frame_equal(split[k], back[k])
+    # text layout: count header, h t r order
+    lines = open(os.path.join(d, "train2id.txt")).read().splitlines()
+    assert lines[0] == "200"
+    h, t, r = map(int, lines[1].split(" "))
+    assert (h, t, r) == tuple(split["train2id"].iloc[0][["h", "t", "r"]])
+
+
+def test_spark_triple_reader(spark, tmp_path):
+    split = gen_openke_split(n_ent=50, n_rel=4, n_train=200, n_valid=20, n_test=20)
+    d = str(tmp_path / "openke")
+    write_split(split, d)
+    got = (
+        read_triples_spark(spark, os.path.join(d, "train2id.txt"))
+        .toPandas().sort_values(["h", "t", "r"]).reset_index(drop=True)
+    )
+    want = split["train2id"].sort_values(["h", "t", "r"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dense_ids_deterministic_and_dense(spark):
+    names = spark.createDataFrame(pd.DataFrame({"name": ["b", "a", "c", "a", "b"]}))
+    got = dense_ids(names).toPandas().sort_values("id").reset_index(drop=True)
+    assert list(got["name"]) == ["a", "b", "c"]
+    assert list(got["id"]) == [0, 1, 2]
+
+
+def test_two_phase_dense_ids_equivalent(spark):
+    pdf = pd.DataFrame({"name": [f"n{i:04d}" for i in range(500)] * 2})
+    df = spark.createDataFrame(pdf).repartition(11)
+    a = dense_ids(df).toPandas().sort_values("name").reset_index(drop=True)
+    b = two_phase_dense_ids(df, buckets=7).toPandas().sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_to_id_triples_and_salted_write(spark, tmp_path):
+    canon = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "subj_canon": ["A", "A", "B"],
+                "pred": ["p", "p", "q"],
+                "obj_canon": ["B", "B", "C"],
+            }
+        )
+    )
+    e2id = dense_ids(canon.selectExpr("subj_canon as name").union(canon.selectExpr("obj_canon as name")))
+    r2id = dense_ids(canon.selectExpr("pred as name"))
+    triples = to_id_triples(canon, e2id, r2id)
+    got = triples.toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    # A=0 B=1 C=2 ; p=0 q=1 ; dedup (A,p,B)
+    assert got.values.tolist() == [[0, 0, 1], [1, 1, 2]]
+
+    out = str(tmp_path / "triples")
+    lineage = salted_write(triples, out, n_partitions=4, salt_cols=("s",))
+    assert lineage["row_count"] == 2
+    back = spark.read.parquet(out).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, got)
+
+
+def test_manifest_resume(tmp_path):
+    m = Manifest(str(tmp_path))
+    fp = fingerprint_paths(str(tmp_path))
+    assert not m.is_done("extract", fp)
+    m.commit("extract", fp, row_count=10, wall_ms=5.0)
+    assert m.is_done("extract", fp)
+    # changed input -> invalid
+    assert not m.is_done("extract", fp + "x")
+    m.invalidate("extract")
+    assert not m.is_done("extract", fp)

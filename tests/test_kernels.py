@@ -1,0 +1,51 @@
+"""A7–A10 kernels vs independent (loop-based) NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from kgforge import kernels
+from kgforge.fixtures import gen_embeddings
+
+EMB = gen_embeddings(n_ent=50, n_rel=6, dim=8)
+RNG = np.random.default_rng(7)
+B = 40
+H = RNG.integers(0, 50, B)
+T = RNG.integers(0, 50, B)
+R = RNG.integers(0, 6, B)
+
+
+def _oracle_score(model, i, norm):
+    """Straight-from-the-paper scalar implementation (loops, no reuse)."""
+    h = EMB["ent"][H[i]].astype(np.float64)
+    t = EMB["ent"][T[i]].astype(np.float64)
+    r = EMB["rel"][R[i]].astype(np.float64)
+    if model == "transh":
+        w = EMB["norm"][R[i]].astype(np.float64)
+        h = h - np.dot(w, h) * w
+        t = t - np.dot(w, t) * w
+    elif model == "transr":
+        m = EMB["mat"][R[i]].astype(np.float64)
+        h, t = m @ h, m @ t
+    elif model == "transd":
+        hp = EMB["ent_p"][H[i]].astype(np.float64)
+        tp = EMB["ent_p"][T[i]].astype(np.float64)
+        rp = EMB["rel_p"][R[i]].astype(np.float64)
+        h = h + np.dot(hp, h) * rp
+        t = t + np.dot(tp, t) * rp
+    d = h + r - t
+    return np.abs(d).sum() if norm == 1 else np.sqrt((d * d).sum())
+
+
+@pytest.mark.parametrize("model", ["transe", "transh", "transr", "transd"])
+@pytest.mark.parametrize("norm", [1, 2])
+def test_kernel_matches_oracle(model, norm):
+    got = kernels.score_batch(model, EMB, H, R, T, norm)
+    want = np.array([_oracle_score(model, i, norm) for i in range(B)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_margin_loss():
+    pos = np.array([1.0, 2.0])
+    neg = np.array([3.0, 1.0])
+    # max(0, 1 + 1 - 3) + max(0, 1 + 2 - 1) = 0 + 2
+    assert kernels.margin_loss(pos, neg, margin=1.0) == 2.0

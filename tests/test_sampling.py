@@ -1,0 +1,51 @@
+"""A3–A5: bern stats + negative sampling invariants."""
+
+import pandas as pd
+
+from kgforge.fixtures import gen_openke_split
+from kgforge.sampling import bern_stats, negative_samples
+
+SPLIT = gen_openke_split(n_ent=60, n_rel=5, n_train=400, n_valid=40, n_test=40)
+
+
+def _pandas_bern(train: pd.DataFrame) -> pd.DataFrame:
+    tph = train.groupby(["r", "h"])["t"].nunique().groupby("r").mean().rename("tph")
+    hpt = train.groupby(["r", "t"])["h"].nunique().groupby("r").mean().rename("hpt")
+    return pd.concat([tph, hpt], axis=1).reset_index()
+
+
+def test_bern_stats_match_pandas(spark):
+    train = SPLIT["train2id"]
+    got = bern_stats(spark.createDataFrame(train)).toPandas().sort_values("r").reset_index(drop=True)
+    want = _pandas_bern(train).sort_values("r").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def _check_negatives(neg: pd.DataFrame, train: pd.DataFrame):
+    known = set(map(tuple, train[["h", "t", "r"]].itertuples(index=False)))
+    got = set(map(tuple, neg[["h", "t", "r"]].itertuples(index=False)))
+    assert got, "no negatives produced"
+    assert not (got & known), "negative equals a known triple"
+    assert (neg["y"] == -1).all()
+
+
+def test_uniform_negatives(spark):
+    train = SPLIT["train2id"]
+    df = spark.createDataFrame(train)
+    neg = negative_samples(df, n_ent=60, neg_per_pos=2, mode="uniform", seed=42).toPandas()
+    _check_negatives(neg, train)
+    assert len(neg) >= len(train)  # oversampling covers rejections
+
+
+def test_bern_negatives_deterministic_across_partitioning(spark):
+    train = SPLIT["train2id"]
+    a = negative_samples(spark.createDataFrame(train), 60, 1, "bern", seed=1).toPandas()
+    b = negative_samples(
+        spark.createDataFrame(train).repartition(13), 60, 1, "bern", seed=1
+    ).toPandas()
+    key = ["h", "t", "r"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    _check_negatives(a, train)
