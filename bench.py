@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): runs headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` = end-to-end KG-construction pipeline wall seconds on the
+sf-matched transcript corpus (the north-star workload); ``queries``
+carries per-operator seconds. Extra keys report triples/sec. The
+N-vs-4N scaling evidence lives in bench/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from kgforge.fixtures import TAG_SIZES, ensure_fixtures
+    from kgforge.pipeline import Pipeline
+    from kgforge.session import get_spark
+
+    tag = sf_tag if sf_tag in TAG_SIZES else "sf0.1"
+    fdir = ensure_fixtures(tag)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="kgforge-bench",
+                      shuffle_partitions=int(cpus))
+
+    timings: dict[str, float] = {}
+
+    # --- end-to-end pipeline (headline) -----------------------------------
+    work = f"/tmp/kgforge_bench_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    pipe = Pipeline(
+        spark,
+        input_path=os.path.join(fdir, "transcripts.parquet"),
+        work_dir=work,
+        gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
+        patterns_path=os.path.join(fdir, "patterns.parquet"),
+        out_partitions=int(cpus),
+    )
+    t0 = time.time()
+    pipe.run(["reassemble", "extract", "dicts", "link", "canonicalize", "materialize"])
+    e2e = time.time() - t0
+    n_distinct = pipe.manifest.get("materialize")["row_count"]
+    # throughput counts extracted triple *instances* (the work done);
+    # the distinct canonical set saturates at fixture-dictionary size.
+    n_instances = pipe.manifest.get("extract")["row_count"]
+    timings["pipeline_e2e"] = round(e2e, 3)
+
+    # --- per-operator headline queries -------------------------------------
+    qs = entrymod.queries()
+    bench_queries = [
+        "b1_turn_ordering",
+        "b3_extract_triples",
+        "b8_connected_components",
+        "a15_link_prediction_ranks",
+        "a19_topk_completions",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "txt_lang_id",
+        "txt_quality_scores",
+        "ann_cosine_topk",
+        "w_topk_orders",
+        "evt_sessionize",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "kg_pipeline_e2e_wall",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "triples_emitted_distinct": int(n_distinct),
+        "triple_instances_extracted": int(n_instances),
+        "triples_per_sec": round(n_instances / e2e, 1),
+        "turns_per_sec": round(pipe.manifest.get("reassemble")["row_count"] / e2e, 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

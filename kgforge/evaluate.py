@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 
 from . import kernels
 
+#: session-lifetime pins for sc.broadcast handles: releasing them mid-job
+#: triggers a Spark-4 ContextCleaner race ("Block broadcast_N does not
+#: exist") in task-completion listeners. Bounded by #eval invocations.
+_PINNED: list = []
+
 RANKS_SCHEMA = (
     "h long, t long, r long, "
     "rank_head_raw long, rank_head_filt long, rank_tail_raw long, rank_tail_filt long"
@@ -67,6 +72,7 @@ def link_prediction_ranks(
     n_ent = emb["ent"].shape[0]
     b_emb = spark.sparkContext.broadcast({k: v for k, v in emb.items()})
     b_known = spark.sparkContext.broadcast(_known_maps(known))
+    _PINNED.extend([b_emb, b_known])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E = b_emb.value
@@ -161,8 +167,9 @@ def top_k_completions(
     """
     n_ent = emb["ent"].shape[0]
     b_emb = spark.sparkContext.broadcast(emb)
+    _PINNED.append(b_emb)
     in_cols = ["h", "r"] if mode == "tail" else ["t", "r"]
-    out_schema = f"{in_cols[0]} long, r long, candidate long, score double, rk int"
+    out_schema = f"{in_cols[0]} long, r long, candidate long, score double, rk long"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E = b_emb.value
@@ -185,7 +192,7 @@ def top_k_completions(
                             "r": int(r),
                             "candidate": top.astype(np.int64),
                             "score": s[top].astype(np.float64),
-                            "rk": np.arange(1, len(top) + 1, dtype=np.int32),
+                            "rk": np.arange(1, len(top) + 1, dtype=np.int64),
                         }
                     )
                 )

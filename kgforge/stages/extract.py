@@ -58,13 +58,16 @@ def compile_mention_regex(surfaces: list[str]) -> re.Pattern:
 
 def compile_pattern_regexes(
     patterns: list[tuple[str, str, str]], surfaces: list[str]
-) -> list[tuple[str, re.Pattern, bool]]:
-    """[(pred, active_template, passive_template)] → [(pred, regex, swapped)].
+) -> list[tuple[str, re.Pattern, bool, str]]:
+    """[(pred, active_template, passive_template)] →
+    [(pred, regex, swapped, middle_literal)].
 
     ``swapped=True`` means group 1 is the *object* (passive form).
+    ``middle_literal`` is the fixed phrase between the two entity slots —
+    used as a vectorized pre-filter before the expensive alternation.
     """
     alt = "(" + _entity_alt(surfaces) + ")"
-    out: list[tuple[str, re.Pattern, bool]] = []
+    out: list[tuple[str, re.Pattern, bool, str]] = []
     for pred, active, passive in patterns:
         for tmpl, first_is_subj in ((active, True), (passive, False)):
             if not tmpl:
@@ -73,7 +76,7 @@ def compile_pattern_regexes(
             rx = re.compile(
                 _B_L + re.escape(pre) + alt + re.escape(mid) + alt + _B_R + re.escape(post)
             )
-            out.append((pred, rx, not first_is_subj))
+            out.append((pred, rx, not first_is_subj, mid))
     return out
 
 
@@ -170,8 +173,16 @@ def extract_triples(
             if pdf.empty:
                 continue
             outs = []
-            for pred, rx, swapped in regexes:
-                found = pdf["text"].str.extractall(rx)
+            for pred, rx, swapped, mid in regexes:
+                # cheap vectorized literal pre-filter: the pattern's fixed
+                # middle phrase must appear before the (expensive) 200-way
+                # alternation regex runs — ~10x fewer extractall rows.
+                cand = pdf
+                if mid.strip():
+                    cand = pdf[pdf["text"].str.contains(mid, regex=False)]
+                    if cand.empty:
+                        continue
+                found = cand["text"].str.extractall(rx)
                 if found.empty:
                     continue
                 row_idx = found.index.get_level_values(0)

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from .. import kernels
 from .extract import normalize_surface
 
+#: session-lifetime pins for sc.broadcast handles: releasing them mid-job
+#: triggers a Spark-4 ContextCleaner race ("Block broadcast_N does not
+#: exist") in task-completion listeners. Bounded by #stage invocations.
+_PINNED: list = []
+
 
 def candidate_links(surfaced: DataFrame, gazetteer: DataFrame, col: str, out: str) -> DataFrame:
     """B4: add candidate canonical names for surface column ``col``.
@@ -73,10 +78,15 @@ def link_triples(
         cands.join(e2.withColumnRenamed("name", "subj_canon").withColumnRenamed("id", "s"), "subj_canon")
         .join(e2.withColumnRenamed("name", "obj_canon").withColumnRenamed("id", "o"), "obj_canon")
         .join(r2.withColumnRenamed("name", "pred").withColumnRenamed("id", "p"), "pred")
+        # slim before the scoring UDF and the selection shuffle: every
+        # byte here crosses Arrow AND the min_by exchange — canon strings
+        # are recoverable from ids downstream.
+        .select("conv_id", "turn_idx", "subj", "pred", "obj", "s", "p", "o")
     )
 
     if emb is not None:
         b_emb = spark.sparkContext.broadcast(emb)
+        _PINNED.append(b_emb)
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             E = b_emb.value
@@ -99,11 +109,19 @@ def link_triples(
     else:
         scored = withids.withColumn("link_score", F.lit(0.0))
 
-    w = Window.partitionBy("conv_id", "turn_idx", "subj", "pred", "obj").orderBy(
-        "link_score", "s", "o"
-    )
+    # B6 best-link selection as min_by hash aggregation, NOT a window:
+    # a window row_number needs a full shuffle+sort of the wide candidate
+    # rows; min_by gets partial (map-side) aggregation and no sort — the
+    # scale-correct plan for 100 TB (same deterministic tie-break
+    # (link_score, s, o) via struct ordering).
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    rest = [c for c in scored.columns if c not in keys]
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
+        scored.groupBy(*keys)
+        .agg(
+            F.min_by(
+                F.struct(*rest), F.struct("link_score", "s", "o")
+            ).alias("_best")
+        )
+        .select(*keys, "_best.*")
     )

@@ -26,7 +26,7 @@ def dense_ids(names: DataFrame, name_col: str = "name") -> DataFrame:
     return (
         names.select(F.col(name_col).alias("name"))
         .distinct()
-        .withColumn("id", F.row_number().over(w) - F.lit(1))
+        .withColumn("id", (F.row_number().over(w) - F.lit(1)).cast("long"))
     )
 
 

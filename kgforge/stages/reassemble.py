@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 def ordered_turns(transcripts: DataFrame) -> DataFrame:
     """Transcripts + ``turn_rank`` (1-based stable position within conv)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
-    return transcripts.withColumn("turn_rank", F.row_number().over(w))
+    return transcripts.withColumn("turn_rank", F.row_number().over(w).cast("long"))
 
 
 def conversations(transcripts: DataFrame) -> DataFrame:

@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--stages", default=None, help="comma-separated subset")
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="run a throwaway unit-fixture pipeline first (same JVM) so "
+             "codegen/Arrow/Python-worker warm-up is excluded from timings",
+    )
     args = ap.parse_args()
 
     from kgforge.fixtures import ensure_fixtures
@@ -47,6 +52,24 @@ def main() -> int:
         input_path = os.path.join(fdir, "transcripts.parquet")
 
     spark = get_spark(master=args.master, app_name="kgforge-pipeline")
+    stages = args.stages.split(",") if args.stages else None
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        wdir = ensure_fixtures("unit")
+        wtmp = tempfile.mkdtemp(prefix="kgforge_warmup_")
+        Pipeline(
+            spark,
+            input_path=os.path.join(wdir, "transcripts.parquet"),
+            work_dir=wtmp,
+            gazetteer_path=os.path.join(wdir, "gazetteer.parquet"),
+            patterns_path=os.path.join(wdir, "patterns.parquet"),
+            model=args.model,
+            norm=args.norm,
+            out_partitions=4,
+        ).run(stages)
+        shutil.rmtree(wtmp, ignore_errors=True)
     pipe = Pipeline(
         spark,
         input_path=input_path,
@@ -58,7 +81,6 @@ def main() -> int:
         out_partitions=args.out_partitions,
         resume=args.resume,
     )
-    stages = args.stages.split(",") if args.stages else None
     report = pipe.run(stages)
     print(json.dumps(report, indent=1, default=str))
     return 0

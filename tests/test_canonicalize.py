@@ -1,0 +1,103 @@
+"""B7 MinHash-LSH + B8 connected components.
+
+CC oracle: union-find in pure Python (independent implementation).
+LSH gate: alias groups from the fixture gazetteer must be recovered
+(recall on true alias pairs; precision via the exact-Jaccard verify).
+"""
+
+import pandas as pd
+
+from kgforge.fixtures import gazetteer
+from kgforge.stages.canonicalize import (
+    alias_pairs,
+    canonical_groups,
+    connected_components,
+    exact_jaccard_filter,
+    minhash_signatures,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("d", "e"), ("f", "f2"), ("e", "g"), ("x", "y"),
+        ("c", "a"),  # cycle
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40  # diameter 40 > default rounds? hash-min halves distance each round via min over neighbors
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    got = connected_components(df, max_iter=50).toPandas()
+    assert (got["component"] == 0).all()
+
+
+def test_minhash_recovers_alias_groups(spark):
+    gaz = gazetteer()
+    names = spark.createDataFrame(gaz[["surface"]].rename(columns={"surface": "name"}))
+    pairs = alias_pairs(names, threshold=0.5).toPandas()
+    got_pairs = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+
+    # golden alias pairs: same canonical entity
+    want = set()
+    for _, grp in gaz.groupby("canonical"):
+        ss = sorted(grp["surface"])
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                want.add((ss[i], ss[j]))
+    tp = len(got_pairs & want)
+    recall = tp / len(want)
+    precision = tp / len(got_pairs) if got_pairs else 0.0
+    # alias variants are case/punct tweaks -> near-identical shingle sets
+    assert recall >= 0.95, f"recall {recall}"
+    assert precision >= 0.90, f"precision {precision} (cross-entity near-dups allowed)"
+
+
+def test_canonical_groups_merge_aliases(spark):
+    gaz = gazetteer()
+    names = spark.createDataFrame(gaz[["surface"]].rename(columns={"surface": "name"}))
+    groups = canonical_groups(names, threshold=0.5).toPandas()
+    by_comp = groups.groupby("component")["name"].apply(set)
+    surf2canon = dict(zip(gaz["surface"], gaz["canonical"]))
+    # each fixture alias group should land in one component
+    merged = 0
+    total = 0
+    for canon, grp in gaz.groupby("canonical"):
+        total += 1
+        comps = {groups.set_index("name").loc[s, "component"] for s in grp["surface"]}
+        if len(comps) == 1:
+            merged += 1
+    assert merged / total >= 0.95, f"only {merged}/{total} alias groups merged"
+    assert len(by_comp) > 1
+
+
+def test_signatures_deterministic_across_partitioning(spark):
+    gaz = gazetteer()
+    names = pd.DataFrame({"name": gaz["surface"]})
+    a = minhash_signatures(spark.createDataFrame(names)).toPandas()
+    b = minhash_signatures(spark.createDataFrame(names).repartition(9)).toPandas()
+    a = a.sort_values("name").reset_index(drop=True)
+    b = b.sort_values("name").reset_index(drop=True)
+    assert (a["name"] == b["name"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["sig"], b["sig"]))

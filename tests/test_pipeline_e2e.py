@@ -1,0 +1,154 @@
+"""End-to-end pipeline: P/R gate, per-turn invariant, resume semantics,
+determinism (BASELINE.md target table)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from kgforge.fixtures import ensure_fixtures
+from kgforge.pipeline import Pipeline
+
+STAGES = ["reassemble", "extract", "dicts", "link", "canonicalize", "materialize"]
+
+
+@pytest.fixture(scope="module")
+def run_dir(spark, tmp_path_factory):
+    fdir = ensure_fixtures("sf0.001")
+    work = str(tmp_path_factory.mktemp("pipe"))
+    pipe = Pipeline(
+        spark,
+        input_path=os.path.join(fdir, "transcripts.parquet"),
+        work_dir=work,
+        gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
+        patterns_path=os.path.join(fdir, "patterns.parquet"),
+        out_partitions=4,
+    )
+    pipe.run(STAGES)
+    return work, fdir, pipe
+
+
+def _read_triples_txt(path):
+    lines = open(path).read().splitlines()
+    n = int(lines[0])
+    rows = [tuple(map(int, line.split(" "))) for line in lines[1:]]
+    assert len(rows) == n
+    return rows
+
+
+def test_pr_gate_vs_golden(spark, run_dir):
+    """North-rule gate: emitted (s,p,o) P/R >= 0.95 vs generator intent."""
+    work, fdir, _ = run_dir
+    exp = os.path.join(work, "materialize", "openke")
+    e2id = {}
+    for line in open(os.path.join(exp, "entity2id.txt")).read().splitlines()[1:]:
+        name, i = line.split("\t")
+        e2id[name] = int(i)
+    r2id = {}
+    for line in open(os.path.join(exp, "relation2id.txt")).read().splitlines()[1:]:
+        name, i = line.split("\t")
+        r2id[name] = int(i)
+    golden = pd.read_parquet(os.path.join(fdir, "golden_triples.parquet"))
+    want = {
+        (e2id[s], r2id[p], e2id[o])
+        for s, p, o in golden[["subj_canon", "pred", "obj_canon"]]
+        .drop_duplicates()
+        .itertuples(index=False)
+    }
+    got = {(h, r, t) for h, t, r in _read_triples_txt(os.path.join(exp, "train2id.txt"))}
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.95, precision
+    assert recall >= 0.95, recall
+
+
+def test_per_turn_invariant(spark, run_dir):
+    """100% per-turn text equality under stable ordering (input_hint)."""
+    work, fdir, _ = run_dir
+    got = (
+        spark.read.parquet(os.path.join(work, "reassemble"))
+        .select("conv_id", "turn_idx", "turn_rank", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        pd.read_parquet(os.path.join(fdir, "transcripts.parquet"))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(src)
+    assert (got["text"].to_numpy() == src["text"].to_numpy()).all()
+    assert (got["turn_rank"] == got["turn_idx"] + 1).all()
+
+
+def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
+    work, fdir, pipe = run_dir
+    # resume run: everything skipped
+    pipe2 = Pipeline(
+        spark,
+        input_path=os.path.join(fdir, "transcripts.parquet"),
+        work_dir=work,
+        gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
+        patterns_path=os.path.join(fdir, "patterns.parquet"),
+        out_partitions=4,
+        resume=True,
+    )
+    pipe2.run(STAGES)
+    assert all(v == 0.0 for v in pipe2.timings.values()), pipe2.timings
+
+    # interrupt simulation: drop the link stage manifest -> only link and
+    # downstream recompute; output equal to the uninterrupted run
+    before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(work, "materialize", "triples"))
+            .toPandas()[["s", "p", "o"]]
+            .itertuples(index=False),
+        )
+    )
+    pipe2.manifest.invalidate("link")
+    pipe3 = Pipeline(
+        spark,
+        input_path=os.path.join(fdir, "transcripts.parquet"),
+        work_dir=work,
+        gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
+        patterns_path=os.path.join(fdir, "patterns.parquet"),
+        out_partitions=4,
+        resume=True,
+    )
+    pipe3.run(STAGES)
+    assert pipe3.timings["reassemble"] == 0.0
+    assert pipe3.timings["extract"] == 0.0
+    assert pipe3.timings["link"] > 0.0
+    after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(work, "materialize", "triples"))
+            .toPandas()[["s", "p", "o"]]
+            .itertuples(index=False),
+        )
+    )
+    assert before == after
+
+
+def test_lineage_counters_recorded(run_dir):
+    work, _, pipe = run_dir
+    entry = pipe.manifest.get("materialize")
+    assert entry["row_count"] > 0
+    assert entry["extra"]["lineage"]["row_count"] == entry["row_count"]
+
+
+def test_entry_and_contract_smoke(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"relation", "n_triples", "n_subjects"}
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25

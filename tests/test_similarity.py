@@ -1,0 +1,65 @@
+"""ANN: brute-force cosine top-k vs NumPy oracle; LSH variant recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgforge.similarity import cosine_neardup_pairs, cosine_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _numpy_topk(pdf, queries, k):
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype="float64")
+        cos = mat_n @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids, -cos))[:k]
+        out[qid] = list(ids[order])
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    queries = [(int(r["vec_id"]), r["embedding"]) for _, r in pdf.head(5).iterrows()]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": [q[0] for q in queries], "embedding": [list(q[1]) for q in queries]})
+    )
+    got = cosine_topk(emb, qdf, k=10).toPandas()
+    want = _numpy_topk(pdf, queries, 10)
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp.sort_values("rk")["neighbor_id"]) == want[qid]
+    # self is always rank 1 with cos ~= 1
+    r1 = got[got["rk"] == 1]
+    assert (r1["query_id"] == r1["neighbor_id"]).all()
+
+
+def test_cosine_neardup_pairs_self_excluded(spark, emb):
+    pairs = cosine_neardup_pairs(emb.limit(100), threshold=0.8).toPandas()
+    assert (pairs["a"] < pairs["b"]).all()
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    queries = [(int(r["vec_id"]), r["embedding"]) for _, r in pdf.head(10).iterrows()]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": [q[0] for q in queries], "embedding": [list(q[1]) for q in queries]})
+    )
+    got = lsh_topk(emb, qdf, k=5, n_planes=6).toPandas()
+    want = _numpy_topk(pdf, queries, 5)
+    # approximate: measure recall@5 against exact; same-bucket self always hit
+    hits = tot = 0
+    for qid, grp in got.groupby("query_id"):
+        hits += len(set(grp["neighbor_id"]) & set(want[qid]))
+        tot += 5
+    assert hits / tot >= 0.3, f"LSH recall {hits/tot}"
+    r1 = got[got["rk"] == 1]
+    assert (r1["query_id"] == r1["neighbor_id"]).all()

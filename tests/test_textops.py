@@ -1,0 +1,101 @@
+"""Training-data ops: dedup family, lang-id, quality, tokens, simhash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge import textops
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": range(10),
+        "text": [
+            "The cat and the dog played in the garden.",
+            "the cat and the dog  played in the garden.",   # near-exact (ws+case)
+            "Le chat et le chien dans la maison est une merveille.",
+            "Der Hund und die Katze ist mit einem Ball.",
+            "El perro es una maravilla con los gatos para todos.",
+            "Completely different text about spark pipelines and shuffles.",
+            "The cat and the dog played in the yard.",       # near-dup of 0
+            "xyzzy",                                          # low quality
+            "The quick brown fox jumps over the lazy dog near the river bank.",
+            "A b c!!! ??? ;;; ###",                           # punct heavy
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_exact_dedup(spark, docs):
+    got = textops.exact_dedup(docs).toPandas()
+    # docs 0 and 1 collapse (normalized), survivor = min doc_id = 0
+    grp = got[got["group_size"] == 2]
+    assert len(grp) == 1 and grp.iloc[0]["doc_id"] == 0
+    assert len(got) == 9
+
+
+def test_token_counts_match_python(spark, docs):
+    got = textops.token_counts(docs).toPandas().set_index("doc_id")
+    import re
+
+    for _, row in DOCS.iterrows():
+        t = row["text"]
+        assert got.loc[row["doc_id"], "n_tokens_ws"] == len(t.strip().split())
+        assert got.loc[row["doc_id"], "n_tokens_bpe"] == len(re.findall(r"\w+|[^\w\s]", t))
+
+
+def test_quality_scores(spark, docs):
+    got = textops.quality_scores(docs).toPandas().set_index("doc_id")
+    assert not got.loc[7, "quality_ok"]   # too short
+    assert not got.loc[9, "quality_ok"]   # punct ratio too high
+    assert got.loc[8, "quality_ok"]
+    assert got.loc[0, "stopword_ratio"] > 0.2
+
+
+def test_lang_id(spark, docs):
+    got = textops.lang_id(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[2, "lang_pred"] == "fr"
+    assert got.loc[3, "lang_pred"] == "de"
+    assert got.loc[4, "lang_pred"] == "es"
+    assert got.loc[7, "lang_pred"] == "und"
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in pairs  # near-exact
+    assert (0, 6) in pairs  # one-word swap
+    assert (0, 5) not in pairs
+
+
+def test_simhash_neardup(spark, docs):
+    sim = textops.simhash_docs(docs)
+    pairs = textops.simhash_candidate_pairs(sim, max_hamming=10).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    # different docs have large hamming distance
+    sp = sim.toPandas().set_index("doc_id")["simhash"]
+    ham = bin(int(sp.loc[0]) ^ int(sp.loc[5])).count("1")
+    assert ham > 10
+
+
+def test_minhash_neardup_docs(spark, docs):
+    got = textops.minhash_neardup_docs(
+        docs, n_perm=64, n_bands=16, threshold=0.6, shingle_k=5
+    ).toPandas()
+    pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+    assert all(j >= 0.6 for j in got["jaccard"])
+
+
+def test_fingerprint_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = textops.fingerprint_docs(docs)
+    assert fp.where(F.length("fingerprint") != 32).count() == 0
+    assert fp.count() == docs.count()
