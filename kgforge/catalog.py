@@ -1,0 +1,121 @@
+"""Iceberg-style catalog adapter (SURVEY.md §1.2 — explicit emulation).
+
+No Iceberg runtime jars exist in the sandbox, so the "Iceberg table"
+contract is reproduced on partitioned Parquet with explicit snapshot
+manifests, keeping the surface Iceberg-shaped so real Iceberg is a
+config change:
+
+* **Partition spec**: hive-style ``col=value`` directories →
+  Catalyst partition pruning works natively (filters on partition
+  columns prune directories before any file is opened).
+* **Snapshot manifest**: every commit writes ``snap-<n>.json`` (file
+  listing + row count + summary) and atomically swaps a
+  ``version-hint.text`` pointer (tmp + rename) — readers always see a
+  complete snapshot, never a partial write.
+* **Time travel (lite)**: read any retained snapshot by id.
+
+The adapter is deliberately small; it exists so the pipeline's write
+path has Iceberg semantics (atomic commit, snapshot lineage, partition
+pruning) that swap 1:1 for ``df.writeTo(...).append()`` on a real
+catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergLiteTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta = os.path.join(root, "metadata")
+        os.makedirs(self.meta, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta, "version-hint.text")
+
+    def current_snapshot_id(self) -> int | None:
+        p = self._hint_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snap_id: int | None = None) -> dict | None:
+        snap_id = snap_id if snap_id is not None else self.current_snapshot_id()
+        if snap_id is None:
+            return None
+        p = os.path.join(self.meta, f"snap-{snap_id}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.meta)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _list_data_files(self, data_dir: str) -> list[dict]:
+        files = []
+        for root, _dirs, fns in os.walk(data_dir):
+            for fn in sorted(fns):
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(root, fn)
+                    files.append(
+                        {
+                            "path": os.path.relpath(fp, self.root),
+                            "bytes": os.path.getsize(fp),
+                        }
+                    )
+        return files
+
+    # -- write (atomic snapshot commit) ---------------------------------------
+
+    def overwrite(
+        self, df: DataFrame, partition_by: tuple[str, ...] = (), row_count: int | None = None
+    ) -> dict:
+        """Write a new snapshot: data to ``data/v<n>/``, manifest, then
+        atomic pointer swap. A crash before the swap leaves the previous
+        snapshot fully intact and readable."""
+        prev = self.current_snapshot_id() or 0
+        snap_id = prev + 1
+        data_dir = os.path.join(self.root, "data", f"v{snap_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": prev or None,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_spec": list(partition_by),
+            "data_dir": os.path.relpath(data_dir, self.root),
+            "files": self._list_data_files(data_dir),
+            "summary": {"row_count": row_count},
+        }
+        with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, self._hint_path())  # the atomic commit
+        return manifest
+
+    # -- read (current or time-travel) ----------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        # hive-style partition dirs → Catalyst partition pruning on the
+        # partition columns; basePath keeps them as columns
+        data_dir = os.path.join(self.root, snap["data_dir"])
+        return spark.read.option("basePath", data_dir).parquet(data_dir)

@@ -315,7 +315,7 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
 # ---------------------------------------------------------------------------
 
 #: tag -> n_convs. sf0.1 and bench are generated on demand (gitignored).
-TAG_SIZES = {"unit": 20, "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000, "bench": 320000}
+TAG_SIZES = {"unit": 20, "sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000, "bench": 480000}
 
 #: tags whose transcripts are written as a directory of part files by a
 #: process pool (parallel generation + splittable scans).

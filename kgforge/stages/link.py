@@ -60,6 +60,7 @@ def link_triples(
     emb: dict[str, np.ndarray] | None = None,
     model: str = "transe",
     norm: int = 1,
+    local_select: bool = True,
 ) -> DataFrame:
     """B4+B5+B6: surface triples → linked ``(..., s, p, o, link_score)``.
 
@@ -109,13 +110,33 @@ def link_triples(
     else:
         scored = withids.withColumn("link_score", F.lit(0.0))
 
-    # B6 best-link selection as min_by hash aggregation, NOT a window:
-    # a window row_number needs a full shuffle+sort of the wide candidate
-    # rows; min_by gets partial (map-side) aggregation and no sort — the
-    # scale-correct plan for 100 TB (same deterministic tie-break
-    # (link_score, s, o) via struct ordering).
+    # B6 best-link selection. Two scale-aware plans, same semantics
+    # (min over (link_score, s, o) per extracted triple):
+    #
+    # * local_select=True (default): candidate rows for one extracted
+    #   triple are *born co-partitioned* — they fan out of a single input
+    #   row via broadcast joins, which never move rows — so the argmin is
+    #   computable per partition with ZERO shuffle (mapInPandas groupby).
+    #   The b5 oracle check guards the co-partitioning assumption.
+    # * local_select=False: general-input path — min_by hash aggregation
+    #   (partial map-side combine, one shuffle, no sort; still strictly
+    #   better than a window row_number which must shuffle AND sort).
     keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
     rest = [c for c in scored.columns if c not in keys]
+    if local_select:
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields
+        )
+
+        def best_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["link_score", "s", "o"], kind="stable")
+            yield pdf.drop_duplicates(subset=keys, keep="first")
+
+        return scored.mapInPandas(best_local, out_schema)
     return (
         scored.groupBy(*keys)
         .agg(

@@ -1,0 +1,106 @@
+"""Structured Streaming ingest for transcript tables.
+
+The reference is pure batch (SURVEY.md §2.2: no streams); this is the
+engine's forward-looking surface: the same extraction operators run
+unchanged on a streaming DataFrame (``mapInPandas`` is
+streaming-compatible), so a transcript firehose can be mined for triples
+continuously.
+
+* :func:`stream_transcripts` — file-source ``readStream`` with the
+  contract schema (new parquet files under a directory = micro-batches).
+* :func:`stream_triples` — streaming triple extraction (stateless pass).
+* :func:`windowed_triple_counts` — per-predicate counts in event-time
+  tumbling windows with a watermark for late turns.
+* :func:`run_to_parquet` — append sink + ``availableNow`` trigger (drain
+  what exists, then stop — the batch-parity execution mode).
+
+At scale: the file source becomes Kafka/Iceberg-CDC; nothing else
+changes — the plan below the source is identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_triples(
+    transcripts: DataFrame, gazetteer: pd.DataFrame, patterns: pd.DataFrame
+) -> DataFrame:
+    """Stateless streaming extraction — same operator as batch B3."""
+    from .stages.extract import extract_triples
+
+    return extract_triples(transcripts, gazetteer, patterns)
+
+
+def windowed_triple_counts(
+    triples_with_ts: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window per-predicate counts with late-data
+    tolerance ``watermark``. Input needs a ``ts`` column."""
+    return (
+        triples_with_ts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "pred")
+        .agg(F.count("*").alias("n_triples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pred",
+            "n_triples",
+        )
+    )
+
+
+def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"):
+    """Drain all available input (availableNow) into parquet and stop."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

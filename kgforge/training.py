@@ -1,0 +1,259 @@
+"""A11/A12/A13/A21 — TransE-family training (margin-ranking SGD) and
+incremental batch training.
+
+The reference trains with TensorFlowOnSpark parameter servers
+(OpenKEonSpark ``distribute_training.py::main_fun`` + ``Config.py``,
+recalled — SURVEY.md §0). That topology is replaced Spark-natively
+(SURVEY.md §4): training is NOT on the parity-critical path (scoring/
+eval use frozen embeddings), but the engine still ships a trainer so
+fixture embeddings can be *produced*, not just synthesized:
+
+* :func:`train` — exact single-process NumPy SGD (margin ranking loss,
+  uniform/bern corruption, entity L2-normalization per epoch — the
+  upstream OpenKE recipe).
+* :func:`train_distributed` — data-parallel epochs: each partition runs
+  the same NumPy SGD on its shard inside ``applyInPandas`` starting from
+  the broadcast global parameters, then the driver averages shard deltas
+  (synchronous parameter averaging — the Spark-native stand-in for the
+  reference's async ps updates; same fixpoint family, deterministic).
+* :func:`train_incremental` — A21: numbered snapshot dirs ``0/,1/,...``;
+  warm-start from the previous increment's embeddings, Xavier-init rows
+  for unseen entities/relations, re-evaluate per increment.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from . import kernels
+from .sampling import splitmix64
+
+
+def _xavier(rng: np.random.Generator, n: int, d: int) -> np.ndarray:
+    bound = 6.0 / np.sqrt(d)
+    return rng.uniform(-bound, bound, size=(n, d)).astype("float64")
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _corrupt(h, t, r, n_ent, seed, epoch, bern_p=None):
+    """Counter-based corruption (same family as sampling.py — deterministic)."""
+    base = (
+        h.astype(np.uint64) * np.uint64(0x100000001B3)
+        ^ t.astype(np.uint64) * np.uint64(0x1000193)
+        ^ r.astype(np.uint64) * np.uint64(0x9E3779B1)
+        ^ np.uint64(seed * 2654435761 + epoch * 0x5DEECE66D)
+    )
+    cand = (splitmix64(base) % np.uint64(n_ent)).astype(np.int64)
+    if bern_p is None:
+        corrupt_head = (splitmix64(base ^ np.uint64(0xABCDEF)) & np.uint64(1)).astype(bool)
+    else:
+        p = bern_p[r]
+        u = (splitmix64(base ^ np.uint64(0xABCDEF)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        corrupt_head = u < p
+    nh = np.where(corrupt_head, cand, h)
+    nt = np.where(corrupt_head, t, cand)
+    return nh, nt
+
+
+def sgd_epochs(
+    triples: pd.DataFrame,
+    ent: np.ndarray,
+    rel: np.ndarray,
+    epochs: int,
+    lr: float,
+    margin: float,
+    seed: int,
+    norm: int = 1,
+    bern_p: np.ndarray | None = None,
+    batch_size: int = 1024,
+    epoch_offset: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-place-free TransE SGD epochs; returns updated (ent, rel)."""
+    ent = ent.copy()
+    rel = rel.copy()
+    h_all = triples["h"].to_numpy(np.int64)
+    t_all = triples["t"].to_numpy(np.int64)
+    r_all = triples["r"].to_numpy(np.int64)
+    n = len(h_all)
+    n_ent = ent.shape[0]
+    for ep in range(epoch_offset, epoch_offset + epochs):
+        ent = _normalize_rows(ent)  # upstream OpenKE normalizes entities per epoch
+        order = np.random.default_rng(seed * 7919 + ep).permutation(n)
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            h, t, r = h_all[idx], t_all[idx], r_all[idx]
+            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, bern_p)
+            H, T, R = ent[h], ent[t], rel[r]
+            NH, NT = ent[nh], ent[nt]
+            dp = H + R - T
+            dn = NH + R - NT
+            if norm == 1:
+                sp = np.abs(dp).sum(1)
+                sn = np.abs(dn).sum(1)
+                gp = np.sign(dp)
+                gn = np.sign(dn)
+            else:
+                sp = np.sqrt((dp * dp).sum(1))
+                sn = np.sqrt((dn * dn).sum(1))
+                gp = dp / np.maximum(sp, 1e-12)[:, None]
+                gn = dn / np.maximum(sn, 1e-12)[:, None]
+            active = (margin + sp - sn) > 0
+            if not active.any():
+                continue
+            gp = gp[active] * lr
+            gn = gn[active] * lr
+            np.subtract.at(ent, h[active], gp)      # d loss / d h = +gp
+            np.add.at(ent, t[active], gp)           # d loss / d t = -gp
+            np.subtract.at(rel, r[active], gp - gn)
+            np.add.at(ent, nh[active], gn)
+            np.subtract.at(ent, nt[active], gn)
+    return ent, rel
+
+
+def train(
+    train_triples: pd.DataFrame,
+    n_ent: int,
+    n_rel: int,
+    dim: int = 16,
+    epochs: int = 50,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    norm: int = 1,
+    bern: bool = False,
+    seed: int = 42,
+) -> dict[str, np.ndarray]:
+    """A11/A12: single-process reference trainer. Returns {'ent','rel'}."""
+    rng = np.random.default_rng(seed)
+    ent = _xavier(rng, n_ent, dim)
+    rel = _normalize_rows(_xavier(rng, n_rel, dim))
+    bern_p = None
+    if bern:
+        g = train_triples.groupby("r")
+        tph = g.apply(lambda x: x.groupby("h")["t"].nunique().mean(), include_groups=False)
+        hpt = g.apply(lambda x: x.groupby("t")["h"].nunique().mean(), include_groups=False)
+        bern_p = np.full(n_rel, 0.5)
+        for r in tph.index:
+            bern_p[int(r)] = tph[r] / (tph[r] + hpt[r])
+    ent, rel = sgd_epochs(train_triples, ent, rel, epochs, lr, margin, seed, norm, bern_p)
+    return {"ent": _normalize_rows(ent).astype("float32"), "rel": rel.astype("float32")}
+
+
+def train_distributed(
+    spark,
+    train_df,
+    n_ent: int,
+    n_rel: int,
+    dim: int = 16,
+    rounds: int = 10,
+    epochs_per_round: int = 5,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    norm: int = 1,
+    n_shards: int = 4,
+    seed: int = 42,
+):
+    """A13 replacement: synchronous parameter-averaged data-parallel SGD.
+
+    Per round: broadcast (ent, rel) → each shard runs ``epochs_per_round``
+    local epochs in ``applyInPandas`` → driver averages shard results
+    (weighted by shard size). Deterministic: shard assignment is a hash
+    of the triple, local SGD is counter-seeded per (shard, round).
+    """
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    ent = _xavier(rng, n_ent, dim)
+    rel = _normalize_rows(_xavier(rng, n_rel, dim))
+    sharded = train_df.withColumn(
+        "shard", F.pmod(F.hash("h", "t", "r"), F.lit(n_shards))
+    )
+    out_schema = "shard int, kind string, flat array<double>, n long"
+
+    for rnd in range(rounds):
+        b = spark.sparkContext.broadcast((ent, rel))
+
+        def make_fit(rnd_):
+            def fit(key, pdf):
+                e0, r0 = b.value
+                shard = int(key[0])
+                e1, r1 = sgd_epochs(
+                    pdf, e0, r0, epochs_per_round, lr, margin,
+                    seed=seed * 31 + shard, norm=norm,
+                    epoch_offset=rnd_ * epochs_per_round,
+                )
+                return pd.DataFrame(
+                    {
+                        "shard": [shard, shard],
+                        "kind": ["ent", "rel"],
+                        "flat": [e1.ravel().tolist(), r1.ravel().tolist()],
+                        "n": [len(pdf), len(pdf)],
+                    }
+                )
+
+            return fit
+
+        fit = make_fit(rnd)
+
+        res = sharded.groupBy("shard").applyInPandas(fit, out_schema).toPandas()
+        tot = res[res["kind"] == "ent"]["n"].sum()
+        ent = np.zeros_like(ent)
+        rel = np.zeros_like(rel)
+        for _, row in res.iterrows():
+            w = row["n"] / tot
+            mat = np.asarray(row["flat"], dtype="float64")
+            if row["kind"] == "ent":
+                ent += w * mat.reshape(ent.shape)
+            else:
+                rel += w * mat.reshape(rel.shape)
+    return {"ent": _normalize_rows(ent).astype("float32"), "rel": rel.astype("float32")}
+
+
+def train_incremental(
+    snapshots_dir: str,
+    dim: int = 16,
+    epochs: int = 30,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    norm: int = 1,
+    seed: int = 42,
+    eval_fn=None,
+) -> dict[str, np.ndarray]:
+    """A21: numbered snapshot dirs, warm-start + grow, eval per increment.
+
+    ``snapshots_dir/{0,1,...}/`` each hold OpenKE-format files (the
+    reference's incremental dataset layout). New entities/relations get
+    Xavier rows; existing rows warm-start.
+    """
+    from .io_openke import read_split
+
+    batches = sorted(d for d in os.listdir(snapshots_dir) if d.isdigit())
+    rng = np.random.default_rng(seed)
+    ent = rel = None
+    history = []
+    for b in batches:
+        split = read_split(os.path.join(snapshots_dir, b))
+        n_ent = len(split["entity2id"])
+        n_rel = len(split["relation2id"])
+        if ent is None:
+            ent = _xavier(rng, n_ent, dim)
+            rel = _normalize_rows(_xavier(rng, n_rel, dim))
+        else:
+            if n_ent > ent.shape[0]:
+                ent = np.vstack([ent, _xavier(rng, n_ent - ent.shape[0], dim)])
+            if n_rel > rel.shape[0]:
+                rel = np.vstack([rel, _normalize_rows(_xavier(rng, n_rel - rel.shape[0], dim))])
+        ent, rel = sgd_epochs(split["train2id"], ent, rel, epochs, lr, margin, seed, norm)
+        if eval_fn is not None:
+            history.append(eval_fn({"ent": ent.astype("float32"), "rel": rel.astype("float32")}, split))
+    out = {"ent": _normalize_rows(ent).astype("float32"), "rel": rel.astype("float32")}
+    if eval_fn is not None:
+        out["history"] = history  # type: ignore[assignment]
+    return out

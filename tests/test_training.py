@@ -1,0 +1,70 @@
+"""A11/A12/A13/A21: training reduces loss / improves eval vs random init."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgforge import kernels, training
+from kgforge.fixtures import gen_openke_split
+from kgforge.io_openke import write_split
+
+N_ENT, N_REL = 40, 4
+SPLIT = gen_openke_split(n_ent=N_ENT, n_rel=N_REL, n_train=300, n_valid=30, n_test=30)
+
+
+def _mean_pos_minus_neg(emb) -> float:
+    """Positive triples should score lower (closer) than corrupted ones."""
+    t = SPLIT["test2id"]
+    rng = np.random.default_rng(0)
+    pos = kernels.score_batch(
+        "transe", emb, t["h"].to_numpy(), t["r"].to_numpy(), t["t"].to_numpy(), 1
+    )
+    neg_t = rng.integers(0, N_ENT, len(t))
+    neg = kernels.score_batch(
+        "transe", emb, t["h"].to_numpy(), t["r"].to_numpy(), neg_t, 1
+    )
+    return float(pos.mean() - neg.mean())
+
+
+def test_train_separates_pos_from_neg():
+    # the fixture KG is uniform-random, so generalization is weak by
+    # construction; the assertion is on a seeded, deterministic run at a
+    # measured operating point (gap ≈ -0.59)
+    emb = training.train(SPLIT["train2id"], N_ENT, N_REL, dim=16, epochs=100, lr=0.2)
+    gap = _mean_pos_minus_neg(emb)
+    assert gap < -0.1, f"trained pos-neg gap {gap} (want clearly negative)"
+
+
+def test_train_deterministic():
+    a = training.train(SPLIT["train2id"], N_ENT, N_REL, dim=8, epochs=5)
+    b = training.train(SPLIT["train2id"], N_ENT, N_REL, dim=8, epochs=5)
+    np.testing.assert_array_equal(a["ent"], b["ent"])
+    np.testing.assert_array_equal(a["rel"], b["rel"])
+
+
+def test_train_distributed_separates(spark):
+    df = spark.createDataFrame(SPLIT["train2id"])
+    emb = training.train_distributed(
+        spark, df, N_ENT, N_REL, dim=16, rounds=4, epochs_per_round=10, lr=0.1, n_shards=3
+    )
+    gap = _mean_pos_minus_neg(emb)
+    assert gap < -0.1, f"distributed pos-neg gap {gap}"
+
+
+def test_train_incremental(tmp_path):
+    # two increments: second adds entities (grown dictionary)
+    s1 = gen_openke_split(n_ent=30, n_rel=4, n_train=200, n_valid=20, n_test=20, seed=1)
+    s2 = gen_openke_split(n_ent=40, n_rel=4, n_train=300, n_valid=20, n_test=20, seed=2)
+    write_split(s1, str(tmp_path / "0"))
+    write_split(s2, str(tmp_path / "1"))
+    evals = []
+
+    def eval_fn(emb, split):
+        evals.append(emb["ent"].shape[0])
+        return emb["ent"].shape[0]
+
+    out = training.train_incremental(str(tmp_path), dim=8, epochs=5, eval_fn=eval_fn)
+    assert out["ent"].shape == (40, 8)
+    assert evals == [30, 40]
