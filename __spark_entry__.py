@@ -200,6 +200,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = ev.link_prediction_metrics(ranks)
         return m.select(*[F.round(F.col(c), 9).alias(c) for c in m.columns])
 
+    def a17_metrics_by_category(spark, sf):
+        split, emb, known = _openke_emb()
+        ranks = ev.link_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), emb, known
+        )
+        cats = ev.relation_categories(spark.createDataFrame(split["train2id"]))
+        m = ev.link_prediction_metrics_by_category(ranks, cats)
+        num = [c for c in m.columns if c not in ("category", "n_triples")]
+        return m.select("category", "n_triples", *[F.round(F.col(c), 9).alias(c) for c in num])
+
+    def a15_constrained_ranks(spark, sf):
+        split, emb, known = _openke_emb()
+        # domains/ranges from all splits (guarantees the true entity is
+        # always a candidate — the reference's type_constrain semantics)
+        domains = {
+            int(r): np.unique(g["h"].to_numpy()) for r, g in known.groupby("r")
+        }
+        ranges = {
+            int(r): np.unique(g["t"].to_numpy()) for r, g in known.groupby("r")
+        }
+        return ev.link_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            constraints=(domains, ranges),
+        )
+
     def a19_topk_completions(spark, sf):
         split, emb, _ = _openke_emb()
         q = spark.createDataFrame(split["test2id"].head(20)[["h", "r"]])
@@ -340,7 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_triple_dedup": a2_triple_dedup,
         "a4_negative_sampling": a4_negative_sampling,
         "a15_link_prediction_ranks": a15_link_prediction_ranks,
+        "a15_constrained_ranks": a15_constrained_ranks,
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
+        "a17_metrics_by_category": a17_metrics_by_category,
         "a19_topk_completions": a19_topk_completions,
         "a18_triple_classification": a18_triple_classification,
         "dedup_exact": dedup_exact,
@@ -437,6 +464,81 @@ _RANK_CTES = f"""
 """
 
 
+_CAT_CTE = f"""
+  cat AS (
+    SELECT tphx.r,
+           CASE WHEN tphx.tph < 1.5 AND hptx.hpt < 1.5 THEN '1-1'
+                WHEN tphx.tph >= 1.5 AND hptx.hpt < 1.5 THEN '1-N'
+                WHEN tphx.tph < 1.5 AND hptx.hpt >= 1.5 THEN 'N-1'
+                ELSE 'N-N' END AS category
+    FROM (SELECT r, avg(n) AS tph FROM (
+            SELECT r, h, count(DISTINCT t) AS n
+            FROM read_parquet('{OKE}/train2id.parquet') GROUP BY r, h)
+          GROUP BY r) tphx
+    JOIN (SELECT r, avg(n) AS hpt FROM (
+            SELECT r, t, count(DISTINCT h) AS n
+            FROM read_parquet('{OKE}/train2id.parquet') GROUP BY r, t)
+          GROUP BY r) hptx ON tphx.r = hptx.r
+  )
+"""
+
+# type-constrained variant: candidate sets restricted to the relation's
+# known domain (heads) / range (tails) across all splits
+_RANK_CTES_CONSTRAINED = f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  known AS ({_KNOWN}),
+  dom AS (SELECT DISTINCT r, h AS e FROM known),
+  rng AS (SELECT DISTINCT r, t AS e FROM known),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  hs AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand, sum(abs(ce.val + re.val - te.val)) AS score
+    FROM test tt
+    JOIN rel re ON re.id = tt.r
+    JOIN ent te ON te.id = tt.t AND te.k = re.k
+    JOIN ent ce ON ce.k = re.k
+    JOIN dom ON dom.r = tt.r AND dom.e = ce.id
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  ts_ AS (SELECT h, t, r, score FROM hs WHERE cand = h),
+  head_rank AS (
+    SELECT hs.h, hs.t, hs.r,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score) AS rank_head_raw,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score AND k.h IS NULL) AS rank_head_filt
+    FROM hs
+    JOIN ts_ ON hs.h = ts_.h AND hs.t = ts_.t AND hs.r = ts_.r
+    LEFT JOIN known k ON k.h = hs.cand AND k.t = hs.t AND k.r = hs.r AND k.h <> hs.h
+    GROUP BY hs.h, hs.t, hs.r
+  ),
+  tsc AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand, sum(abs(he.val + re.val - ce.val)) AS score
+    FROM test tt
+    JOIN rel re ON re.id = tt.r
+    JOIN ent he ON he.id = tt.h AND he.k = re.k
+    JOIN ent ce ON ce.k = re.k
+    JOIN rng ON rng.r = tt.r AND rng.e = ce.id
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
+  tail_rank AS (
+    SELECT tsc.h, tsc.t, tsc.r,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score) AS rank_tail_raw,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score AND k.h IS NULL) AS rank_tail_filt
+    FROM tsc
+    JOIN tts ON tsc.h = tts.h AND tsc.t = tts.t AND tsc.r = tts.r
+    LEFT JOIN known k ON k.t = tsc.cand AND k.h = tsc.h AND k.r = tsc.r AND k.t <> tsc.t
+    GROUP BY tsc.h, tsc.t, tsc.r
+  ),
+  ranks AS (
+    SELECT head_rank.h, head_rank.t, head_rank.r,
+           rank_head_raw, rank_head_filt, rank_tail_raw, rank_tail_filt
+    FROM head_rank
+    JOIN tail_rank ON head_rank.h = tail_rank.h AND head_rank.t = tail_rank.t
+                  AND head_rank.r = tail_rank.r
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "b1_turn_ordering": f"""
@@ -500,6 +602,30 @@ def oracle_sql() -> dict[str, str]:
         "a15_link_prediction_ranks": f"""
             WITH {_RANK_CTES}
             SELECT * FROM ranks
+        """,
+        "a15_constrained_ranks": f"""
+            WITH {_RANK_CTES_CONSTRAINED}
+            SELECT * FROM ranks
+        """,
+        "a17_metrics_by_category": f"""
+            WITH {_RANK_CTES},
+            {_CAT_CTE},
+            bothc AS (
+                SELECT c.category, rank_head_raw AS raw, rank_head_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+                UNION ALL
+                SELECT c.category, rank_tail_raw AS raw, rank_tail_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+            )
+            SELECT category,
+              CAST(count(*)/2 AS BIGINT) AS n_triples,
+              round(avg(raw), 9) AS mr_raw,
+              round(avg(1.0/raw), 9) AS mrr_raw,
+              round(avg(CASE WHEN raw <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_raw,
+              round(avg(filt), 9) AS mr_filt,
+              round(avg(1.0/filt), 9) AS mrr_filt,
+              round(avg(CASE WHEN filt <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_filt
+            FROM bothc GROUP BY category
         """,
         "a17_link_prediction_metrics": f"""
             WITH {_RANK_CTES},

@@ -43,6 +43,22 @@ def main() -> int:
 
     timings: dict[str, float] = {}
 
+    # in-JVM warm-up on the unit fixture: codegen + Arrow + Python-worker
+    # spin-up happen here, so the timed e2e below is steady-state
+    wdir = ensure_fixtures("unit")
+    import tempfile
+
+    wtmp = tempfile.mkdtemp(prefix="kgforge_bench_warm_")
+    Pipeline(
+        spark,
+        input_path=os.path.join(wdir, "transcripts.parquet"),
+        work_dir=wtmp,
+        gazetteer_path=os.path.join(wdir, "gazetteer.parquet"),
+        patterns_path=os.path.join(wdir, "patterns.parquet"),
+        out_partitions=4,
+    ).run(["reassemble", "extract", "canonicalize", "dicts", "link", "materialize"])
+    shutil.rmtree(wtmp, ignore_errors=True)
+
     # --- end-to-end pipeline (headline) -----------------------------------
     work = f"/tmp/kgforge_bench_{tag}"
     shutil.rmtree(work, ignore_errors=True)
@@ -55,7 +71,7 @@ def main() -> int:
         out_partitions=int(cpus),
     )
     t0 = time.time()
-    pipe.run(["reassemble", "extract", "dicts", "link", "canonicalize", "materialize"])
+    pipe.run(["reassemble", "extract", "canonicalize", "dicts", "link", "materialize"])
     e2e = time.time() - t0
     n_distinct = pipe.manifest.get("materialize")["row_count"]
     # throughput counts extracted triple *instances* (the work done);
@@ -86,8 +102,18 @@ def main() -> int:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # skew evidence: hot conv_id keys and how the salted write spread them
+    spark_df = spark.read.parquet(os.path.join(fdir, "transcripts.parquet"))
+    sizes = spark_df.groupBy("conv_id").count()
+    skew = sizes.agg(
+        F.expr("max(count)").alias("max"),
+        F.expr("percentile_approx(count, 0.5)").alias("median"),
+    ).first()
+    mat = pipe.manifest.get("materialize")["extra"]["lineage"]
     out = {
         "metric": "kg_pipeline_e2e_wall",
+        "conv_skew_max_over_median": round(skew["max"] / max(skew["median"], 1), 1),
+        "salted_write_max_partition_rows": mat.get("max_partition_rows"),
         "value": round(e2e, 3),
         "unit": "sec",
         "queries": timings,

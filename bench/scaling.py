@@ -28,7 +28,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-STAGES = "reassemble,extract,dicts,link,canonicalize,materialize"
+STAGES = "reassemble,extract,canonicalize,dicts,link,materialize"
 
 
 def run_once(cores: int, sf_tag: str, tag: str) -> dict:

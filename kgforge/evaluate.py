@@ -67,16 +67,27 @@ def link_prediction_ranks(
     known: pd.DataFrame,
     model: str = "transe",
     norm: int = 1,
+    constraints: tuple[dict[int, np.ndarray], dict[int, np.ndarray]] | None = None,
 ) -> DataFrame:
-    """Per-test-triple raw+filtered head/tail ranks (RANKS_SCHEMA)."""
+    """Per-test-triple raw+filtered head/tail ranks (RANKS_SCHEMA).
+
+    ``constraints``: optional ``(domains, ranges)`` maps ``r → entity
+    ids`` (``type_constrain.txt`` semantics): candidates outside the
+    relation's domain/range are skipped entirely — the reference's
+    type-constrained protocol (``base/Test.h``, recalled — SURVEY.md §0).
+    """
     n_ent = emb["ent"].shape[0]
     b_emb = spark.sparkContext.broadcast({k: v for k, v in emb.items()})
     b_known = spark.sparkContext.broadcast(_known_maps(known))
-    _PINNED.extend([b_emb, b_known])
+    b_constr = spark.sparkContext.broadcast(constraints)
+    _PINNED.extend([b_emb, b_known, b_constr])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E = b_emb.value
         heads_of, tails_of = b_known.value
+        constr = b_constr.value
+        domains = constr[0] if constr else None
+        ranges = constr[1] if constr else None
         all_ents = np.arange(n_ent, dtype=np.int64)
 
         for pdf in batches:
@@ -94,27 +105,33 @@ def link_prediction_ranks(
             for i in range(len(pdf)):  # per test triple; inner op is |E|-vectorized
                 h, t, r = int(h_arr[i]), int(t_arr[i]), int(r_arr[i])
                 r_ids = np.full(n_ent, r, dtype=np.int64)
-                # head pass: score (e, r, t) for all e
+                # head pass: score (e, r, t) over the candidate set
+                cand_h = all_ents if domains is None else domains.get(r, all_ents)
                 s_head = kernels.score_batch(
                     model, E, all_ents, r_ids, np.full(n_ent, t, dtype=np.int64), norm
                 )
                 true_s = s_head[h]
-                out["rank_head_raw"][i] = 1 + int((s_head < true_s).sum())
+                s_cand = s_head if cand_h is all_ents else s_head[cand_h]
+                out["rank_head_raw"][i] = 1 + int((s_cand < true_s).sum())
                 kh = heads_of.get((r, t))
-                filt = int((s_head < true_s).sum())
+                filt = int((s_cand < true_s).sum())
                 if kh is not None:
-                    filt -= int((s_head[kh[kh != h]] < true_s).sum())
+                    kh_eff = kh if cand_h is all_ents else np.intersect1d(kh, cand_h)
+                    filt -= int((s_head[kh_eff[kh_eff != h]] < true_s).sum())
                 out["rank_head_filt"][i] = 1 + filt
-                # tail pass: score (h, r, e) for all e
+                # tail pass: score (h, r, e) over the candidate set
+                cand_t = all_ents if ranges is None else ranges.get(r, all_ents)
                 s_tail = kernels.score_batch(
                     model, E, np.full(n_ent, h, dtype=np.int64), r_ids, all_ents, norm
                 )
                 true_s = s_tail[t]
-                out["rank_tail_raw"][i] = 1 + int((s_tail < true_s).sum())
+                s_cand = s_tail if cand_t is all_ents else s_tail[cand_t]
+                out["rank_tail_raw"][i] = 1 + int((s_cand < true_s).sum())
                 kt = tails_of.get((r, h))
-                filt = int((s_tail < true_s).sum())
+                filt = int((s_cand < true_s).sum())
                 if kt is not None:
-                    filt -= int((s_tail[kt[kt != t]] < true_s).sum())
+                    kt_eff = kt if cand_t is all_ents else np.intersect1d(kt, cand_t)
+                    filt -= int((s_tail[kt_eff[kt_eff != t]] < true_s).sum())
                 out["rank_tail_filt"][i] = 1 + filt
             res = pdf[["h", "t", "r"]].copy()
             for k, v in out.items():
@@ -149,6 +166,55 @@ def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
         ).alias("x")
     ).select("x.raw", "x.filt")
     return both.agg(*_m("raw", "raw"), *_m("filt", "filt"))
+
+
+def relation_categories(triples: DataFrame) -> DataFrame:
+    """Per-relation 1-1 / 1-N / N-1 / N-N classification (upstream
+    OpenKE ``n-n.py`` recipe, recalled — SURVEY.md §0): thresholds at
+    1.5 on tph (avg tails per head) and hpt (avg heads per tail).
+
+    Output: ``r, tph, hpt, category``.
+    """
+    from .sampling import bern_stats
+
+    st = bern_stats(triples)
+    return st.withColumn(
+        "category",
+        F.when((F.col("tph") < 1.5) & (F.col("hpt") < 1.5), "1-1")
+        .when((F.col("tph") >= 1.5) & (F.col("hpt") < 1.5), "1-N")
+        .when((F.col("tph") < 1.5) & (F.col("hpt") >= 1.5), "N-1")
+        .otherwise("N-N"),
+    )
+
+
+def link_prediction_metrics_by_category(ranks: DataFrame, categories: DataFrame) -> DataFrame:
+    """A17 optional breakdown: metrics per relation category.
+
+    Output: one row per category with the same metric columns as
+    :func:`link_prediction_metrics` plus ``category, n_triples``.
+    """
+    joined = ranks.join(F.broadcast(categories.select("r", "category")), "r")
+    both = joined.select(
+        "category",
+        F.explode(
+            F.array(
+                F.struct(F.col("rank_head_raw").alias("raw"), F.col("rank_head_filt").alias("filt")),
+                F.struct(F.col("rank_tail_raw").alias("raw"), F.col("rank_tail_filt").alias("filt")),
+            )
+        ).alias("x"),
+    ).select("category", "x.raw", "x.filt")
+
+    def _m(col: str, tag: str):
+        c = F.col(col).cast("double")
+        return [
+            F.avg(c).alias(f"mr_{tag}"),
+            F.avg(1.0 / c).alias(f"mrr_{tag}"),
+            F.avg((c <= 10).cast("double")).alias(f"hits10_{tag}"),
+        ]
+
+    return both.groupBy("category").agg(
+        (F.count("*") / 2).cast("long").alias("n_triples"), *_m("raw", "raw"), *_m("filt", "filt")
+    )
 
 
 def top_k_completions(

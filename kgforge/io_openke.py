@@ -80,6 +80,36 @@ def read_split(in_dir: str) -> dict[str, pd.DataFrame]:
     }
 
 
+def write_type_constraint(domains: dict[int, list[int]], ranges: dict[int, list[int]], path: str) -> None:
+    """``type_constrain.txt`` (upstream OpenKE layout): first line = number
+    of relations with constraints; then, per relation, one line
+    ``r n e1 e2 ...`` for the head domain followed by one line for the
+    tail range."""
+    rels = sorted(set(domains) | set(ranges))
+    with open(path, "w") as f:
+        f.write(f"{len(rels)}\n")
+        for r in rels:
+            d = sorted(domains.get(r, []))
+            g = sorted(ranges.get(r, []))
+            f.write(f"{r}\t{len(d)}\t" + "\t".join(map(str, d)) + "\n")
+            f.write(f"{r}\t{len(g)}\t" + "\t".join(map(str, g)) + "\n")
+
+
+def read_type_constraint(path: str) -> tuple[dict[int, list[int]], dict[int, list[int]]]:
+    with open(path) as f:
+        n = int(f.readline())
+        domains: dict[int, list[int]] = {}
+        ranges: dict[int, list[int]] = {}
+        for _ in range(n):
+            parts = f.readline().split("\t")
+            r, cnt = int(parts[0]), int(parts[1])
+            domains[r] = [int(x) for x in parts[2:2 + cnt]]
+            parts = f.readline().split("\t")
+            r2, cnt = int(parts[0]), int(parts[1])
+            ranges[r2] = [int(x) for x in parts[2:2 + cnt]]
+    return domains, ranges
+
+
 # -- distributed readers (scale path: triple files can be huge) -------------
 
 def read_triples_spark(spark: SparkSession, path: str) -> DataFrame:

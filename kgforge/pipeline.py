@@ -34,7 +34,7 @@ def _write(df: DataFrame, path: str, partitions: int | None = None) -> None:
 
 
 class Pipeline:
-    STAGES = ["reassemble", "extract", "dicts", "link", "canonicalize", "materialize", "evaluate"]
+    STAGES = ["reassemble", "extract", "canonicalize", "dicts", "link", "materialize", "evaluate"]
 
     def __init__(
         self,
@@ -110,10 +110,72 @@ class Pipeline:
         n = self.spark.read.parquet(os.path.join(self._out("extract"), "triples")).count()
         return {"row_count": n}
 
-    def stage_dicts(self) -> dict:
+    def stage_canonicalize(self) -> dict:
+        """B7/B8 — alias canonicalization over *observed* surfaces.
+
+        MinHash-LSH pairs + connected components over the union of
+        extracted subject/object surfaces and the gazetteer aliases.
+        Gazetteer canonicals act as anchors: candidate pairs that would
+        merge two *different* known canonicals are dropped (supervised
+        anchoring), every component maps to its (min) anchored canonical,
+        components with no anchor canonicalize to their min surface —
+        so unseen alias variants ride along with known groups.
+
+        Outputs: ``alias_map(surface, canonical)`` — the link stage's
+        dictionary — and ``entities(canonical, aliases)``.
+        """
+        from .stages import canonicalize as canon
+
+        tri = self.spark.read.parquet(os.path.join(self._out("extract"), "triples"))
         gaz = self._gaz()
+        gazmap = gaz.select("surface", "canonical").dropDuplicates(["surface"])
+        names = (
+            tri.select(F.col("subj").alias("name"))
+            .unionByName(tri.select(F.col("obj").alias("name")))
+            .unionByName(gaz.select(F.col("surface").alias("name")))
+            .distinct()
+        )
+        pairs = canon.alias_pairs(names, threshold=0.5)
+        a_can = gazmap.select(F.col("surface").alias("a"), F.col("canonical").alias("_ca"))
+        b_can = gazmap.select(F.col("surface").alias("b"), F.col("canonical").alias("_cb"))
+        anchored = (
+            pairs.join(F.broadcast(a_can), "a", "left")
+            .join(F.broadcast(b_can), "b", "left")
+            .where(
+                F.col("_ca").isNull() | F.col("_cb").isNull() | (F.col("_ca") == F.col("_cb"))
+            )
+            .select("a", "b")
+        )
+        cc = canon.connected_components(anchored)
+        # component -> min known canonical (if any anchor in component)
+        comp_canon = (
+            cc.join(gazmap.withColumnRenamed("surface", "node"), "node", "left")
+            .groupBy("component")
+            .agg(F.min("canonical").alias("anchor_canonical"))
+        )
+        alias_map = (
+            names.join(cc.withColumnRenamed("node", "name"), "name", "left")
+            .withColumn("component", F.coalesce("component", "name"))
+            .join(F.broadcast(comp_canon), "component", "left")
+            # fallback chain: anchored canonical > own gazetteer canonical > min surface in component
+            .join(F.broadcast(gazmap.withColumnRenamed("surface", "name").withColumnRenamed("canonical", "_own")), "name", "left")
+            .withColumn("canonical", F.coalesce("anchor_canonical", "_own", "component"))
+            .select(F.col("name").alias("surface"), "canonical")
+        )
+        _write(alias_map, os.path.join(self._out("canonicalize"), "alias_map"), 1)
+        ents = (
+            alias_map.groupBy("canonical")
+            .agg(F.sort_array(F.collect_set("surface")).alias("aliases"))
+        )
+        _write(ents, os.path.join(self._out("canonicalize"), "entities"), 1)
+        return {"row_count": alias_map.count()}
+
+    def _alias_map(self):
+        return self.spark.read.parquet(os.path.join(self._out("canonicalize"), "alias_map"))
+
+    def stage_dicts(self) -> dict:
         pats = self.spark.read.parquet(self.patterns_path)
-        e2id = materialize.dense_ids(gaz.select(F.col("canonical").alias("name")))
+        e2id = materialize.dense_ids(self._alias_map().select(F.col("canonical").alias("name")))
         r2id = materialize.dense_ids(pats.select(F.col("pred").alias("name")))
         _write(e2id, os.path.join(self._out("dicts"), "entity2id"), 1)
         _write(r2id, os.path.join(self._out("dicts"), "relation2id"), 1)
@@ -140,30 +202,12 @@ class Pipeline:
         tri = self.spark.read.parquet(os.path.join(self._out("extract"), "triples"))
         e2id, r2id = self._dicts()
         emb = self._embeddings(e2id, r2id)
+        # the alias dictionary is the canonicalize stage's CC output —
+        # B7/B8 are load-bearing, not decorative
         linked = link.link_triples(
-            self.spark, tri, self._gaz(), e2id, r2id, emb, self.model, self.norm
+            self.spark, tri, self._alias_map(), e2id, r2id, emb, self.model, self.norm
         )
         _write(linked, self._out("link"))
-        return {}
-
-    def stage_canonicalize(self) -> dict:
-        """B7/B8 — alias-group canonicalization.
-
-        v1: the gazetteer alias dictionary already canonicalizes linked
-        triples; this stage materializes the canonical entity table
-        (entity_id, canonical, aliases). MinHash-LSH + connected
-        components for *unseen* aliases plug in here (kgforge.stages.
-        canonicalize) — they emit extra alias rows into the same table.
-        """
-        gaz = self._gaz()
-        e2id, _ = self._dicts()
-        ents = (
-            gaz.groupBy("canonical")
-            .agg(F.sort_array(F.collect_set("surface")).alias("aliases"))
-            .join(e2id.withColumnRenamed("name", "canonical"), "canonical")
-            .select(F.col("id").alias("entity_id"), "canonical", "aliases")
-        )
-        _write(ents, self._out("canonicalize"), 1)
         return {}
 
     def stage_materialize(self) -> dict:
@@ -218,9 +262,9 @@ class Pipeline:
         deps = {
             "reassemble": [self.input_path],
             "extract": [self._out("reassemble"), self.gazetteer_path, self.patterns_path],
-            "dicts": [self.gazetteer_path, self.patterns_path],
-            "link": [self._out("extract"), self._out("dicts")],
-            "canonicalize": [self.gazetteer_path, self._out("dicts")],
+            "canonicalize": [self._out("extract"), self.gazetteer_path],
+            "dicts": [self._out("canonicalize"), self.patterns_path],
+            "link": [self._out("extract"), self._out("dicts"), self._out("canonicalize")],
             "materialize": [self._out("link"), self._out("dicts")],
             "evaluate": [self._out("materialize")],
         }

@@ -117,7 +117,22 @@ def salted_write(
         F.count(F.lit(1)).alias("row_count"),
         F.approx_count_distinct(salt_cols[0]).alias("approx_distinct_keys"),
     )
-    observed.repartition(n_partitions, "part").drop("part").write.mode(
-        "overwrite"
+    # hive-style `part=` directories (Iceberg-shaped salted partitions);
+    # `repartition` on the salt first so each output dir is one file
+    observed.repartition(n_partitions, "part").write.mode("overwrite").partitionBy(
+        "part"
     ).parquet(path)
-    return dict(obs.get)
+    lineage = dict(obs.get)
+    # per-partition lineage rows: cheap metadata-sized readback aggregation
+    spark = df.sparkSession
+    per_part = (
+        spark.read.parquet(path)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("part")
+    )
+    per_part.coalesce(1).write.mode("overwrite").parquet(path + "_lineage")
+    parts = per_part.collect()
+    lineage["partitions"] = {int(r["part"]): int(r["rows"]) for r in parts}
+    lineage["max_partition_rows"] = max((int(r["rows"]) for r in parts), default=0)
+    return lineage

@@ -118,6 +118,19 @@ def sgd_epochs(
     return ent, rel
 
 
+def valid_mrr(ent: np.ndarray, rel: np.ndarray, valid: pd.DataFrame, norm: int = 1) -> float:
+    """Raw tail-MRR on a validation split (vectorized; early-stop metric)."""
+    h = ent[valid["h"].to_numpy(np.int64)]
+    r = rel[valid["r"].to_numpy(np.int64)]
+    t_idx = valid["t"].to_numpy(np.int64)
+    pred = h + r  # [B, d]
+    diff = pred[:, None, :] - ent[None, :, :]  # [B, |E|, d]
+    scores = np.abs(diff).sum(-1) if norm == 1 else np.sqrt((diff * diff).sum(-1))
+    true_s = scores[np.arange(len(valid)), t_idx]
+    ranks = 1 + (scores < true_s[:, None]).sum(1)
+    return float((1.0 / ranks).mean())
+
+
 def train(
     train_triples: pd.DataFrame,
     n_ent: int,
@@ -129,8 +142,18 @@ def train(
     norm: int = 1,
     bern: bool = False,
     seed: int = 42,
+    valid_triples: pd.DataFrame | None = None,
+    eval_every: int = 10,
+    patience: int = 3,
 ) -> dict[str, np.ndarray]:
-    """A11/A12: single-process reference trainer. Returns {'ent','rel'}."""
+    """A11/A12 (+A14): single-process reference trainer.
+
+    With ``valid_triples``, evaluates valid MRR every ``eval_every``
+    epochs and early-stops after ``patience`` non-improving evals,
+    returning the best snapshot (the reference's early-stop/best-
+    checkpoint behavior, OpenKEonSpark ``distribute_training.py``,
+    recalled — SURVEY.md §0). Returns {'ent','rel'}.
+    """
     rng = np.random.default_rng(seed)
     ent = _xavier(rng, n_ent, dim)
     rel = _normalize_rows(_xavier(rng, n_rel, dim))
@@ -142,7 +165,26 @@ def train(
         bern_p = np.full(n_rel, 0.5)
         for r in tph.index:
             bern_p[int(r)] = tph[r] / (tph[r] + hpt[r])
-    ent, rel = sgd_epochs(train_triples, ent, rel, epochs, lr, margin, seed, norm, bern_p)
+    if valid_triples is None:
+        ent, rel = sgd_epochs(train_triples, ent, rel, epochs, lr, margin, seed, norm, bern_p)
+    else:
+        best = (-1.0, ent, rel)
+        bad = 0
+        done = 0
+        while done < epochs and bad < patience:
+            step = min(eval_every, epochs - done)
+            ent, rel = sgd_epochs(
+                train_triples, ent, rel, step, lr, margin, seed, norm, bern_p,
+                epoch_offset=done,
+            )
+            done += step
+            mrr = valid_mrr(ent, rel, valid_triples, norm)
+            if mrr > best[0]:
+                best = (mrr, ent.copy(), rel.copy())
+                bad = 0
+            else:
+                bad += 1
+        _, ent, rel = best
     return {"ent": _normalize_rows(ent).astype("float32"), "rel": rel.astype("float32")}
 
 

@@ -72,8 +72,18 @@ def test_to_id_triples_and_salted_write(spark, tmp_path):
     out = str(tmp_path / "triples")
     lineage = salted_write(triples, out, n_partitions=4, salt_cols=("s",))
     assert lineage["row_count"] == 2
-    back = spark.read.parquet(out).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    assert sum(lineage["partitions"].values()) == 2  # per-partition rows
+    back = (
+        spark.read.parquet(out)
+        .select("s", "p", "o")
+        .toPandas()
+        .sort_values(["s", "p", "o"])
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(back, got)
+    # lineage side table exists and agrees
+    lin = spark.read.parquet(out + "_lineage").toPandas()
+    assert lin["rows"].sum() == 2
 
 
 def test_manifest_resume(tmp_path):
@@ -86,3 +96,40 @@ def test_manifest_resume(tmp_path):
     assert not m.is_done("extract", fp + "x")
     m.invalidate("extract")
     assert not m.is_done("extract", fp)
+
+
+def test_type_constraint_roundtrip(tmp_path):
+    from kgforge.io_openke import read_type_constraint, write_type_constraint
+
+    domains = {0: [1, 2, 3], 2: [5]}
+    ranges = {0: [7, 8], 2: [9, 10, 11]}
+    p = str(tmp_path / "type_constrain.txt")
+    write_type_constraint(domains, ranges, p)
+    d2, r2 = read_type_constraint(p)
+    assert d2 == domains and r2 == ranges
+
+
+def test_constrained_ranks_tighter_than_raw(spark):
+    """Type constraints shrink the candidate pool -> ranks never worsen."""
+    import numpy as np
+    import pandas as pd
+
+    from kgforge.evaluate import link_prediction_ranks
+    from kgforge.fixtures import gen_embeddings, gen_openke_split
+
+    S = gen_openke_split(n_ent=50, n_rel=4, n_train=300, n_valid=30, n_test=30)
+    emb = gen_embeddings(n_ent=50, n_rel=4, dim=8)
+    known = pd.concat([S["train2id"], S["valid2id"], S["test2id"]])
+    domains = {int(r): np.unique(g["h"].to_numpy()) for r, g in known.groupby("r")}
+    ranges = {int(r): np.unique(g["t"].to_numpy()) for r, g in known.groupby("r")}
+    free = link_prediction_ranks(spark, spark.createDataFrame(S["test2id"]), emb, known).toPandas()
+    con = link_prediction_ranks(
+        spark, spark.createDataFrame(S["test2id"]), emb, known,
+        constraints=(domains, ranges),
+    ).toPandas()
+    key = ["h", "t", "r"]
+    f = free.sort_values(key).reset_index(drop=True)
+    c = con.sort_values(key).reset_index(drop=True)
+    for col in ["rank_head_raw", "rank_head_filt", "rank_tail_raw", "rank_tail_filt"]:
+        assert (c[col] <= f[col]).all()
+    assert (c["rank_head_raw"] < f["rank_head_raw"]).any()  # constraints bite

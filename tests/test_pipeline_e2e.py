@@ -10,7 +10,7 @@ import pytest
 from kgforge.fixtures import ensure_fixtures
 from kgforge.pipeline import Pipeline
 
-STAGES = ["reassemble", "extract", "dicts", "link", "canonicalize", "materialize"]
+STAGES = ["reassemble", "extract", "canonicalize", "dicts", "link", "materialize"]
 
 
 @pytest.fixture(scope="module")

@@ -68,3 +68,20 @@ def test_train_incremental(tmp_path):
     out = training.train_incremental(str(tmp_path), dim=8, epochs=5, eval_fn=eval_fn)
     assert out["ent"].shape == (40, 8)
     assert evals == [30, 40]
+
+
+def test_early_stop_returns_best_snapshot():
+    emb = training.train(
+        SPLIT["train2id"], N_ENT, N_REL, dim=8, epochs=60, lr=0.1,
+        valid_triples=SPLIT["valid2id"], eval_every=10, patience=2,
+    )
+    assert emb["ent"].shape == (N_ENT, 8)
+    # best snapshot must be at least as good as random init on valid MRR
+    rng = np.random.default_rng(42)
+    e0 = rng.normal(size=(N_ENT, 8)); e0 /= np.linalg.norm(e0, axis=1, keepdims=True)
+    r0 = rng.normal(size=(N_REL, 8)); r0 /= np.linalg.norm(r0, axis=1, keepdims=True)
+    m_rand = training.valid_mrr(e0, r0, SPLIT["valid2id"])
+    m_best = training.valid_mrr(
+        emb["ent"].astype("float64"), emb["rel"].astype("float64"), SPLIT["valid2id"]
+    )
+    assert m_best >= m_rand
