@@ -573,12 +573,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN r rr ON g.pred = rr.name
         """,
         "b5_link_triples": f"""
+            -- dictionary-only linking: corrupted alias variants (hyphen
+            -- forms, absent from the gazetteer) are NOT linkable here —
+            -- they need the canonicalize stage (pipeline path); filter
+            -- the golden set the same way for exactness
             WITH e AS ({_DENSE_E}), r AS ({_DENSE_R})
             SELECT DISTINCT g.conv_id, g.turn_idx, es.id AS s, rr.id AS p, eo.id AS o
             FROM {_GOLD} g
             JOIN e es ON g.subj_canon = es.name
             JOIN e eo ON g.obj_canon = eo.name
             JOIN r rr ON g.pred = rr.name
+            WHERE g.subj IN (SELECT surface FROM {_GAZ})
+              AND g.obj IN (SELECT surface FROM {_GAZ})
         """,
         "b8_connected_components": f"""
             WITH RECURSIVE

@@ -155,6 +155,7 @@ def gen_transcripts_range(
     hot_frac: float = 0.02,
     median_turns: int = 8,
     hot_factor: int = 40,
+    unseen_frac: float = 0.06,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Deterministic transcripts + golden triples.
 
@@ -167,6 +168,13 @@ def gen_transcripts_range(
 
     ~``hot_frac`` of conversations are hot keys with ``hot_factor``× the
     median turn count (skew for AQE/salting demos, FIXTURES.md F1).
+
+    ~``unseen_frac`` of surface occurrences are *corrupted alias
+    variants* NOT in the gazetteer (space → hyphen, e.g. "Acme-Corp"):
+    extraction catches them via a generic hyphen-token capture, and only
+    MinHash-LSH + connected-components canonicalization (B7/B8) can link
+    them back to their entity — dictionary-only linking provably loses
+    that recall (tested).
     """
     gaz = gazetteer()
     by_kind = _surfaces_by_kind(gaz)
@@ -210,12 +218,27 @@ def gen_transcripts_range(
                     tmpl = p.active
                     if p.passive and rng.random() < 0.35:
                         tmpl = p.passive
-                    body = tmpl.format(s=s_row["surface"], o=o_row["surface"])
+
+                    def _maybe_corrupt(surface: str) -> str:
+                        # unseen alias variant: space -> hyphen (only for
+                        # clean multi-word aliases; dotted variants stay)
+                        if (
+                            unseen_frac > 0
+                            and " " in surface
+                            and "." not in surface
+                            and rng.random() < unseen_frac
+                        ):
+                            return surface.replace(" ", "-")
+                        return surface
+
+                    s_surf = _maybe_corrupt(s_row["surface"])
+                    o_surf = _maybe_corrupt(o_row["surface"])
+                    body = tmpl.format(s=s_surf, o=o_surf)
                     pre = _PREFIX[int(rng.integers(len(_PREFIX)))]
                     suf = _SUFFIX[int(rng.integers(len(_SUFFIX)))]
                     sentences.append(f"{pre}{body}{suf}.")
                     g_rows.append(
-                        (conv_id, ti, s_row["surface"], p.pred, o_row["surface"],
+                        (conv_id, ti, s_surf, p.pred, o_surf,
                          s_row["canonical"], o_row["canonical"])
                     )
             ts = base_ts + np.timedelta64(ci * 1440 + ti, "m")

@@ -139,3 +139,78 @@ def negative_samples(
     cand = pos.mapInPandas(gen, _NEG_SCHEMA)
     good = cand.join(known.select("h", "t", "r"), ["h", "t", "r"], "left_anti")
     return good.dropDuplicates(["h", "t", "r"])
+
+
+def negative_rel_samples(
+    triples: DataFrame,
+    n_rel: int,
+    neg_per_pos: int = 1,
+    seed: int = 42,
+    known: DataFrame | None = None,
+) -> DataFrame:
+    """A6's ``negative_rel`` path: corrupt the *relation* uniformly,
+    rejecting corruptions that form a known triple (reference
+    ``base/Base.cpp::sampling`` negRel branch, recalled — SURVEY.md §0).
+    """
+    known = known if known is not None else triples
+    n_gen = max(neg_per_pos * 2, neg_per_pos + 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(np.uint64)
+            t = pdf["t"].to_numpy(np.uint64)
+            r = pdf["r"].to_numpy(np.uint64)
+            H = np.repeat(h, n_gen)
+            T = np.repeat(t, n_gen)
+            R = np.repeat(r, n_gen)
+            K = np.tile(np.arange(n_gen, dtype=np.uint64), len(pdf))
+            base = (
+                H * np.uint64(0x100000001B3)
+                ^ T * np.uint64(0x1000193)
+                ^ R * np.uint64(0x9E3779B1)
+                ^ K
+                ^ np.uint64(seed * 0x5DEECE66D + 0xC0FFEE)
+            )
+            nr = (splitmix64(base) % np.uint64(n_rel)).astype(np.int64)
+            out = pd.DataFrame(
+                {"h": H.astype(np.int64), "t": T.astype(np.int64), "r": nr}
+            )
+            out["y"] = np.int32(-1)
+            yield out[out["r"].to_numpy() != R.astype(np.int64)]
+
+    cand = triples.select("h", "t", "r").mapInPandas(gen, _NEG_SCHEMA)
+    good = cand.join(known.select("h", "t", "r"), ["h", "t", "r"], "left_anti")
+    return good.dropDuplicates(["h", "t", "r"])
+
+
+def training_batches(
+    triples: DataFrame,
+    n_ent: int,
+    n_rel: int,
+    nbatches: int = 8,
+    neg_ent: int = 1,
+    neg_rel: int = 0,
+    mode: str = "uniform",
+    seed: int = 42,
+) -> DataFrame:
+    """A6 batch builder: positives + entity/relation negatives with
+    labels, assigned to ``nbatches`` deterministic batch ids.
+
+    Output: ``batch_id, h, t, r, y`` — positives (y=1) first per the
+    reference's batch layout, negatives y=-1; batch assignment is a
+    content hash so it is partition-independent.
+    """
+    pos = triples.select("h", "t", "r").withColumn("y", F.lit(1))
+    parts = [pos]
+    if neg_ent > 0:
+        parts.append(negative_samples(triples, n_ent, neg_ent, mode, seed))
+    if neg_rel > 0:
+        parts.append(negative_rel_samples(triples, n_rel, neg_rel, seed))
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return allrows.withColumn(
+        "batch_id", F.pmod(F.hash("h", "t", "r", F.lit(seed)), F.lit(nbatches))
+    ).select("batch_id", "h", "t", "r", "y")

@@ -47,9 +47,20 @@ _B_L = r"(?<![A-Za-z0-9])"
 _B_R = r"(?![A-Za-z0-9])"
 
 
-def _entity_alt(surfaces: list[str]) -> str:
+#: generic hyphen-joined token — catches alias variants absent from the
+#: gazetteer (e.g. "Acme-Corp"); canonicalization (B7/B8) links them back.
+#: Ordinary prose in the domain carries no hyphens, so this branch never
+#: over-captures known text; at the end of the alternation it only fires
+#: when no dictionary surface matches.
+_HYPH_TOKEN = r"[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z][A-Za-z0-9]*)+"
+
+
+def _entity_alt(surfaces: list[str], generic: bool = True) -> str:
     parts = sorted(surfaces, key=len, reverse=True)  # longest-match-first
-    return "(?:" + "|".join(re.escape(s) for s in parts) + ")"
+    alts = [re.escape(s) for s in parts]
+    if generic:
+        alts.append(_HYPH_TOKEN)
+    return "(?:" + "|".join(alts) + ")"
 
 
 def compile_mention_regex(surfaces: list[str]) -> re.Pattern:
@@ -132,7 +143,7 @@ def detect_mentions(transcripts: DataFrame, gazetteer: pd.DataFrame) -> DataFram
             out["mention_id"] = (
                 out["conv_id"] + ":" + out["turn_idx"].astype(str) + ":" + out["start"].astype(str)
             )
-            out["mtype"] = out["surface"].map(mtype_of)
+            out["mtype"] = out["surface"].map(mtype_of).fillna("unknown")
             out["turn_idx"] = out["turn_idx"].astype("int32")
             out["start"] = out["start"].astype("int32")
             out["end"] = out["end"].astype("int32")

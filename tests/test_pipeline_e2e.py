@@ -152,3 +152,39 @@ def test_entry_and_contract_smoke(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_canonicalize_recovers_unseen_aliases(spark, run_dir):
+    """The point of B7/B8: hyphen-corrupted alias variants (absent from
+    the gazetteer) are linkable ONLY via the LSH+CC alias map —
+    dictionary-only linking provably loses that recall."""
+    work, fdir, _ = run_dir
+    golden = pd.read_parquet(os.path.join(fdir, "golden_triples.parquet"))
+    corrupted = golden[
+        golden["subj"].str.contains("-") | golden["obj"].str.contains("-")
+    ]
+    assert len(corrupted) > 0, "fixture must contain unseen alias variants"
+
+    alias_map = spark.read.parquet(os.path.join(work, "canonicalize", "alias_map")).toPandas()
+    amap = dict(zip(alias_map["surface"], alias_map["canonical"]))
+    gaz = pd.read_parquet(os.path.join(fdir, "gazetteer.parquet"))
+    gmap = dict(zip(gaz["surface"], gaz["canonical"]))
+
+    hyph_surfaces = set(corrupted["subj"][corrupted["subj"].str.contains("-")]) | set(
+        corrupted["obj"][corrupted["obj"].str.contains("-")]
+    )
+    cc_hits = sum(1 for s in hyph_surfaces if amap.get(s) is not None and "-" not in amap[s])
+    dict_hits = sum(1 for s in hyph_surfaces if s in gmap)
+    assert dict_hits == 0, "corrupted variants must NOT be in the dictionary"
+    assert cc_hits / len(hyph_surfaces) >= 0.95, (
+        f"CC linked only {cc_hits}/{len(hyph_surfaces)} unseen aliases"
+    )
+    # and they resolve to the RIGHT canonical
+    want = {}
+    for _, row in corrupted.iterrows():
+        if "-" in row["subj"]:
+            want[row["subj"]] = row["subj_canon"]
+        if "-" in row["obj"]:
+            want[row["obj"]] = row["obj_canon"]
+    wrong = {s: (amap.get(s), c) for s, c in want.items() if amap.get(s) != c}
+    assert not wrong, f"mis-canonicalized: {dict(list(wrong.items())[:3])}"

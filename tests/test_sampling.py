@@ -49,3 +49,30 @@ def test_bern_negatives_deterministic_across_partitioning(spark):
         b.sort_values(key).reset_index(drop=True),
     )
     _check_negatives(a, train)
+
+
+def test_negative_rel_samples(spark):
+    from kgforge.sampling import negative_rel_samples
+
+    train = SPLIT["train2id"]
+    neg = negative_rel_samples(spark.createDataFrame(train), n_rel=5, neg_per_pos=1).toPandas()
+    known = set(map(tuple, train[["h", "t", "r"]].itertuples(index=False)))
+    got = set(map(tuple, neg[["h", "t", "r"]].itertuples(index=False)))
+    assert got and not (got & known)
+    # only the relation is corrupted: every (h, t) must exist in train
+    ht = set(map(tuple, train[["h", "t"]].itertuples(index=False)))
+    assert all((h, t) in ht for h, t, _ in got)
+
+
+def test_training_batches(spark):
+    from kgforge.sampling import training_batches
+
+    train = SPLIT["train2id"]
+    b = training_batches(
+        spark.createDataFrame(train), n_ent=60, n_rel=5, nbatches=4, neg_ent=1, neg_rel=1
+    ).toPandas()
+    assert set(b["batch_id"]) == {0, 1, 2, 3}
+    assert set(b["y"]) == {1, -1}
+    assert (b[b["y"] == 1].groupby(["h", "t", "r"]).size() == 1).all()
+    assert len(b[b["y"] == 1]) == len(train)
+    assert len(b[b["y"] == -1]) >= len(train)  # ent + rel negatives
