@@ -230,24 +230,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = spark.createDataFrame(split["test2id"].head(20)[["h", "r"]])
         return ev.top_k_completions(spark, q, emb, k=10).select("h", "r", "candidate", "rk")
 
-    def a18_triple_classification(spark, sf):  # rows-only (threshold sweep)
+    def _kernel_scores(spark, model):
         split, emb, _ = _openke_emb()
-        from kgforge import kernels
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model=model, norm=1).select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
 
-        def scored(pdf, y):
-            out = pdf.copy()
-            out["y"] = y
-            out["score"] = kernels.score_batch(
-                "transe", emb, pdf["h"].to_numpy(), pdf["r"].to_numpy(), pdf["t"].to_numpy(), 1
-            ).astype(float)
-            return out
+    def a7_transe_scores(spark, sf):
+        return _kernel_scores(spark, "transe")
 
-        rng = np.random.default_rng(5)
-        neg_v = split["valid2id"].copy()
-        neg_v["h"] = rng.integers(0, 200, len(neg_v))
-        sv = spark.createDataFrame(pd.concat([scored(split["valid2id"], 1), scored(neg_v, -1)]))
+    def a8_transh_scores(spark, sf):
+        return _kernel_scores(spark, "transh")
+
+    def a9_transr_scores(spark, sf):
+        return _kernel_scores(spark, "transr")
+
+    def a10_transd_scores(spark, sf):
+        return _kernel_scores(spark, "transd")
+
+    def a6_training_batches(spark, sf):  # rows-only (counter-based RNG)
+        from kgforge.sampling import training_batches
+
+        t = _openke(spark, "train2id")
+        return training_batches(t, n_ent=200, n_rel=12, nbatches=4, neg_ent=1, neg_rel=1)
+
+    def a21_incremental_training(spark, sf):  # rows-only (iterative NumPy)
+        import tempfile
+
+        from kgforge import training
+        from kgforge.fixtures import gen_openke_split
+        from kgforge.io_openke import write_split
+
+        d = tempfile.mkdtemp(prefix="kgforge_a21_")
+        write_split(gen_openke_split(n_ent=30, n_rel=4, n_train=150, n_valid=15, n_test=15, seed=1), os.path.join(d, "0"))
+        write_split(gen_openke_split(n_ent=40, n_rel=4, n_train=200, n_valid=15, n_test=15, seed=2), os.path.join(d, "1"))
+        out = training.train_incremental(d, dim=8, epochs=5)
+        pdf = pd.DataFrame(
+            {"id": range(out["ent"].shape[0]), "dim": out["ent"].shape[1]}
+        )
+        return spark.createDataFrame(pdf)
+
+    def _tc_scored(spark):
+        _, emb, _ = _openke_emb()
+        tc = _openke(spark, "tc_sets")
+        return ev.score_triples(spark, tc, emb)
+
+    def a18_thresholds(spark, sf):
+        sv = _tc_scored(spark).where(F.col("split") == "valid")
         thresholds, _acc = ev.triple_classification(sv, sv)
-        return thresholds
+        return thresholds.select("r", F.round("threshold", 9).alias("threshold"))
+
+    def a18_accuracy(spark, sf):
+        scored = _tc_scored(spark)
+        sv = scored.where(F.col("split") == "valid")
+        st = scored.where(F.col("split") == "test")
+        _th, acc = ev.triple_classification(sv, st)
+        return spark.createDataFrame([(round(acc, 9),)], "accuracy double")
 
     # -- training-data ops (driver testdata tables) ---------------------------
 
@@ -364,12 +403,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_connected_components": b8_connected_components,
         "a2_triple_dedup": a2_triple_dedup,
         "a4_negative_sampling": a4_negative_sampling,
+        "a6_training_batches": a6_training_batches,
+        "a7_transe_scores": a7_transe_scores,
+        "a8_transh_scores": a8_transh_scores,
+        "a9_transr_scores": a9_transr_scores,
+        "a10_transd_scores": a10_transd_scores,
+        "a21_incremental_training": a21_incremental_training,
         "a15_link_prediction_ranks": a15_link_prediction_ranks,
         "a15_constrained_ranks": a15_constrained_ranks,
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
         "a17_metrics_by_category": a17_metrics_by_category,
         "a19_topk_completions": a19_topk_completions,
-        "a18_triple_classification": a18_triple_classification,
+        "a18_thresholds": a18_thresholds,
+        "a18_accuracy": a18_accuracy,
         "dedup_exact": dedup_exact,
         "txt_fingerprint": txt_fingerprint,
         "txt_token_counts": txt_token_counts,
@@ -539,6 +585,132 @@ _RANK_CTES_CONSTRAINED = f"""
 """
 
 
+_K_BASE = f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet'))
+"""
+
+_SQL_TRANSE = f"""
+    WITH {_K_BASE}
+    SELECT tt.h, tt.t, tt.r,
+           round(sum(abs(eh.val + er.val - et.val)), 9) AS score
+    FROM test tt
+    JOIN rel er ON er.id = tt.r
+    JOIN ent eh ON eh.id = tt.h AND eh.k = er.k
+    JOIN ent et ON et.id = tt.t AND et.k = er.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# TransH: project h and t onto the relation hyperplane (unit normal w):
+# e_perp = e - (w.e) w, then TransE on the projections
+_SQL_TRANSH = f"""
+    WITH {_K_BASE},
+    norm AS (SELECT * FROM read_parquet('{OKE}/norm_long.parquet')),
+    d AS (
+      SELECT tt.h, tt.t, tt.r,
+             sum(w.val * eh.val) AS dwh, sum(w.val * et.val) AS dwt
+      FROM test tt
+      JOIN norm w ON w.id = tt.r
+      JOIN ent eh ON eh.id = tt.h AND eh.k = w.k
+      JOIN ent et ON et.id = tt.t AND et.k = w.k
+      GROUP BY tt.h, tt.t, tt.r
+    )
+    SELECT tt.h, tt.t, tt.r,
+           round(sum(abs((eh.val - d.dwh * w.val) + er.val
+                         - (et.val - d.dwt * w.val))), 9) AS score
+    FROM test tt
+    JOIN d ON d.h = tt.h AND d.t = tt.t AND d.r = tt.r
+    JOIN norm w ON w.id = tt.r
+    JOIN ent eh ON eh.id = tt.h AND eh.k = w.k
+    JOIN ent et ON et.id = tt.t AND et.k = w.k
+    JOIN rel er ON er.id = tt.r AND er.k = w.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# TransR: map entities into relation space with M_r (relational einsum)
+_SQL_TRANSR = f"""
+    WITH {_K_BASE},
+    mat AS (SELECT * FROM read_parquet('{OKE}/mat_long.parquet')),
+    hr AS (
+      SELECT tt.h, tt.t, tt.r, m.i AS k, sum(m.val * eh.val) AS hv
+      FROM test tt
+      JOIN mat m ON m.id = tt.r
+      JOIN ent eh ON eh.id = tt.h AND eh.k = m.j
+      GROUP BY tt.h, tt.t, tt.r, m.i
+    ),
+    tr AS (
+      SELECT tt.h, tt.t, tt.r, m.i AS k, sum(m.val * et.val) AS tv
+      FROM test tt
+      JOIN mat m ON m.id = tt.r
+      JOIN ent et ON et.id = tt.t AND et.k = m.j
+      GROUP BY tt.h, tt.t, tt.r, m.i
+    )
+    SELECT hr.h, hr.t, hr.r,
+           round(sum(abs(hr.hv + er.val - tr.tv)), 9) AS score
+    FROM hr
+    JOIN tr ON tr.h = hr.h AND tr.t = hr.t AND tr.r = hr.r AND tr.k = hr.k
+    JOIN rel er ON er.id = hr.r AND er.k = hr.k
+    GROUP BY hr.h, hr.t, hr.r
+"""
+
+# TransD: rank-1 dynamic projection e_perp = e + (e_p . e) r_p.
+# (e_p . e) depends only on the entity → precompute one dot per entity
+# (also keeps the join graph simple enough for the planner).
+_SQL_TRANSD = f"""
+    WITH {_K_BASE},
+    entp AS (SELECT * FROM read_parquet('{OKE}/entp_long.parquet')),
+    relp AS (SELECT * FROM read_parquet('{OKE}/relp_long.parquet')),
+    edot AS (
+      SELECT e.id, sum(p.val * e.val) AS dot
+      FROM ent e JOIN entp p ON p.id = e.id AND p.k = e.k
+      GROUP BY e.id
+    )
+    SELECT tt.h, tt.t, tt.r,
+           round(sum(abs((eh.val + dh.dot * rp.val) + er.val
+                         - (et.val + dt.dot * rp.val))), 9) AS score
+    FROM test tt
+    JOIN edot dh ON dh.id = tt.h
+    JOIN edot dt ON dt.id = tt.t
+    JOIN relp rp ON rp.id = tt.r
+    JOIN ent eh ON eh.id = tt.h AND eh.k = rp.k
+    JOIN ent et ON et.id = tt.t AND et.k = rp.k
+    JOIN rel er ON er.id = tt.r AND er.k = rp.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+_TC_CTES = f"""
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  sc AS (
+    SELECT tcs.h, tcs.t, tcs.r, tcs.y, tcs.split,
+           sum(abs(eh.val + er.val - et.val)) AS score
+    FROM read_parquet('{OKE}/tc_sets.parquet') tcs
+    JOIN rel er ON er.id = tcs.r
+    JOIN ent eh ON eh.id = tcs.h AND eh.k = er.k
+    JOIN ent et ON et.id = tcs.t AND et.k = er.k
+    GROUP BY tcs.h, tcs.t, tcs.r, tcs.y, tcs.split
+  ),
+  sweep AS (
+    SELECT r, h, t, score,
+      sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) OVER (
+        PARTITION BY r ORDER BY score, h, t) AS cum_pos,
+      sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) OVER (
+        PARTITION BY r ORDER BY score, h, t) AS cum_neg,
+      sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) OVER (PARTITION BY r) AS n_neg
+    FROM sc WHERE split = 'valid'
+  ),
+  th AS (
+    SELECT r, score AS threshold FROM (
+      SELECT r, score,
+             row_number() OVER (
+               PARTITION BY r
+               ORDER BY (cum_pos + n_neg - cum_neg) DESC, score) AS rn
+      FROM sweep) WHERE rn = 1
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "b1_turn_ordering": f"""
@@ -652,6 +824,22 @@ def oracle_sql() -> dict[str, str]:
               round(avg(CASE WHEN filt <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_filt,
               round(avg(CASE WHEN filt <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_filt
             FROM both_
+        """,
+        "a7_transe_scores": _SQL_TRANSE,
+        "a8_transh_scores": _SQL_TRANSH,
+        "a9_transr_scores": _SQL_TRANSR,
+        "a10_transd_scores": _SQL_TRANSD,
+        "a18_thresholds": f"""
+            WITH {_TC_CTES}
+            SELECT r, round(threshold, 9) AS threshold FROM th
+        """,
+        "a18_accuracy": f"""
+            WITH {_TC_CTES}
+            SELECT round(avg(CASE WHEN
+                     (CASE WHEN sc.score <= th.threshold THEN 1 ELSE -1 END) = sc.y
+                   THEN 1.0 ELSE 0.0 END), 9) AS accuracy
+            FROM sc LEFT JOIN th ON sc.r = th.r
+            WHERE sc.split = 'test'
         """,
         "a19_topk_completions": f"""
             WITH q AS (

@@ -268,6 +268,41 @@ def top_k_completions(
     return queries.select(*in_cols).dropDuplicates(in_cols).mapInPandas(fn, out_schema)
 
 
+def score_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    emb: dict[str, np.ndarray],
+    model: str = "transe",
+    norm: int = 1,
+) -> DataFrame:
+    """Add a ``score`` column (kernel distance) to any (h, t, r[, ...]) DF.
+
+    Broadcast embeddings + vectorized NumPy per Arrow batch — the
+    shared scoring primitive for classification/calibration paths.
+    """
+    b_emb = spark.sparkContext.broadcast(emb)
+    _PINNED.append(b_emb)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in triples.schema.fields
+    ) + ", score double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E = b_emb.value
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf["score"] = kernels.score_batch(
+                    model, E,
+                    pdf["h"].to_numpy(np.int64),
+                    pdf["r"].to_numpy(np.int64),
+                    pdf["t"].to_numpy(np.int64),
+                    norm,
+                ).astype("float64")
+                yield pdf
+
+    return triples.mapInPandas(fn, schema)
+
+
 def triple_classification(
     scored_valid: DataFrame, scored_test: DataFrame
 ) -> tuple[DataFrame, float]:

@@ -389,6 +389,43 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
 
     _long(emb["ent"]).to_parquet(os.path.join(d, "ent_emb_long.parquet"), index=False)
     _long(emb["rel"]).to_parquet(os.path.join(d, "rel_emb_long.parquet"), index=False)
+    # per-model extras in long format → TransH/R/D kernel scores are
+    # relationally computable by the DuckDB oracles
+    _long(emb["norm"]).to_parquet(os.path.join(d, "norm_long.parquet"), index=False)
+    _long(emb["ent_p"]).to_parquet(os.path.join(d, "entp_long.parquet"), index=False)
+    _long(emb["rel_p"]).to_parquet(os.path.join(d, "relp_long.parquet"), index=False)
+    n_r, dim, _ = emb["mat"].shape
+    pd.DataFrame(
+        {
+            "id": np.repeat(np.arange(n_r, dtype="int64"), dim * dim),
+            "i": np.tile(np.repeat(np.arange(dim, dtype="int64"), dim), n_r),
+            "j": np.tile(np.arange(dim, dtype="int64"), n_r * dim),
+            "val": emb["mat"].astype("float64").ravel(),
+        }
+    ).to_parquet(os.path.join(d, "mat_long.parquet"), index=False)
+
+    # A18 triple-classification sets: positives + one deterministic
+    # tail-corrupted negative each (committed so the DuckDB oracle and
+    # the engine score the exact same rows)
+    n_ent = len(split["entity2id"])
+    known = {
+        (h, t, r)
+        for df in (split["train2id"], split["valid2id"], split["test2id"])
+        for h, t, r in df[["h", "t", "r"]].itertuples(index=False)
+    }
+    rng = np.random.default_rng(seed + 7)
+    tc_rows = []
+    for name in ("valid2id", "test2id"):
+        sp = "valid" if name == "valid2id" else "test"
+        for h, t, r in split[name][["h", "t", "r"]].itertuples(index=False):
+            tc_rows.append((h, t, r, 1, sp))
+            nt = int(rng.integers(n_ent))
+            while nt == t or (h, nt, r) in known:
+                nt = int(rng.integers(n_ent))
+            tc_rows.append((h, nt, r, -1, sp))
+    pd.DataFrame(tc_rows, columns=["h", "t", "r", "y", "split"]).astype(
+        {"h": "int64", "t": "int64", "r": "int64", "y": "int32"}
+    ).to_parquet(os.path.join(d, "tc_sets.parquet"), index=False)
     with open(marker, "w") as f:
         f.write("ok\n")
     return d
