@@ -97,8 +97,11 @@ class Pipeline:
         return {"row_count": self.spark.read.parquet(self._out("reassemble")).count()}
 
     def stage_extract(self) -> dict:
-        import pandas as pd  # noqa: F401
-
+        # B2 and B3 as two independent scans. A single combined pass
+        # (union schema, partitionBy(kind)) was measured SLOWER (95s vs
+        # 54s at local[8]/bench): the extra materialize+reread of ~7M
+        # union rows costs more than the saved text scan — regex+Arrow
+        # is cheaper than write bandwidth here. See docs/DESIGN_SCALE.md.
         turns = self.spark.read.parquet(self._out("reassemble"))
         gaz_pdf = self._gaz().toPandas()
         pat_pdf = self.spark.read.parquet(self.patterns_path).toPandas()
