@@ -272,11 +272,19 @@ def gen_openke_split(
     n_valid: int = 150,
     n_test: int = 150,
     seed: int = SEED,
+    structured: bool = True,
 ) -> dict[str, pd.DataFrame]:
-    """Random-but-seeded KG split in the reference's id space.
+    """Seeded KG split in the reference's id space.
 
-    Triples are distinct across splits; every valid/test entity appears
-    in train (standard protocol so filtered eval is well-defined).
+    Triples are distinct across splits. With ``structured=True`` (the
+    default, used by the committed fixture) the first three relations
+    have controlled cardinalities so every 1-1 / 1-N / N-1 / N-N
+    category (upstream ``n-n.py`` taxonomy) is represented:
+
+    * r=0 — a sampled permutation pairing (tph = hpt = 1 → 1-1)
+    * r=1 — few heads, globally unique tails (1-N)
+    * r=2 — symmetric (N-1)
+    * r≥3 — uniform random (N-N)
     """
     rng = np.random.default_rng(seed)
     total = n_train + n_valid + n_test
@@ -284,19 +292,65 @@ def gen_openke_split(
     h_l: list[int] = []
     t_l: list[int] = []
     r_l: list[int] = []
-    while len(seen) < total:
-        h = int(rng.integers(n_ent))
-        t = int(rng.integers(n_ent))
-        if h == t:
-            continue
-        r = int(rng.integers(n_rel))
-        if (h, t, r) in seen:
-            continue
+
+    def _add(h: int, t: int, r: int) -> bool:
+        if h == t or (h, t, r) in seen:
+            return False
         seen.add((h, t, r))
         h_l.append(h)
         t_l.append(t)
         r_l.append(r)
-    df = pd.DataFrame({"h": h_l, "t": t_l, "r": r_l}).astype("int64")
+        return True
+
+    if structured and n_rel >= 4:
+        quota = total // n_rel
+        # r0: 1-1 — permutation pairing, each head and tail at most once
+        perm = rng.permutation(n_ent)
+        heads = rng.choice(n_ent, size=min(quota, n_ent), replace=False)
+        for h in heads:
+            _add(int(h), int(perm[h]), 0)
+        # r1: 1-N — small head pool, unique tails
+        pool = rng.choice(n_ent, size=max(2, n_ent // 20), replace=False)
+        tails = rng.choice(n_ent, size=min(quota, n_ent), replace=False)
+        for i, t in enumerate(tails):
+            _add(int(pool[i % len(pool)]), int(t), 1)
+        # r2: N-1 — symmetric
+        pool2 = rng.choice(n_ent, size=max(2, n_ent // 20), replace=False)
+        heads2 = rng.choice(n_ent, size=min(quota, n_ent), replace=False)
+        for i, h in enumerate(heads2):
+            _add(int(h), int(pool2[i % len(pool2)]), 2)
+    # fill the remainder (and all of n_rel<4 / structured=False) N-N.
+    # Draw from a dense per-relation entity subset so tph/hpt really
+    # exceed the 1.5 category threshold (uniform over all entities is
+    # too sparse at fixture scale and would classify as 1-1).
+    lo_rel = 3 if structured and n_rel >= 4 else 0
+    # subset sized so the distinct-triple capacity comfortably covers the
+    # remaining quota (a too-small subset cannot supply enough distinct
+    # triples and the rejection loop would never terminate)
+    needed = total - len(seen)
+    per_rel = needed / max(1, n_rel - lo_rel)
+    min_sub = int(np.ceil((2.5 * per_rel) ** 0.5)) + 1
+    sub = min(n_ent, max(8, n_ent // 4, min_sub)) if structured else n_ent
+    subsets = {
+        r: rng.choice(n_ent, size=sub, replace=False)
+        for r in range(lo_rel, n_rel)
+    }
+    while len(seen) < total:
+        r = int(rng.integers(lo_rel, n_rel))
+        ents = subsets[r]
+        _add(
+            int(ents[rng.integers(len(ents))]),
+            int(ents[rng.integers(len(ents))]),
+            r,
+        )
+    # shuffle so the split slices are category-mixed
+    order = rng.permutation(total)
+    df = (
+        pd.DataFrame({"h": h_l, "t": t_l, "r": r_l})
+        .iloc[order]
+        .reset_index(drop=True)
+        .astype("int64")
+    )
     ent = pd.DataFrame({"name": [f"ent_{i}" for i in range(n_ent)], "id": np.arange(n_ent, dtype="int64")})
     rel = pd.DataFrame({"name": [p.pred for p in PATTERNS[:n_rel]], "id": np.arange(n_rel, dtype="int64")})
     return {

