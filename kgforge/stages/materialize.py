@@ -97,18 +97,23 @@ def salted_write(
 
     Partitions by ``pmod(hash(salt_cols..., salt), n)`` — the extra salt
     term spreads hot subject keys across partitions so no single output
-    file/task absorbs a hot entity. Lineage counters come from
-    ``df.observe`` (no second scan).
+    file/task absorbs a hot entity. The salt is ``pmod(xxhash64(<all
+    columns>), 16)`` — a *content* hash, never ``rand()``: partition
+    assignment is a pure function of the row, so two runs (or a resume)
+    produce byte-identical partition layout regardless of input
+    partitioning. Lineage counters come from ``df.observe`` (no second
+    scan).
 
     Returns the lineage row (dict) that the manifest records.
     """
     from pyspark.sql import Observation
 
     obs = Observation(lineage_name)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(16))
     salted = df.withColumn(
         "part",
         F.pmod(
-            F.hash(*[F.col(c) for c in salt_cols], (F.rand(seed=7) * 16).cast("int")),
+            F.hash(*[F.col(c) for c in salt_cols], salt),
             F.lit(n_partitions),
         ),
     )

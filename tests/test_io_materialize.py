@@ -86,6 +86,27 @@ def test_to_id_triples_and_salted_write(spark, tmp_path):
     assert lin["rows"].sum() == 2
 
 
+def test_salted_write_deterministic_layout(spark, tmp_path):
+    """Two runs over differently-partitioned input produce the identical
+    partition assignment (content-hash salt, not rand) AND the salt still
+    spreads a hot key across partitions."""
+    pdf = pd.DataFrame(
+        {"s": [7] * 64 + list(range(100, 120)), "p": range(84), "o": range(84)}
+    )
+    df1 = spark.createDataFrame(pdf).repartition(3)
+    df2 = spark.createDataFrame(pdf.sample(frac=1.0, random_state=1)).repartition(9)
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    lin1 = salted_write(df1, out1, n_partitions=8, salt_cols=("s",))
+    lin2 = salted_write(df2, out2, n_partitions=8, salt_cols=("s",))
+    assert lin1["partitions"] == lin2["partitions"]
+    a = spark.read.parquet(out1).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    b = spark.read.parquet(out2).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["s", "p", "o", "part"]], b[["s", "p", "o", "part"]])
+    # the hot key s=7 (64 rows) lands on >1 partition
+    hot_parts = a.loc[a["s"] == 7, "part"].nunique()
+    assert hot_parts > 1
+
+
 def test_manifest_resume(tmp_path):
     m = Manifest(str(tmp_path))
     fp = fingerprint_paths(str(tmp_path))
