@@ -306,8 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
 
     def dedup_ngram_jaccard(spark, sf):
+        # df_cap: the stop-shingle skew guard is live (capped candidate
+        # generation + exact array_intersect verify). Output is exact for
+        # every pair sharing >=1 shingle with df <= cap; on this corpus
+        # max df = 25 so the cap provably drops nothing and the DuckDB
+        # oracle (uncapped) must match bit-for-bit.
         return textops.ngram_jaccard_pairs(
-            spark.read.parquet(f"{sf}/documents.parquet"), n=3, threshold=0.5
+            spark.read.parquet(f"{sf}/documents.parquet"), n=3, threshold=0.5, df_cap=100
         )
 
     def dedup_minhash(spark, sf):  # rows-only (minhash)

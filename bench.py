@@ -102,6 +102,13 @@ def main() -> int:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # df-cap observability: what the ngram skew guard would drop here
+    from kgforge import textops
+
+    ng_stats = textops.ngram_df_capped_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, df_cap=100
+    )
+
     # skew evidence: hot conv_id keys and how the salted write spread them
     spark_df = spark.read.parquet(os.path.join(fdir, "transcripts.parquet"))
     sizes = spark_df.groupBy("conv_id").count()
@@ -114,6 +121,7 @@ def main() -> int:
         "metric": "kg_pipeline_e2e_wall",
         "conv_skew_max_over_median": round(skew["max"] / max(skew["median"], 1), 1),
         "salted_write_max_partition_rows": mat.get("max_partition_rows"),
+        "ngram_df_cap": ng_stats,
         "value": round(e2e, 3),
         "unit": "sec",
         "queries": timings,

@@ -150,19 +150,22 @@ def lang_id(docs: DataFrame) -> DataFrame:
 # n-gram Jaccard (exact) near-dup pairs
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity pairs (a < b) above threshold.
+def hashed_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """``(doc_id, grams array<long>)`` — distinct word-n-grams, hashed
+    with ``xxhash64`` (JVM-side; 64-bit collisions are negligible at any
+    realistic shingle cardinality).
 
-    Pure DataFrame ops: tokenize → n-gram via slice/transform → explode
-    distinct shingles → shingle-key self-join (the classic inverted-index
-    pair generation — only docs *sharing* a shingle ever pair, never a
-    full cross join) → count intersections → Jaccard via
-    |A∩B| / (|A| + |B| − |A∩B|).
-
-    Scale: the shingle join is the skew point (stop-shingles); cap with a
-    document-frequency filter when corpus-scale (not needed at fixture
-    scale, noted for 100 TB: drop shingles with df > threshold).
+    ``localCheckpoint`` is deliberate: the gram expression is a
+    higher-order ``transform`` that Spark evaluates *interpreted* (no
+    codegen) and re-evaluates once per downstream reference — measured
+    4× re-evaluation (explode's non-empty filter + both join sides) cost
+    ~9 s of a 15 s query at sf0.1. Materializing the hashed table once
+    (it is ~10 longs per doc, far smaller than the text) and truncating
+    lineage is the right trade at any scale.
     """
+    from .session import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs)
     toks = docs.select(
         "doc_id",
         F.split(normalize_text("text"), r"\s+").alias("toks"),
@@ -172,25 +175,77 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                lambda i: F.xxhash64(F.array_join(F.slice("toks", i + 1, n), " ")),
             )
         ).alias("grams"),
     )
-    sizes = grams.select("doc_id", F.size("grams").alias("n_grams"))
-    ex = grams.select("doc_id", F.explode("grams").alias("g"))
-    a = ex.select(F.col("doc_id").alias("a"), "g")
-    b = ex.select(F.col("doc_id").alias("b"), "g")
-    inter = (
-        a.join(b, "g")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
+    return grams.localCheckpoint()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int | None = None
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs (a < b) above threshold.
+
+    Pair generation is the classic inverted-index self-join on shingle
+    keys — only docs *sharing* a shingle ever pair, never a cross join —
+    plus the size prefilter ``min(|A|,|B|) >= t*max(|A|,|B|)`` (exact:
+    Jaccard <= min/max).
+
+    ``df_cap`` is the 100 TB skew guard: shingles held by more than
+    ``df_cap`` docs (stop-shingles — 'of the and' pairs every doc with
+    every doc, a quadratic blowup) are excluded from *pair generation*,
+    and candidates are then verified exactly against the full gram
+    arrays (``array_intersect``), so any reported Jaccard is exact. A
+    true pair is missed only if ALL its shared shingles are stop-
+    shingles — at a near-dup threshold a pair shares a large fraction of
+    its (mostly discriminative) shingles, so a generous cap (say 1e4 at
+    corpus scale) keeps recall 1.0 in practice; the cap bounds join
+    fan-out at ``df_cap^2`` per shingle. Use :func:`ngram_df_capped_stats`
+    to observe how many shingles a cap drops.
+    """
+    grams = hashed_gram_table(docs, n)
+    ex = grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("ng"),
+        F.explode("grams").alias("g"),
     )
-    sizes = sizes.withColumn("n_grams", F.col("n_grams").cast("long"))
+    if df_cap is not None:
+        dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+        ex_gen = ex.join(
+            dfreq.where((F.col("df") >= 2) & (F.col("df") <= df_cap)).select("g"), "g"
+        )
+    else:
+        ex_gen = ex
+    a = ex_gen.select(F.col("doc_id").alias("a"), F.col("ng").alias("na"), "g")
+    b = ex_gen.select(F.col("doc_id").alias("b"), F.col("ng").alias("nb"), "g")
+    joined = a.join(b, "g").where(
+        (F.col("a") < F.col("b"))
+        & (F.col("na") >= threshold * F.col("nb"))
+        & (F.col("nb") >= threshold * F.col("na"))
+    )
+    if df_cap is None:
+        # count-based: |A∩B| falls straight out of the join (one groupBy)
+        inter = joined.groupBy("a", "b", "na", "nb").agg(F.count("*").alias("n_common"))
+    else:
+        # capped generation undercounts the join; verify candidates
+        # exactly against the full gram arrays (array_intersect is JVM)
+        cands = joined.select("a", "b").dropDuplicates(["a", "b"])
+        ga = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("_ga"))
+        gb = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("_gb"))
+        inter = (
+            cands.join(ga, "a")
+            .join(gb, "b")
+            .select(
+                "a",
+                "b",
+                F.size("_ga").cast("long").alias("na"),
+                F.size("_gb").cast("long").alias("nb"),
+                F.size(F.array_intersect("_ga", "_gb")).cast("long").alias("n_common"),
+            )
+        )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_grams", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_grams", "nb"), "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
@@ -198,6 +253,28 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_df_capped_stats(docs: DataFrame, n: int = 3, df_cap: int = 100) -> dict:
+    """Observability for the ``df_cap`` skew guard: how many shingles /
+    how much join fan-out a cap removes. One aggregation over the gram
+    table; bench logs this so a silent cap is impossible."""
+    ex = hashed_gram_table(docs, n).select("doc_id", F.explode("grams").alias("g"))
+    row = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs_uncapped"),
+            F.sum(
+                F.when(F.col("df") <= df_cap, F.col("df") * (F.col("df") - 1) / 2).otherwise(0)
+            ).alias("pairs_capped"),
+            F.max("df").alias("max_df"),
+        )
+        .collect()[0]
+    )
+    return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
 
 
 # ---------------------------------------------------------------------------
@@ -213,27 +290,64 @@ def simhash_docs(docs: DataFrame, bits: int = 64) -> DataFrame:
     """
     schema = "doc_id long, simhash long"
 
+    from .hashing import fnv1a_tokens, pad_tokens
+    from .session import ensure_min_partitions
     from .stages.canonicalize import hash_shingle
+
+    docs = ensure_min_partitions(docs)
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def _sigs_from_token_hashes(hs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Token hashes (grouped by doc) → packed majority-bit simhash.
+
+        Doc-chunked so the [tokens, bits] temporary stays small enough
+        for glibc heap reuse (see canonicalize._sig_from_grouped).
+        """
+        n_docs = len(counts)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        out = np.empty(n_docs, dtype=np.int64)
+        T_MAX = 16384
+        lo = 0
+        while lo < n_docs:
+            hi = lo + 1
+            while hi < n_docs and bounds[hi + 1] - bounds[lo] <= T_MAX:
+                hi += 1
+            h = hs[bounds[lo]:bounds[hi]]
+            idx = (bounds[lo:hi] - bounds[lo]).astype(np.int64)
+            bitmat = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bitmat, idx, axis=0)  # [docs, bits]
+            maj = (sums * 2 > counts[lo:hi, None]).astype(np.uint64)
+            packed = (maj << shifts).sum(axis=1, dtype=np.uint64)
+            out[lo:hi] = (packed >> np.uint64(1)).astype(np.int64)  # sign-safe
+            lo = hi
+        return out
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for text in pdf["text"].str.lower().str.split():
-                if not isinstance(text, list) or not text:
-                    out.append(0)
-                    continue
-                # hash_shingle: stable FNV (process-hash is seed-randomized)
-                hs = splitmix64(
-                    np.array([hash_shingle(w, 42) for w in text], dtype=np.uint64)
-                )
-                bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                sig_bits = (bitmat.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
-                sig = np.uint64(0)
-                for i, bv in enumerate(sig_bits):
-                    sig |= np.uint64(bv) << np.uint64(i)
-                out.append(int(sig >> np.uint64(1)))  # keep sign-safe for long
+            out = np.zeros(len(pdf), dtype=np.int64)
+            token_lists = pdf["text"].str.lower().str.split()
+            vec_rows, vec_tokens, vec_counts = [], [], []
+            for i, toks in enumerate(token_lists):
+                if not isinstance(toks, list) or not toks:
+                    continue  # simhash 0
+                if all(t.isascii() for t in toks):
+                    vec_rows.append(i)
+                    vec_tokens.extend(t.encode() for t in toks)
+                    vec_counts.append(len(toks))
+                else:
+                    # scalar fallback (non-ASCII tokens) — same hash values
+                    hs = splitmix64(
+                        np.array([hash_shingle(w, 42) for w in toks], dtype=np.uint64)
+                    )
+                    out[i] = _sigs_from_token_hashes(hs, np.array([len(toks)]))[0]
+            if vec_rows:
+                padded, lens = pad_tokens(vec_tokens)
+                hs = splitmix64(fnv1a_tokens(padded, lens, 42))
+                counts = np.asarray(vec_counts, dtype=np.int64)
+                out[vec_rows] = _sigs_from_token_hashes(hs, counts)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return docs.select("doc_id", "text").mapInPandas(fn, schema)
@@ -281,8 +395,10 @@ def minhash_neardup_docs(
     B7 machinery keyed by doc_id (text joined back only for the verify).
     Output: ``a, b, jaccard`` (doc_id pairs).
     """
+    from .session import ensure_min_partitions
     from .stages.canonicalize import lsh_candidate_pairs, minhash_signatures
 
+    docs = ensure_min_partitions(docs)
     sigs = minhash_signatures(
         docs.select("doc_id", "text"), name_col="text", id_col="doc_id",
         n_perm=n_perm, k=shingle_k,

@@ -74,6 +74,32 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 5) not in pairs
 
 
+def test_ngram_jaccard_df_cap_exact_and_pruning(spark):
+    """Stop-shingle corpus: every doc shares the same boilerplate prefix
+    (a high-df shingle). The df cap prunes those shingles from pair
+    generation — fewer candidates — while true near-dup pairs (which
+    share low-df shingles too) survive with EXACT jaccard values."""
+    boiler = "terms of service apply to"
+    bodies = [
+        f"unique{i} content{i} narrative{i} section{i} detail{i}" for i in range(30)
+    ]
+    texts = [f"{boiler} {b}" for b in bodies]
+    texts.append(texts[0] + " extra")           # near-dup of doc 0
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    uncapped = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    capped = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=5).toPandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        uncapped.sort_values(key).reset_index(drop=True),
+        capped.sort_values(key).reset_index(drop=True),
+    )
+    assert (0, 30) in set(map(tuple, capped[key].itertuples(index=False)))
+    stats = textops.ngram_df_capped_stats(docs, n=3, df_cap=5)
+    assert stats["n_dropped"] > 0                      # the cap actually bit
+    assert stats["pairs_capped"] < stats["pairs_uncapped"]
+
+
 def test_simhash_neardup(spark, docs):
     sim = textops.simhash_docs(docs)
     pairs = textops.simhash_candidate_pairs(sim, max_hamming=10).toPandas()
