@@ -62,3 +62,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_partitions(df, n: int | None = None):
+    """Repartition ``df`` up to ``n`` partitions if it has fewer.
+
+    Guard for compute-heavy pandas-UDF stages fed by a small file count:
+    a single-file parquet read arrives as 1 split, serializing the UDF
+    onto one core (measured 5.7 s vs 1.6 s for MinHash signatures at
+    sf0.1). At corpus scale inputs carry thousands of splits and this is
+    a no-op — the shuffle only ever happens on inputs small enough for
+    it to be cheap.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

@@ -100,6 +100,9 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane sign signature (one int bucket per vector)."""
+    from .session import ensure_min_partitions
+
+    embeddings = ensure_min_partitions(embeddings)
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim)).astype("float64")
     schema = f"{id_col} long, bucket long"

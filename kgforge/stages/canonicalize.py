@@ -41,6 +41,76 @@ def char_shingles(s: pd.Series, k: int = 3) -> pd.Series:
     return s.map(lambda x: {x[i:i + k] for i in range(max(1, len(x) - k + 1))})
 
 
+def minhash_matrix(strings: list[str], n_perm: int, k: int, seed: int) -> np.ndarray:
+    """MinHash signatures for normalized strings → ``[n, n_perm]`` int64.
+
+    Bit-identical to the scalar recipe (FNV-1a per shingle via
+    :func:`hash_shingle`, then ``min(splitmix64(base ^ perm_const))``)
+    but hashed in NumPy passes: ASCII strings of length >= k go through
+    :func:`kgforge.hashing.fnv1a_windows` (byte windows == char windows
+    for ASCII); short strings hash as one whole-string shingle via
+    ``fnv1a_tokens``; non-ASCII rows fall back to the scalar loop.
+    MinHash minimizes over the shingle *multiset*, which equals the min
+    over the set — so no per-window dedup is needed.
+    """
+    from ..hashing import fnv1a_tokens, fnv1a_windows, flat_windows, pack_strings, pad_tokens
+
+    n = len(strings)
+    pc = splitmix64(np.arange(n_perm, dtype=np.uint64) + np.uint64(seed))
+    out = np.empty((n, n_perm), dtype=np.int64)
+
+    long_i, short_i, fb_i = [], [], []
+    for i, s in enumerate(strings):
+        if not s.isascii():
+            fb_i.append(i)
+        elif len(s) >= k:
+            long_i.append(i)
+        else:
+            short_i.append(i)
+
+    def _sig_from_grouped(base: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Per-group min over n_perm remixes.
+
+        Chunked on BOTH axes so every temporary stays ≤ ~16 MB: glibc
+        hands buffers above its mmap threshold (≤ 32 MB cap) straight
+        back to the OS, so big temporaries page-fault on every reuse —
+        measured 12 s vs 0.3 s for the identical arithmetic.
+        """
+        n_rows = len(counts)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        sig = np.empty((n_rows, n_perm), dtype=np.uint64)
+        W_MAX = 262144
+        row_lo = 0
+        while row_lo < n_rows:
+            row_hi = row_lo + 1
+            while row_hi < n_rows and bounds[row_hi + 1] - bounds[row_lo] <= W_MAX:
+                row_hi += 1
+            b = base[bounds[row_lo]:bounds[row_hi]]
+            idx = (bounds[row_lo:row_hi] - bounds[row_lo]).astype(np.int64)
+            for p in range(0, n_perm, 8):
+                m = splitmix64(b[:, None] ^ pc[None, p:p + 8])
+                sig[row_lo:row_hi, p:p + 8] = np.minimum.reduceat(m, idx, axis=0)
+            row_lo = row_hi
+        return (sig >> np.uint64(1)).astype(np.int64)
+
+    if long_i:
+        buf, offsets, lens = pack_strings([strings[i].encode() for i in long_i])
+        starts, counts = flat_windows(lens, offsets, k)
+        base = fnv1a_windows(buf, starts, k, seed)
+        out[long_i] = _sig_from_grouped(base, counts)
+    if short_i:
+        padded, lens = pad_tokens([strings[i].encode() for i in short_i])
+        base = fnv1a_tokens(padded, lens, seed)
+        out[short_i] = _sig_from_grouped(base, np.ones(len(short_i), dtype=np.int64))
+    for i in fb_i:
+        x = strings[i]
+        sh = {x[j:j + k] for j in range(max(1, len(x) - k + 1))}
+        base = np.array([hash_shingle(y, seed) for y in sh], dtype=np.uint64)
+        m = splitmix64(base[:, None] ^ pc[None, :])
+        out[i] = (m.min(axis=0) >> np.uint64(1)).astype(np.int64)
+    return out
+
+
 def minhash_signatures(
     names: DataFrame,
     name_col: str = "name",
@@ -65,21 +135,12 @@ def minhash_signatures(
         for pdf in batches:
             if pdf.empty:
                 continue
-            shingle_sets = char_shingles(pdf[name_col], k)
-            sigs = []
-            for sh in shingle_sets:
-                if not sh:
-                    sigs.append([0] * n_perm)
-                    continue
-                # hash each shingle once, then n_perm cheap re-mixes
-                base = np.array(
-                    [hash_shingle(x, seed) for x in sh], dtype=np.uint64
-                )
-                # universal-hash family: mix(base ^ perm_const[j])
-                pc = splitmix64(np.arange(n_perm, dtype=np.uint64) + np.uint64(seed))
-                m = splitmix64(base[:, None] ^ pc[None, :])  # [n_shingle, n_perm]
-                sigs.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64).tolist())
-            yield pd.DataFrame({key: pdf[key], "sig": sigs})
+            norm = (
+                pdf[name_col].astype("string").fillna("")
+                .str.lower().str.replace(r"[^\w]", "", regex=True)
+            )
+            sigs = minhash_matrix(norm.tolist(), n_perm, k, seed)
+            yield pd.DataFrame({key: pdf[key], "sig": list(sigs)})
 
     return sel.mapInPandas(fn, schema)
 
