@@ -332,8 +332,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id", "rk")
 
     def ann_cosine_neardup(spark, sf):
+        # the LSH scale path, live: banded hyperplane signatures → bucket
+        # join (~650x fewer candidate pairs than all-pairs on this
+        # fixture) → exact cosine verify. Oracle is the exact SQL over
+        # the same planted-near-dup fixture; outputs must match exactly.
+        from kgforge.fixtures import ensure_neardup_fixture
+
+        emb = spark.read.parquet(os.path.join(ensure_neardup_fixture(), "embeddings.parquet"))
+        return similarity.cosine_neardup_pairs(emb, threshold=0.9, method="lsh")
+
+    def ann_cosine_neardup_exact(spark, sf):
+        # exact all-pairs baseline on the driver testdata embeddings —
+        # at tau=0.4 on near-random vectors hyperplane LSH generates MORE
+        # candidates than the cross product (see cosine_neardup_pairs
+        # docstring), so the O(N^2) plan is the honest one here.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+        return similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact")
 
     def ann_lsh_topk(spark, sf):  # rows-only (approximate)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -431,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_neardup": ann_cosine_neardup,
+        "ann_cosine_neardup_exact": ann_cosine_neardup_exact,
         "ann_lsh_topk": ann_lsh_topk,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
@@ -948,7 +963,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rk
                 FROM q, e) WHERE rk <= 10
         """,
-        "ann_cosine_neardup": """
+        "ann_cosine_neardup": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('{os.path.join(REPO, "fixtures", "neardup", "embeddings.parquet")}'))
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        "ann_cosine_neardup_exact": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -485,6 +485,54 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
     return d
 
 
+def gen_neardup_embeddings(
+    n_base: int = 400, n_dup: int = 60, n_mid: int = 20, dim: int = 64, seed: int = SEED
+) -> pd.DataFrame:
+    """Embedding table with *planted* near-duplicates.
+
+    The driver testdata embeddings are near-random (max pairwise cosine
+    ≈ 0.51 at sf0.01), so no high-threshold near-dup structure exists
+    there; this fixture plants it: ``n_dup`` perturbed copies at cosine
+    ≈ 0.94–0.99 (above a 0.9 near-dup threshold) and ``n_mid``
+    distractors at cosine ≈ 0.74–0.86 (below it — the threshold has to
+    bite). Base vectors are iid unit normals, pairwise cosine ≪ 0.9.
+    Returns ``(vec_id, embedding float32[dim])``.
+    """
+    rng = np.random.default_rng(seed + 101)
+
+    def _unit(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    base = _unit(rng.normal(size=(n_base, dim)))
+    rows = [base]
+    # cos(v, unit(v + e*g)) ≈ 1/sqrt(1+e^2) for unit g ⟂-ish v
+    eps_dup = rng.uniform(0.12, 0.33, size=n_dup)
+    rows.append(_unit(base[:n_dup] + eps_dup[:, None] * _unit(rng.normal(size=(n_dup, dim)))))
+    eps_mid = rng.uniform(0.62, 0.92, size=n_mid)
+    rows.append(
+        _unit(base[n_dup:n_dup + n_mid] + eps_mid[:, None] * _unit(rng.normal(size=(n_mid, dim))))
+    )
+    mat = np.vstack(rows).astype("float32")
+    return pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype="int64"), "embedding": list(mat)}
+    )
+
+
+def ensure_neardup_fixture(seed: int = SEED) -> str:
+    """Materialize fixtures/neardup/embeddings.parquet (committed — the
+    DuckDB oracle reads it by absolute path)."""
+    d = os.path.join(FIXTURE_ROOT, "neardup")
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    pdf = gen_neardup_embeddings(seed=seed)
+    pdf.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
+
 def ensure_fixtures(tag: str, seed: int = SEED) -> str:
     """Idempotently materialize the fixture set for ``tag``; returns dir."""
     d = fixture_dir(tag)

@@ -47,6 +47,29 @@ def test_cosine_neardup_pairs_self_excluded(spark, emb):
     assert (pairs["a"] < pairs["b"]).all()
 
 
+def test_lsh_neardup_equals_exact_on_planted_fixture(spark):
+    """The LSH scale path must reproduce the exact near-dup pair set on
+    the planted fixture (60 pairs at cos >= 0.9, distractors below)."""
+    from kgforge.fixtures import ensure_neardup_fixture
+
+    emb = spark.read.parquet(f"{ensure_neardup_fixture()}/embeddings.parquet")
+    key = ["a", "b"]
+    exact = (
+        cosine_neardup_pairs(emb, threshold=0.9, method="exact")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    lsh = (
+        cosine_neardup_pairs(emb, threshold=0.9, method="lsh")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, lsh)
+    assert len(lsh) == 60
+    # auto routing: high threshold -> lsh, low -> exact
+    from kgforge import similarity as sim
+
+    assert sim.cosine_neardup_pairs(emb, 0.9, method="auto").count() == 60
+
+
 def test_lsh_topk_recall(spark, emb):
     pdf = emb.toPandas()
     queries = [(int(r["vec_id"]), r["embedding"]) for _, r in pdf.head(10).iterrows()]
