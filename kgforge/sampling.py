@@ -57,47 +57,148 @@ def bern_stats(triples: DataFrame) -> DataFrame:
     return tph.join(hpt, "r")
 
 
-def _corrupt_pandas(
-    pdf: pd.DataFrame,
-    n_ent: int,
-    neg_per_pos: int,
-    seed: int,
-    bern_p: dict[int, float] | None,
-    attempt: int,
-) -> pd.DataFrame:
-    """One vectorized corruption round for a batch of positive triples."""
-    B = len(pdf)
-    h = pdf["h"].to_numpy(np.uint64)
-    t = pdf["t"].to_numpy(np.uint64)
-    r = pdf["r"].to_numpy(np.uint64)
-    # tile for neg_per_pos corruptions per positive
-    k = np.arange(neg_per_pos, dtype=np.uint64)
-    H = np.repeat(h, neg_per_pos)
-    T = np.repeat(t, neg_per_pos)
-    R = np.repeat(r, neg_per_pos)
-    K = np.tile(k, B)
-    base = (
+_CAND_SCHEMA = "sh long, st long, sr long, k long, attempt long, h long, t long, r long"
+
+
+def _mix_base(H, T, R, K, ATT, seed: int, salt: int) -> np.ndarray:
+    return (
         H * np.uint64(0x100000001B3)
         ^ T * np.uint64(0x1000193)
         ^ R * np.uint64(0x9E3779B1)
         ^ K
-        ^ np.uint64(seed * 2654435761 + attempt * 0x5DEECE66D)
+        ^ splitmix64(ATT + np.uint64(0xA77E3)) * np.uint64(0x9E3779B97F4A7C15)
+        ^ np.uint64((seed * 2654435761 + salt) & 0xFFFFFFFFFFFFFFFF)
     )
-    cand = (splitmix64(base) % np.uint64(n_ent)).astype(np.int64)
-    # decide which side to corrupt
-    if bern_p is None:
-        corrupt_head = (splitmix64(base ^ np.uint64(0xABCDEF)) & np.uint64(1)).astype(bool)
+
+
+def _slot_candidates(
+    slots: DataFrame,
+    n_space: int,
+    att_lo: int,
+    att_hi: int,
+    seed: int,
+    bern_p: dict[int, float] | None,
+    corrupt_rel: bool,
+) -> DataFrame:
+    """One candidate per (slot, attempt) for attempts in [att_lo, att_hi).
+
+    ``slots`` = ``(h, t, r, k)`` — positive × negative-slot index. The
+    candidate is a pure counter hash of (h, t, r, k, attempt, seed):
+    partition-independent and reproducible across retry rounds.
+    """
+    n_att = att_hi - att_lo
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            H = np.repeat(pdf["h"].to_numpy(np.uint64), n_att)
+            T = np.repeat(pdf["t"].to_numpy(np.uint64), n_att)
+            R = np.repeat(pdf["r"].to_numpy(np.uint64), n_att)
+            K = np.repeat(pdf["k"].to_numpy(np.uint64), n_att)
+            ATT = np.tile(np.arange(att_lo, att_hi, dtype=np.uint64), len(pdf))
+            salt = 0xC0FFEE if corrupt_rel else 0x5DEECE66D
+            base = _mix_base(H, T, R, K, ATT, seed, salt)
+            cand = (splitmix64(base) % np.uint64(n_space)).astype(np.int64)
+            if corrupt_rel:
+                nh, nt, nr = H.astype(np.int64), T.astype(np.int64), cand
+                keep = nr != R.astype(np.int64)
+            else:
+                if bern_p is None:
+                    corrupt_head = (
+                        splitmix64(base ^ np.uint64(0xABCDEF)) & np.uint64(1)
+                    ).astype(bool)
+                else:
+                    p = np.array([bern_p.get(int(x), 0.5) for x in R], dtype=np.float64)
+                    u = (
+                        splitmix64(base ^ np.uint64(0xABCDEF)) >> np.uint64(11)
+                    ).astype(np.float64) / float(1 << 53)
+                    corrupt_head = u < p
+                nh = np.where(corrupt_head, cand, H.astype(np.int64))
+                nt = np.where(corrupt_head, T.astype(np.int64), cand)
+                nr = R.astype(np.int64)
+                # degenerate = corruption equals the positive
+                keep = ~((nh == H.astype(np.int64)) & (nt == T.astype(np.int64)))
+            out = pd.DataFrame(
+                {
+                    "sh": H.astype(np.int64), "st": T.astype(np.int64),
+                    "sr": R.astype(np.int64), "k": K.astype(np.int64),
+                    "attempt": ATT.astype(np.int64),
+                    "h": nh, "t": nt, "r": nr,
+                }
+            )
+            yield out[keep]
+
+    return slots.mapInPandas(gen, _CAND_SCHEMA)
+
+
+def _exact_negatives(
+    triples: DataFrame,
+    n_space: int,
+    neg_per_pos: int,
+    seed: int,
+    bern_p: dict[int, float] | None,
+    known: DataFrame,
+    corrupt_rel: bool,
+    max_attempts: int = 16,
+) -> DataFrame:
+    """Exactly ``neg_per_pos`` negatives per positive (reference
+    ``base/Corrupt.h`` semantics, recalled — SURVEY.md §0: redraw until
+    the corruption is not a known triple; duplicates across positives
+    are allowed, each slot keeps its first surviving draw).
+
+    Slot = (positive, k). Per retry round: generate candidates for the
+    still-unfilled slots only (2 attempts per round — rejection
+    probability is ~degree/|E| so round one fills ~99.9% of slots),
+    reject known triples with one distributed ``left_anti`` join, keep
+    the min-attempt survivor per slot. The round loop runs on the
+    driver but every data pass is a Spark plan — no collect().
+    """
+    spark = triples.sparkSession
+    slots = triples.select("h", "t", "r").withColumn(
+        "k", F.explode(F.array([F.lit(i) for i in range(neg_per_pos)]))
+    ).localCheckpoint()
+    kn = known.select("h", "t", "r")
+    picked = []
+    att = 0
+    step = 2
+    while att < max_attempts:
+        cand = _slot_candidates(
+            slots, n_space, att, att + step, seed, bern_p, corrupt_rel
+        )
+        good = cand.join(kn, ["h", "t", "r"], "left_anti")
+        best = (
+            good.groupBy("sh", "st", "sr", "k")
+            .agg(F.min(F.struct("attempt", "h", "t", "r")).alias("m"))
+            .select(
+                "sh", "st", "sr", "k",
+                F.col("m.h").alias("h"), F.col("m.t").alias("t"), F.col("m.r").alias("r"),
+            )
+            .localCheckpoint()
+        )
+        picked.append(best)
+        slots = slots.join(
+            best.select(
+                F.col("sh").alias("h"), F.col("st").alias("t"),
+                F.col("sr").alias("r"), "k",
+            ),
+            ["h", "t", "r", "k"],
+            "left_anti",
+        ).localCheckpoint()
+        att += step
+        if slots.isEmpty():
+            break
     else:
-        p = np.array([bern_p.get(int(x), 0.5) for x in R], dtype=np.float64)
-        u = (splitmix64(base ^ np.uint64(0xABCDEF)) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-        corrupt_head = u < p
-    nh = np.where(corrupt_head, cand, H.astype(np.int64))
-    nt = np.where(corrupt_head, T.astype(np.int64), cand)
-    out = pd.DataFrame({"h": nh, "t": nt, "r": R.astype(np.int64)})
-    out["y"] = np.int32(-1)
-    # drop degenerate corruptions equal to the positive
-    keep = ~((out["h"].to_numpy() == H.astype(np.int64)) & (out["t"].to_numpy() == T.astype(np.int64)))
-    return out[keep]
+        n_left = slots.count()
+        if n_left:
+            raise ValueError(
+                f"{n_left} negative slots unfilled after {max_attempts} attempts "
+                "(entity/relation space too saturated)"
+            )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select("h", "t", "r").withColumn("y", F.lit(-1).cast("int"))
 
 
 def negative_samples(
@@ -109,13 +210,15 @@ def negative_samples(
     stats: DataFrame | None = None,
     known: DataFrame | None = None,
 ) -> DataFrame:
-    """A4/A5: negatives for each positive, filtered against known triples.
+    """A4/A5: exactly ``neg_per_pos`` negatives per positive, none of
+    which is a known triple.
 
-    Returns ``(h, t, r, y=-1)``. ``known`` defaults to ``triples``.
-    Oversample-and-reject: each attempt round regenerates only for the
-    shortfall via a different counter offset; the known-triple rejection
-    is one ``left_anti`` join per round (broadcast when small, sort-merge
-    + AQE otherwise — never a driver-side set at scale).
+    Returns ``(h, t, r, y=-1)`` — row count is exactly
+    ``neg_per_pos * count(triples)``; duplicates across different
+    positives are legal (the reference corrupts each positive
+    independently). ``known`` defaults to ``triples``. Rejection is one
+    distributed ``left_anti`` join per retry round (broadcast when
+    small, sort-merge + AQE otherwise — never a driver-side set).
     """
     if mode not in ("uniform", "bern"):
         raise ValueError(mode)
@@ -124,21 +227,7 @@ def negative_samples(
         st = (stats if stats is not None else bern_stats(triples)).toPandas()
         bern_p = {int(row.r): float(row.tph / (row.tph + row.hpt)) for row in st.itertuples()}
     known = known if known is not None else triples
-    pos = triples.select("h", "t", "r")
-
-    # oversample 2x, reject known/degenerate, dedup — absorbs rejections in
-    # one pass (the reference retries per-row in C++; a distributed engine
-    # batches the retry as oversampling).
-    n_gen = max(neg_per_pos * 2, neg_per_pos + 1)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _corrupt_pandas(pdf, n_ent, n_gen, seed, bern_p, 0)
-
-    cand = pos.mapInPandas(gen, _NEG_SCHEMA)
-    good = cand.join(known.select("h", "t", "r"), ["h", "t", "r"], "left_anti")
-    return good.dropDuplicates(["h", "t", "r"])
+    return _exact_negatives(triples, n_ent, neg_per_pos, seed, bern_p, known, corrupt_rel=False)
 
 
 def negative_rel_samples(
@@ -151,38 +240,11 @@ def negative_rel_samples(
     """A6's ``negative_rel`` path: corrupt the *relation* uniformly,
     rejecting corruptions that form a known triple (reference
     ``base/Base.cpp::sampling`` negRel branch, recalled — SURVEY.md §0).
+    Exactly ``neg_per_pos`` per positive, same slot machinery as
+    :func:`negative_samples`.
     """
     known = known if known is not None else triples
-    n_gen = max(neg_per_pos * 2, neg_per_pos + 1)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            h = pdf["h"].to_numpy(np.uint64)
-            t = pdf["t"].to_numpy(np.uint64)
-            r = pdf["r"].to_numpy(np.uint64)
-            H = np.repeat(h, n_gen)
-            T = np.repeat(t, n_gen)
-            R = np.repeat(r, n_gen)
-            K = np.tile(np.arange(n_gen, dtype=np.uint64), len(pdf))
-            base = (
-                H * np.uint64(0x100000001B3)
-                ^ T * np.uint64(0x1000193)
-                ^ R * np.uint64(0x9E3779B1)
-                ^ K
-                ^ np.uint64(seed * 0x5DEECE66D + 0xC0FFEE)
-            )
-            nr = (splitmix64(base) % np.uint64(n_rel)).astype(np.int64)
-            out = pd.DataFrame(
-                {"h": H.astype(np.int64), "t": T.astype(np.int64), "r": nr}
-            )
-            out["y"] = np.int32(-1)
-            yield out[out["r"].to_numpy() != R.astype(np.int64)]
-
-    cand = triples.select("h", "t", "r").mapInPandas(gen, _NEG_SCHEMA)
-    good = cand.join(known.select("h", "t", "r"), ["h", "t", "r"], "left_anti")
-    return good.dropDuplicates(["h", "t", "r"])
+    return _exact_negatives(triples, n_rel, neg_per_pos, seed, None, known, corrupt_rel=True)
 
 
 def training_batches(

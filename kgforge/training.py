@@ -43,8 +43,25 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
-def _corrupt(h, t, r, n_ent, seed, epoch, bern_p=None):
-    """Counter-based corruption (same family as sampling.py — deterministic)."""
+def _pack_keys(h, t, r, n_ent: int, n_rel: int) -> np.ndarray:
+    """Injective (h, t, r) → uint64 packing (fixture-scale trainer only;
+    callers guard n_ent^2 * n_rel < 2^63)."""
+    return (
+        h.astype(np.uint64) * np.uint64(n_ent) + t.astype(np.uint64)
+    ) * np.uint64(n_rel) + r.astype(np.uint64)
+
+
+def _corrupt(h, t, r, n_ent, seed, epoch, bern_p=None, known_keys=None, n_rel=0):
+    """Counter-based corruption (same family as sampling.py — deterministic).
+
+    With ``known_keys`` (sorted packed train triples), corruptions that
+    form a known true triple — including the degenerate cand == original
+    case, since the positive itself is known — are re-drawn at the next
+    counter offset (the reference binary-searches its sorted triple
+    store the same way, ``base/Corrupt.h``, recalled — SURVEY.md §0).
+    False negatives would produce zero-margin gradients pulling a true
+    triple apart.
+    """
     base = (
         h.astype(np.uint64) * np.uint64(0x100000001B3)
         ^ t.astype(np.uint64) * np.uint64(0x1000193)
@@ -60,7 +77,65 @@ def _corrupt(h, t, r, n_ent, seed, epoch, bern_p=None):
         corrupt_head = u < p
     nh = np.where(corrupt_head, cand, h)
     nt = np.where(corrupt_head, t, cand)
+    if known_keys is not None and len(known_keys):
+        for attempt in range(1, 9):
+            key = _pack_keys(nh, nt, r, n_ent, n_rel)
+            pos = np.searchsorted(known_keys, key)
+            pos_c = np.minimum(pos, len(known_keys) - 1)
+            bad = known_keys[pos_c] == key
+            if not bad.any():
+                break
+            base_a = splitmix64(
+                base[bad] ^ np.uint64((attempt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            )
+            cand_a = (base_a % np.uint64(n_ent)).astype(np.int64)
+            nh[bad] = np.where(corrupt_head[bad], cand_a, h[bad])
+            nt[bad] = np.where(corrupt_head[bad], t[bad], cand_a)
     return nh, nt
+
+
+class _OptState:
+    """A12 optimizer state (Adagrad / Adam / Adadelta), sparse-applied:
+    per batch, duplicate row gradients are pre-summed, then only touched
+    rows update (TF's sparse apply — the reference trains its OpenKE
+    models with ``Config.set_opt_method`` choosing among SGD/Adagrad/
+    Adadelta/Adam, recalled — SURVEY.md §0)."""
+
+    def __init__(self, shape: tuple[int, int], method: str):
+        self.method = method
+        if method == "adagrad":
+            self.G = np.zeros(shape)
+        elif method == "adam":
+            self.m = np.zeros(shape)
+            self.v = np.zeros(shape)
+        elif method == "adadelta":
+            self.Eg = np.zeros(shape)
+            self.Ex = np.zeros(shape)
+        elif method != "sgd":
+            raise ValueError(f"unknown opt_method {method!r}")
+
+    def apply(self, param: np.ndarray, rows: np.ndarray, grads: np.ndarray,
+              lr: float, t_step: int) -> None:
+        uniq, inv = np.unique(rows, return_inverse=True)
+        g = np.zeros((len(uniq), param.shape[1]))
+        np.add.at(g, inv, grads)
+        eps = 1e-8
+        if self.method == "adagrad":
+            self.G[uniq] += g * g
+            param[uniq] -= lr * g / (np.sqrt(self.G[uniq]) + eps)
+        elif self.method == "adam":
+            b1, b2 = 0.9, 0.999
+            self.m[uniq] = b1 * self.m[uniq] + (1 - b1) * g
+            self.v[uniq] = b2 * self.v[uniq] + (1 - b2) * g * g
+            mh = self.m[uniq] / (1 - b1 ** t_step)
+            vh = self.v[uniq] / (1 - b2 ** t_step)
+            param[uniq] -= lr * mh / (np.sqrt(vh) + eps)
+        elif self.method == "adadelta":
+            rho, eps_d = 0.95, 1e-6
+            self.Eg[uniq] = rho * self.Eg[uniq] + (1 - rho) * g * g
+            dx = -np.sqrt(self.Ex[uniq] + eps_d) / np.sqrt(self.Eg[uniq] + eps_d) * g
+            self.Ex[uniq] = rho * self.Ex[uniq] + (1 - rho) * dx * dx
+            param[uniq] += dx
 
 
 def sgd_epochs(
@@ -75,8 +150,15 @@ def sgd_epochs(
     bern_p: np.ndarray | None = None,
     batch_size: int = 1024,
     epoch_offset: int = 0,
+    opt_method: str = "sgd",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """In-place-free TransE SGD epochs; returns updated (ent, rel)."""
+    """In-place-free TransE epochs; returns updated (ent, rel).
+
+    ``opt_method``: ``sgd`` (default, the upstream recipe) or
+    ``adagrad`` / ``adam`` / ``adadelta`` (A12 — reference
+    ``Config.set_opt_method``). Non-SGD state is local to this call
+    (resets across early-stop chunks, like restarting the optimizer).
+    """
     ent = ent.copy()
     rel = rel.copy()
     h_all = triples["h"].to_numpy(np.int64)
@@ -84,13 +166,20 @@ def sgd_epochs(
     r_all = triples["r"].to_numpy(np.int64)
     n = len(h_all)
     n_ent = ent.shape[0]
+    n_rel_pack = int(r_all.max()) + 1 if n else 1
+    known_keys = None
+    if n and float(n_ent) * n_ent * n_rel_pack < 2**63:
+        known_keys = np.sort(_pack_keys(h_all, t_all, r_all, n_ent, n_rel_pack))
+    opt_e = _OptState(ent.shape, opt_method) if opt_method != "sgd" else None
+    opt_r = _OptState(rel.shape, opt_method) if opt_method != "sgd" else None
+    t_step = 0
     for ep in range(epoch_offset, epoch_offset + epochs):
         ent = _normalize_rows(ent)  # upstream OpenKE normalizes entities per epoch
         order = np.random.default_rng(seed * 7919 + ep).permutation(n)
         for lo in range(0, n, batch_size):
             idx = order[lo:lo + batch_size]
             h, t, r = h_all[idx], t_all[idx], r_all[idx]
-            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, bern_p)
+            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, bern_p, known_keys, n_rel_pack)
             H, T, R = ent[h], ent[t], rel[r]
             NH, NT = ent[nh], ent[nt]
             dp = H + R - T
@@ -108,13 +197,21 @@ def sgd_epochs(
             active = (margin + sp - sn) > 0
             if not active.any():
                 continue
-            gp = gp[active] * lr
-            gn = gn[active] * lr
-            np.subtract.at(ent, h[active], gp)      # d loss / d h = +gp
-            np.add.at(ent, t[active], gp)           # d loss / d t = -gp
-            np.subtract.at(rel, r[active], gp - gn)
-            np.add.at(ent, nh[active], gn)
-            np.subtract.at(ent, nt[active], gn)
+            t_step += 1
+            if opt_e is None:
+                gp = gp[active] * lr
+                gn = gn[active] * lr
+                np.subtract.at(ent, h[active], gp)      # d loss / d h = +gp
+                np.add.at(ent, t[active], gp)           # d loss / d t = -gp
+                np.subtract.at(rel, r[active], gp - gn)
+                np.add.at(ent, nh[active], gn)
+                np.subtract.at(ent, nt[active], gn)
+            else:
+                gp_a, gn_a = gp[active], gn[active]
+                ent_rows = np.concatenate([h[active], t[active], nh[active], nt[active]])
+                ent_grads = np.concatenate([gp_a, -gp_a, -gn_a, gn_a])
+                opt_e.apply(ent, ent_rows, ent_grads, lr, t_step)
+                opt_r.apply(rel, r[active], gp_a - gn_a, lr, t_step)
     return ent, rel
 
 
@@ -145,6 +242,7 @@ def train(
     valid_triples: pd.DataFrame | None = None,
     eval_every: int = 10,
     patience: int = 3,
+    opt_method: str = "sgd",
 ) -> dict[str, np.ndarray]:
     """A11/A12 (+A14): single-process reference trainer.
 
@@ -166,7 +264,10 @@ def train(
         for r in tph.index:
             bern_p[int(r)] = tph[r] / (tph[r] + hpt[r])
     if valid_triples is None:
-        ent, rel = sgd_epochs(train_triples, ent, rel, epochs, lr, margin, seed, norm, bern_p)
+        ent, rel = sgd_epochs(
+            train_triples, ent, rel, epochs, lr, margin, seed, norm, bern_p,
+            opt_method=opt_method,
+        )
     else:
         best = (-1.0, ent, rel)
         bad = 0
@@ -175,7 +276,7 @@ def train(
             step = min(eval_every, epochs - done)
             ent, rel = sgd_epochs(
                 train_triples, ent, rel, step, lr, margin, seed, norm, bern_p,
-                epoch_offset=done,
+                epoch_offset=done, opt_method=opt_method,
             )
             done += step
             mrr = valid_mrr(ent, rel, valid_triples, norm)
@@ -201,6 +302,7 @@ def train_distributed(
     norm: int = 1,
     n_shards: int = 4,
     seed: int = 42,
+    opt_method: str = "sgd",
 ):
     """A13 replacement: synchronous parameter-averaged data-parallel SGD.
 
@@ -229,7 +331,7 @@ def train_distributed(
                 e1, r1 = sgd_epochs(
                     pdf, e0, r0, epochs_per_round, lr, margin,
                     seed=seed * 31 + shard, norm=norm,
-                    epoch_offset=rnd_ * epochs_per_round,
+                    epoch_offset=rnd_ * epochs_per_round, opt_method=opt_method,
                 )
                 return pd.DataFrame(
                     {

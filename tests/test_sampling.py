@@ -29,12 +29,16 @@ def _check_negatives(neg: pd.DataFrame, train: pd.DataFrame):
     assert (neg["y"] == -1).all()
 
 
-def test_uniform_negatives(spark):
+def test_uniform_negatives_exact_count(spark):
+    """Reference Corrupt.h semantics: exactly neg_per_pos negatives per
+    positive, never a known triple."""
     train = SPLIT["train2id"]
     df = spark.createDataFrame(train)
     neg = negative_samples(df, n_ent=60, neg_per_pos=2, mode="uniform", seed=42).toPandas()
     _check_negatives(neg, train)
-    assert len(neg) >= len(train)  # oversampling covers rejections
+    assert len(neg) == 2 * len(train)
+    neg1 = negative_samples(df, n_ent=60, neg_per_pos=1, mode="uniform", seed=42).toPandas()
+    assert len(neg1) == len(train)
 
 
 def test_bern_negatives_deterministic_across_partitioning(spark):
@@ -56,6 +60,7 @@ def test_negative_rel_samples(spark):
 
     train = SPLIT["train2id"]
     neg = negative_rel_samples(spark.createDataFrame(train), n_rel=5, neg_per_pos=1).toPandas()
+    assert len(neg) == len(train)  # exactly one per positive
     known = set(map(tuple, train[["h", "t", "r"]].itertuples(index=False)))
     got = set(map(tuple, neg[["h", "t", "r"]].itertuples(index=False)))
     assert got and not (got & known)

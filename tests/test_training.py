@@ -47,6 +47,38 @@ def test_train_deterministic():
     np.testing.assert_array_equal(a["rel"], b["rel"])
 
 
+def test_corrupt_rejects_known_triples():
+    """_corrupt must never emit a corruption that forms a known train
+    triple (incl. the degenerate copy of the positive) when given the
+    packed known-key index."""
+    t = SPLIT["train2id"]
+    h = t["h"].to_numpy(np.int64)
+    tt = t["t"].to_numpy(np.int64)
+    r = t["r"].to_numpy(np.int64)
+    keys = np.sort(training._pack_keys(h, tt, r, N_ENT, N_REL))
+    known = set(map(tuple, t[["h", "t", "r"]].itertuples(index=False)))
+    for ep in range(5):
+        nh, nt = training._corrupt(h, tt, r, N_ENT, seed=42, epoch=ep,
+                                   known_keys=keys, n_rel=N_REL)
+        assert not any((a, b, c) in known for a, b, c in zip(nh, nt, r))
+
+
+@pytest.mark.parametrize("opt,lr", [("adagrad", 0.5), ("adam", 0.05), ("adadelta", 1.0)])
+def test_optimizers_separate_pos_from_neg(opt, lr):
+    """A12: every opt_method the reference exposes trains to a clearly
+    negative pos-neg margin gap on the fixture."""
+    emb = training.train(
+        SPLIT["train2id"], N_ENT, N_REL, dim=16, epochs=60, lr=lr, opt_method=opt
+    )
+    gap = _mean_pos_minus_neg(emb)
+    assert gap < -0.15, f"{opt} pos-neg gap {gap}"
+
+
+def test_unknown_opt_method_raises():
+    with pytest.raises(ValueError):
+        training.train(SPLIT["train2id"], N_ENT, N_REL, dim=4, epochs=1, opt_method="rmsprop")
+
+
 def test_train_distributed_separates(spark):
     df = spark.createDataFrame(SPLIT["train2id"])
     emb = training.train_distributed(
