@@ -110,6 +110,46 @@ def read_type_constraint(path: str) -> tuple[dict[int, list[int]], dict[int, lis
     return domains, ranges
 
 
+# -- distributed writer (scale path: triple exports can be huge) ------------
+
+def write_triples_txt_spark(df: DataFrame, path: str, n_partitions: int = 16) -> int:
+    """``(h, t, r)`` DataFrame → OpenKE triple file, written by Spark.
+
+    Globally sorted by (h, t, r): ``repartitionByRange`` gives ascending
+    key ranges to ascending partition ids, each partition sorts locally,
+    Spark writes ``part-*`` text files in partition order, and the
+    driver stream-concatenates the files behind the count header — a
+    file-level copy, never a data-sized driver materialization (the
+    round-1 export ``toPandas``'d every distinct triple). The row count
+    comes from an ``observe`` on the same scan. Returns the count.
+    """
+    import shutil
+
+    from pyspark.sql import Observation
+
+    tmp = path + "._spark_txt"
+    obs = Observation("triple_export")
+    lines = (
+        df.select(F.col("h").cast("long"), F.col("t").cast("long"), F.col("r").cast("long"))
+        .repartitionByRange(n_partitions, "h", "t", "r")
+        .sortWithinPartitions("h", "t", "r")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(" ", "h", "t", "r").alias("value"))
+    )
+    lines.write.mode("overwrite").text(tmp)
+    n = int(obs.get["n"])
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    with open(path, "w") as out:
+        out.write(f"{n}\n")
+        for p in parts:
+            with open(os.path.join(tmp, p)) as src:
+                shutil.copyfileobj(src, out)
+    shutil.rmtree(tmp)
+    return n
+
+
 # -- distributed readers (scale path: triple files can be huge) -------------
 
 def read_triples_spark(spark: SparkSession, path: str) -> DataFrame:

@@ -222,38 +222,51 @@ class Pipeline:
             n_partitions=self.out_partitions,
             salt_cols=("s",),
         )
-        # OpenKE-format export (A20 interchange)
+        # OpenKE-format export (A20 interchange). Dictionaries are
+        # dictionary-sized (driver pandas is fine); the triple file is
+        # data-sized and is written distributed + stream-concatenated.
         e2id, r2id = self._dicts()
         exp = os.path.join(self._out("materialize"), "openke")
         os.makedirs(exp, exist_ok=True)
         io_openke.write_dict_txt(e2id.toPandas(), os.path.join(exp, "entity2id.txt"))
         io_openke.write_dict_txt(r2id.toPandas(), os.path.join(exp, "relation2id.txt"))
-        tri_pdf = (
-            self.spark.read.parquet(out)
-            .selectExpr("s as h", "o as t", "p as r")
-            .toPandas()
-            .sort_values(["h", "t", "r"])
-            .reset_index(drop=True)
+        io_openke.write_triples_txt_spark(
+            self.spark.read.parquet(out).selectExpr("s as h", "o as t", "p as r"),
+            os.path.join(exp, "train2id.txt"),
+            n_partitions=self.out_partitions,
         )
-        io_openke.write_triples_txt(tri_pdf, os.path.join(exp, "train2id.txt"))
         return {"row_count": int(lineage["row_count"]), "lineage": lineage}
 
     def stage_evaluate(self) -> dict:
-        """B12 gate: link-prediction protocol on the OpenKE-style fixture."""
+        """B12 gate: link-prediction protocol on the CONSTRUCTED KG.
+
+        A deterministic content-hash bucket of the materialized triples
+        (~10%, capped at 500, ordered take) is ranked against the full
+        entity dictionary with the same frozen embeddings the link stage
+        scored with — so a regression anywhere upstream (extraction,
+        canonicalization, dense ids, materialization) moves
+        ``eval_metrics.json``, and the stage's manifest dependency on
+        materialize is real. The known-triple filter is the materialized
+        set itself (distinct canonical triples; for corpus-scale KGs
+        sample the gate input rather than lifting the cap).
+        """
         from . import evaluate as ev
 
-        split = fixtures.gen_openke_split()
-        emb = fixtures.gen_embeddings(
-            n_ent=len(split["entity2id"]), n_rel=len(split["relation2id"])
-        )
-        import pandas as pd
-
-        known = pd.concat([split["train2id"], split["valid2id"], split["test2id"]])
+        tri = self.spark.read.parquet(
+            os.path.join(self._out("materialize"), "triples")
+        ).selectExpr("s as h", "o as t", "p as r")
+        bucket = F.pmod(F.xxhash64("h", "t", "r"), F.lit(10))
+        test = tri.where(bucket == F.lit(9)).orderBy("h", "t", "r").limit(500)
+        if test.isEmpty():  # tiny KGs: gate on everything
+            test = tri.orderBy("h", "t", "r").limit(500)
+        e2id, r2id = self._dicts()
+        emb = self._embeddings(e2id, r2id)
+        known = tri.toPandas()
         ranks = ev.link_prediction_ranks(
-            self.spark, self.spark.createDataFrame(split["test2id"]), emb, known,
-            model=self.model, norm=self.norm,
+            self.spark, test, emb, known, model=self.model, norm=self.norm
         )
         metrics = ev.link_prediction_metrics(ranks).toPandas().iloc[0].to_dict()
+        metrics["n_gate_triples"] = int(ranks.count())
         with open(os.path.join(self.work, "eval_metrics.json"), "w") as f:
             json.dump({k: float(v) for k, v in metrics.items()}, f, indent=1, sort_keys=True)
         return {"hits10_filt": float(metrics["hits10_filt"]), "mrr_filt": float(metrics["mrr_filt"])}

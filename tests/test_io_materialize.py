@@ -37,6 +37,24 @@ def test_spark_triple_reader(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_spark_triple_writer_matches_driver_writer(spark, tmp_path):
+    """write_triples_txt_spark: same bytes as the driver-side writer on
+    sorted input (count header + 'h t r' rows, global (h,t,r) order),
+    without any data-sized driver materialization."""
+    split = gen_openke_split(n_ent=50, n_rel=4, n_train=500, n_valid=20, n_test=20)
+    tri = split["train2id"].sort_values(["h", "t", "r"]).reset_index(drop=True)
+    from kgforge.io_openke import write_triples_txt, write_triples_txt_spark
+
+    p_driver = str(tmp_path / "driver.txt")
+    p_spark = str(tmp_path / "spark.txt")
+    write_triples_txt(tri, p_driver)
+    n = write_triples_txt_spark(
+        spark.createDataFrame(split["train2id"]).repartition(7), p_spark, n_partitions=5
+    )
+    assert n == len(tri)
+    assert open(p_spark).read() == open(p_driver).read()
+
+
 def test_dense_ids_deterministic_and_dense(spark):
     names = spark.createDataFrame(pd.DataFrame({"name": ["b", "a", "c", "a", "b"]}))
     got = dense_ids(names).toPandas().sort_values("id").reset_index(drop=True)

@@ -134,6 +134,21 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
     assert before == after
 
 
+def test_evaluate_gate_scores_constructed_kg(spark, run_dir):
+    """B12: eval_metrics.json must reflect the pipeline's OWN KG — a
+    content-hash test bucket of the materialized triples, not a synthetic
+    fixture split."""
+    work, fdir, pipe = run_dir
+    pipe.run(["evaluate"])
+    metrics = json.load(open(os.path.join(work, "eval_metrics.json")))
+    assert metrics["n_gate_triples"] > 0
+    n_mat = pipe.manifest.get("materialize")["row_count"]
+    # gate bucket is ~10% of materialized triples (capped at 500)
+    assert metrics["n_gate_triples"] <= min(500, n_mat)
+    for k in ("mrr_filt", "hits10_filt", "mr_raw"):
+        assert metrics[k] == metrics[k] and metrics[k] > 0  # finite, nonzero
+
+
 def test_lineage_counters_recorded(run_dir):
     work, _, pipe = run_dir
     entry = pipe.manifest.get("materialize")
