@@ -10,11 +10,14 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check):
-mention spans, MinHash/SimHash signatures & LSH pair generation, LSH
-ANN, negative sampling (counter-based RNG), triple classification
-thresholds, multimodal features — non-SQL-expressible (regex spans,
-hash functions, approximate candidates) per the driver contract.
+Ops intentionally *without* an oracle entry (rows-only check): mention
+spans (b2), LSH pair generation (b7), counter-RNG sample rows (a4/a6),
+MinHash/SimHash pairs, LSH ANN rows, multimodal features —
+non-SQL-expressible (regex spans, hash functions, approximate
+candidates). Each now ALSO has an oracle-checked property companion:
+b2_mentions_cover_golden, b7_lsh_covers_exact_jaccard,
+a4_negative_properties, a6_batch_properties, dedup_minhash_containment,
+ann_lsh_topk_recall, and a structural oracle for a21.
 """
 
 from __future__ import annotations
@@ -186,6 +189,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _openke(spark, "train2id")
         return negative_samples(t, n_ent=200, neg_per_pos=1, mode="bern", seed=42)
 
+    def a4_negative_properties(spark, sf):
+        # the corruption contract as an oracle-checkable property:
+        # exactly neg_per_pos negatives per positive, zero of which are
+        # known triples. The oracle derives both numbers from the same
+        # train parquet — a genuine cross-engine check even though the
+        # sampled rows themselves are counter-RNG.
+        t = _openke(spark, "train2id")
+        neg = negative_samples(t, n_ent=200, neg_per_pos=2, mode="uniform", seed=7)
+        viol = neg.join(t.select("h", "t", "r"), ["h", "t", "r"], "left_semi")
+        return (
+            neg.agg(F.count("*").cast("long").alias("n_neg"))
+            .crossJoin(viol.agg(F.count("*").cast("long").alias("n_known_violations")))
+        )
+
+    def a6_batch_properties(spark, sf):
+        from kgforge.sampling import training_batches
+
+        t = _openke(spark, "train2id")
+        b = training_batches(t, n_ent=200, n_rel=12, nbatches=4, neg_ent=1, neg_rel=1)
+        return b.agg(
+            F.sum((F.col("y") == 1).cast("long")).alias("n_pos"),
+            F.sum((F.col("y") == -1).cast("long")).alias("n_neg"),
+            F.countDistinct("batch_id").cast("long").alias("n_batches"),
+        )
+
+    def b2_mentions_cover_golden(spark, sf):
+        # every golden (conv, turn, surface) slot whose surface the
+        # gazetteer knows must be detected as a mention (span recall
+        # property; corrupted unseen variants are B7/B8's job, not B2's)
+        gaz = spark.createDataFrame(_gaz_pdf())
+        men = (
+            extract.detect_mentions(_transcripts(spark, sf), _gaz_pdf())
+            .select("conv_id", "turn_idx", "surface").dropDuplicates()
+        )
+        g = _golden(spark, sf)
+        slots = (
+            g.select("conv_id", "turn_idx", F.col("subj").alias("surface"))
+            .unionByName(g.select("conv_id", "turn_idx", F.col("obj").alias("surface")))
+            .join(gaz.select("surface").dropDuplicates(), "surface", "left_semi")
+            .dropDuplicates()
+        )
+        covered = slots.join(men, ["conv_id", "turn_idx", "surface"], "left_semi")
+        return (
+            slots.agg(F.count("*").cast("long").alias("n_golden_slots"))
+            .crossJoin(covered.agg(F.count("*").cast("long").alias("n_covered")))
+        )
+
+    def b7_lsh_covers_exact_jaccard(spark, sf):
+        # LSH blocking recall property: every exact char-3-Jaccard >= 0.5
+        # surface pair must survive minhash+banding+verify. The oracle
+        # recomputes n_exact_pairs independently with DuckDB list ops.
+        names = spark.createDataFrame(_gaz_pdf()[["surface"]].drop_duplicates())
+        a = names.select(F.col("surface").alias("a"))
+        b = names.select(F.col("surface").alias("b"))
+        all_pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+        exact = canonicalize.exact_jaccard_filter(all_pairs, threshold=0.5).select("a", "b")
+        lsh = canonicalize.alias_pairs(
+            names.select(F.col("surface").alias("name")), threshold=0.5
+        ).select("a", "b")
+        missed = exact.join(lsh, ["a", "b"], "left_anti")
+        return (
+            exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+            .crossJoin(missed.agg(F.count("*").cast("long").alias("n_missed")))
+        )
+
+    def dedup_minhash_containment(spark, sf):
+        # exact char-5-Jaccard >= 0.5 doc pairs missing from the
+        # MinHash-LSH candidate set — must be empty (pairs on this corpus
+        # all sit at j >= 0.93 where banding recall is ~1-1e-10)
+        from kgforge.stages.canonicalize import lsh_candidate_pairs, minhash_signatures
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+        tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+        pairs = ta.crossJoin(tb).where(F.col("a") < F.col("b"))
+
+        import numpy as np  # noqa: F811
+        from kgforge.stages.canonicalize import char_shingles
+
+        def verify(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                sa = char_shingles(pdf["ta"], 5)
+                sb = char_shingles(pdf["tb"], 5)
+                jac = np.asarray(
+                    [(len(x & y) / len(x | y)) if (x or y) else 0.0 for x, y in zip(sa, sb)]
+                )
+                yield pdf[["a", "b"]][jac >= 0.5]
+
+        exact = pairs.mapInPandas(verify, "a long, b long")
+        sigs = minhash_signatures(
+            docs.select("doc_id", "text"), name_col="text", id_col="doc_id",
+            n_perm=64, k=5,
+        )
+        cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, max_bucket=100)
+        return exact.join(cands, ["a", "b"], "left_anti")
+
+    def ann_lsh_topk_recall(spark, sf):
+        # LSH ANN quality as a pinned single-row metric: recall@10 of
+        # lsh_topk vs exact cosine_topk on the planted fixture —
+        # deterministic (fixed planes seed), so the oracle pins the value
+        from kgforge.fixtures import ensure_neardup_fixture
+
+        emb = spark.read.parquet(os.path.join(ensure_neardup_fixture(), "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+        # n_planes=4 + Hamming-1 multiprobe scans ~31% of the corpus for
+        # recall 0.625 on generic top-10 (most of a random query's top-10
+        # are weak neighbors LSH rightly skips; the planted true dup is
+        # always found)
+        lsh = similarity.lsh_topk(emb, q, k=10, n_planes=4).select("query_id", "neighbor_id")
+        hits = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            exact.agg(F.count("*").alias("_n"))
+            .crossJoin(hits.agg(F.count("*").alias("_h")))
+            .select(F.round(F.col("_h") / F.col("_n"), 6).alias("recall_at_10"))
+        )
+
     def a15_link_prediction_ranks(spark, sf):
         split, emb, known = _openke_emb()
         return ev.link_prediction_ranks(
@@ -239,6 +363,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def a7_transe_scores(spark, sf):
         return _kernel_scores(spark, "transe")
+
+    def a7_transe_scores_l2(spark, sf):
+        # the reference's L1/L2 switch, L2 half (Config.p_norm, recalled)
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="transe", norm=2).select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
+    def a15_ranks_l2(spark, sf):
+        # score_decimals=6: L2 sums of squares round accumulation-order-
+        # dependently (L1 stays exact in float64) — both engines rank on
+        # 1e-6-rounded scores; see link_prediction_ranks docstring
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="transe", norm=2, score_decimals=6,
+        )
+
+    def a19_topk_heads(spark, sf):
+        # head-mode completions (reference predict_head_entity)
+        split, emb, _ = _openke_emb()
+        q = spark.createDataFrame(split["test2id"].head(20)[["t", "r"]])
+        return ev.top_k_completions(spark, q, emb, k=10, mode="head").select(
+            "t", "r", "candidate", "rk"
+        )
 
     def a8_transh_scores(spark, sf):
         return _kernel_scores(spark, "transh")
@@ -422,8 +572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_connected_components": b8_connected_components,
         "a2_triple_dedup": a2_triple_dedup,
         "a4_negative_sampling": a4_negative_sampling,
+        "a4_negative_properties": a4_negative_properties,
         "a6_training_batches": a6_training_batches,
+        "a6_batch_properties": a6_batch_properties,
+        "b2_mentions_cover_golden": b2_mentions_cover_golden,
+        "b7_lsh_covers_exact_jaccard": b7_lsh_covers_exact_jaccard,
+        "dedup_minhash_containment": dedup_minhash_containment,
+        "ann_lsh_topk_recall": ann_lsh_topk_recall,
         "a7_transe_scores": a7_transe_scores,
+        "a7_transe_scores_l2": a7_transe_scores_l2,
+        "a15_ranks_l2": a15_ranks_l2,
+        "a19_topk_heads": a19_topk_heads,
         "a8_transh_scores": a8_transh_scores,
         "a9_transr_scores": a9_transr_scores,
         "a10_transd_scores": a10_transd_scores,
@@ -529,6 +688,17 @@ _RANK_CTES = f"""
   )
 """
 
+
+# L2 variant: same rank protocol, Euclidean scoring — built from the L1
+# CTEs by swapping the aggregator (sum|abs| -> sqrt(sum(square))) so the
+# two texts cannot drift apart structurally
+_RANK_CTES_L2 = _RANK_CTES.replace(
+    "sum(abs(ce.val + re.val - te.val))",
+    "round(sqrt(sum(power(ce.val + re.val - te.val, 2))), 6)",
+).replace(
+    "sum(abs(he.val + re.val - ce.val))",
+    "round(sqrt(sum(power(he.val + re.val - ce.val, 2))), 6)",
+)
 
 _CAT_CTE = f"""
   cat AS (
@@ -845,10 +1015,97 @@ def oracle_sql() -> dict[str, str]:
               round(avg(CASE WHEN filt <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_filt
             FROM both_
         """,
+        "a4_negative_properties": f"""
+            SELECT CAST(2 * count(*) AS BIGINT) AS n_neg,
+                   CAST(0 AS BIGINT) AS n_known_violations
+            FROM read_parquet('{OKE}/train2id.parquet')
+        """,
+        "a6_batch_properties": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(2 * count(*) AS BIGINT) AS n_neg,
+                   CAST(4 AS BIGINT) AS n_batches
+            FROM read_parquet('{OKE}/train2id.parquet')
+        """,
+        "b2_mentions_cover_golden": f"""
+            WITH slots AS (
+                SELECT DISTINCT conv_id, turn_idx, surface FROM (
+                    SELECT conv_id, turn_idx, subj AS surface FROM {_GOLD}
+                    UNION ALL
+                    SELECT conv_id, turn_idx, obj AS surface FROM {_GOLD})
+                WHERE surface IN (SELECT surface FROM {_GAZ})
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_golden_slots,
+                   CAST(count(*) AS BIGINT) AS n_covered
+            FROM slots
+        """,
+        "b7_lsh_covers_exact_jaccard": f"""
+            WITH n AS (
+                SELECT DISTINCT surface,
+                       regexp_replace(lower(surface), '[^a-zA-Z0-9_]', '', 'g') AS s
+                FROM {_GAZ}
+            ),
+            sh AS (
+                SELECT surface,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(s) - 2, 1) + 1),
+                           i -> s[i:i+2])) AS g
+                FROM n
+            ),
+            p AS (
+                SELECT a.surface AS a, b.surface AS b,
+                       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+                FROM sh a JOIN sh b ON a.surface < b.surface
+            )
+            SELECT CAST(count(*) FILTER (j >= 0.5) AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM p
+        """,
+        "dedup_minhash_containment": """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false
+        """,
+        "ann_lsh_topk_recall": """
+            SELECT CAST(0.625 AS DOUBLE) AS recall_at_10
+        """,
         "a7_transe_scores": _SQL_TRANSE,
+        "a7_transe_scores_l2": _SQL_TRANSE.replace(
+            "round(sum(abs(eh.val + er.val - et.val)), 9)",
+            "round(sqrt(sum(power(eh.val + er.val - et.val, 2))), 9)",
+        ),
+        "a15_ranks_l2": f"""
+            WITH {_RANK_CTES_L2}
+            SELECT * FROM ranks
+        """,
+        "a19_topk_heads": f"""
+            WITH q AS (
+                SELECT DISTINCT t, r FROM (
+                    SELECT t, r FROM read_parquet('{OKE}/test2id.parquet') LIMIT 20)
+            ),
+            ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+            rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+            sc AS (
+                SELECT q.t, q.r, ce.id AS candidate,
+                       sum(abs(ce.val + re.val - te.val)) AS score
+                FROM q
+                JOIN rel re ON re.id = q.r
+                JOIN ent te ON te.id = q.t AND te.k = re.k
+                JOIN ent ce ON ce.k = re.k
+                GROUP BY q.t, q.r, ce.id
+            )
+            SELECT t, r, candidate, rk FROM (
+                SELECT t, r, candidate,
+                       row_number() OVER (PARTITION BY t, r ORDER BY score, candidate) AS rk
+                FROM sc) WHERE rk <= 10
+        """,
         "a8_transh_scores": _SQL_TRANSH,
         "a9_transr_scores": _SQL_TRANSR,
         "a10_transd_scores": _SQL_TRANSD,
+        "a21_incremental_training": """
+            -- structural contract of incremental training: after the
+            -- second increment the entity table has grown 30 -> 40 rows
+            -- at dim 8 (warm-start + Xavier rows for the unseen ids)
+            SELECT CAST(range AS BIGINT) AS id, CAST(8 AS BIGINT) AS dim FROM range(40)
+        """,
         "a18_thresholds": f"""
             WITH {_TC_CTES}
             SELECT r, round(threshold, 9) AS threshold FROM th

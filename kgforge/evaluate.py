@@ -68,6 +68,7 @@ def link_prediction_ranks(
     model: str = "transe",
     norm: int = 1,
     constraints: tuple[dict[int, np.ndarray], dict[int, np.ndarray]] | None = None,
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Per-test-triple raw+filtered head/tail ranks (RANKS_SCHEMA).
 
@@ -75,6 +76,13 @@ def link_prediction_ranks(
     ids`` (``type_constrain.txt`` semantics): candidates outside the
     relation's domain/range are skipped entirely — the reference's
     type-constrained protocol (``base/Test.h``, recalled — SURVEY.md §0).
+
+    ``score_decimals``: round scores before the strict-< comparison.
+    Needed for cross-engine L2 parity: L1 scores of float32 embeddings
+    are *exact* in float64 (each |h+r−t| term ≤26 mantissa bits, a
+    16-term sum ≤30 — order-free), but L2 squares carry 52 bits, so the
+    sum's last ulp depends on accumulation order and unrounded rank
+    comparisons flip between engines on mathematical ties.
     """
     n_ent = emb["ent"].shape[0]
     b_emb = spark.sparkContext.broadcast({k: v for k, v in emb.items()})
@@ -110,6 +118,8 @@ def link_prediction_ranks(
                 s_head = kernels.score_batch(
                     model, E, all_ents, r_ids, np.full(n_ent, t, dtype=np.int64), norm
                 )
+                if score_decimals is not None:
+                    s_head = np.round(s_head, score_decimals)
                 true_s = s_head[h]
                 s_cand = s_head if cand_h is all_ents else s_head[cand_h]
                 out["rank_head_raw"][i] = 1 + int((s_cand < true_s).sum())
@@ -124,6 +134,8 @@ def link_prediction_ranks(
                 s_tail = kernels.score_batch(
                     model, E, np.full(n_ent, h, dtype=np.int64), r_ids, all_ents, norm
                 )
+                if score_decimals is not None:
+                    s_tail = np.round(s_tail, score_decimals)
                 true_s = s_tail[t]
                 s_cand = s_tail if cand_t is all_ents else s_tail[cand_t]
                 out["rank_tail_raw"][i] = 1 + int((s_cand < true_s).sum())

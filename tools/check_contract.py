@@ -33,7 +33,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
             pdf[c] = col.astype("float64").map(lambda v: f"{v:.12g}")
         else:
             pdf[c] = col.astype(str)
-    rows = sorted(pdf.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
+    if len(pdf) == 0:  # apply() on an empty frame returns a DataFrame
+        rows = []
+    else:
+        rows = sorted(pdf.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
