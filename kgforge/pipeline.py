@@ -48,6 +48,7 @@ class Pipeline:
         out_partitions: int = 16,
         resume: bool = False,
         embeddings_seed: int = 42,
+        dense_ids_impl: str = "sort",
     ):
         self.spark = spark
         self.input_path = input_path
@@ -59,6 +60,9 @@ class Pipeline:
         self.out_partitions = out_partitions
         self.resume = resume
         self.embeddings_seed = embeddings_seed
+        if dense_ids_impl not in ("sort", "two_phase"):
+            raise ValueError(dense_ids_impl)
+        self.dense_ids_impl = dense_ids_impl
         os.makedirs(work_dir, exist_ok=True)
         self.manifest = Manifest(work_dir)
         self.cfg_fp = fingerprint_config(
@@ -177,9 +181,18 @@ class Pipeline:
         return self.spark.read.parquet(os.path.join(self._out("canonicalize"), "alias_map"))
 
     def stage_dicts(self) -> dict:
+        # dense_ids_impl="two_phase" is the 100x path (range-bucket +
+        # prefix-sum offsets, no single-partition global sort) — output
+        # is identical (tests assert equality), so it is NOT part of the
+        # config fingerprint: switching it never invalidates a resume.
         pats = self.spark.read.parquet(self.patterns_path)
-        e2id = materialize.dense_ids(self._alias_map().select(F.col("canonical").alias("name")))
-        r2id = materialize.dense_ids(pats.select(F.col("pred").alias("name")))
+        did = (
+            materialize.two_phase_dense_ids
+            if self.dense_ids_impl == "two_phase"
+            else materialize.dense_ids
+        )
+        e2id = did(self._alias_map().select(F.col("canonical").alias("name")))
+        r2id = did(pats.select(F.col("pred").alias("name")))
         _write(e2id, os.path.join(self._out("dicts"), "entity2id"), 1)
         _write(r2id, os.path.join(self._out("dicts"), "relation2id"), 1)
         return {}

@@ -271,8 +271,83 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            return labels
+    # silent wrong labels are worse than a loud failure: hash-min needs
+    # O(diameter) rounds — deep graphs should use connected_components_star
+    raise RuntimeError(
+        f"hash-min CC did not converge in {max_iter} rounds "
+        "(graph diameter too large — use connected_components_star)"
+    )
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """B8 scale variant: alternating big-star/small-star CC
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).
+
+    Hash-min label propagation (:func:`connected_components`) needs
+    O(diameter) rounds — fine for shallow alias graphs, quadratic work
+    on long chains. The star algorithm contracts paths aggressively and
+    converges in O(log n) rounds on any topology:
+
+    * large-star: per node u, attach every *strictly larger* neighbor to
+      m = min(Γ(u) ∪ {u});
+    * small-star: attach every neighbor ≤ u (and u itself) to m.
+
+    Both steps are one groupBy(u) aggregation + one generate — the same
+    shuffle shape as hash-min, but the round count drops from diameter
+    to log. Returns ``(node, component)``, identical to hash-min (tests
+    assert equality on chains, cycles, and random graphs).
+    """
+    # symmetric, self-loop-free working edge set
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint()
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        grouped = (
+            cur.groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .withColumn("m", F.least(F.col("u"), F.array_min("nbrs")))
+        )
+        src = F.explode(
+            F.filter("nbrs", lambda v: v > F.col("u"))
+            if large
+            else F.array_union(F.filter("nbrs", lambda v: v <= F.col("u")), F.array(F.col("u")))
+        )
+        return (
+            grouped.select(src.alias("x"), F.col("m"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        # one large-star + one small-star round over the symmetric view
+        ls = _star(e, large=True)
+        sym_ls = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        ss = _star(sym_ls, large=False)
+        new_e = (
+            ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when every node's min-neighbor is a fixpoint: the
+        # directed (child -> root) view stops changing
+        changed = new_e.exceptAll(e).limit(1).count()
+        e = new_e
+        if changed == 0:
             break
-    return labels
+    roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(roots.withColumnRenamed("u", "node"), "node", "left")
+        .withColumn("component", F.least(F.coalesce("component", "node"), F.col("node")))
+    )
 
 
 def canonical_groups(names: DataFrame, name_col: str = "name", **lsh_kw) -> DataFrame:

@@ -6,6 +6,7 @@ LSH gate: alias groups from the fixture gazetteer must be recovered
 """
 
 import pandas as pd
+import pytest
 
 from kgforge.fixtures import gazetteer
 from kgforge.stages.canonicalize import (
@@ -51,6 +52,40 @@ def test_cc_long_chain_converges(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
     got = connected_components(df, max_iter=50).toPandas()
     assert (got["component"] == 0).all()
+
+
+def test_star_cc_matches_hashmin_and_scales_deep_graphs(spark):
+    """connected_components_star (big/small-star, O(log n) rounds) must
+    produce identical labels to hash-min on every topology — and
+    converge on a chain whose diameter exceeds hash-min's round budget."""
+    import numpy as np
+
+    from kgforge.stages.canonicalize import connected_components_star
+
+    cases = {
+        "cycle": [(i, (i + 1) % 50) for i in range(50)],
+        "stars": [(0, i) for i in range(1, 20)] + [(100, 100 + i) for i in range(1, 5)],
+    }
+    rng = np.random.default_rng(3)
+    cases["random"] = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 300, 400), rng.integers(0, 300, 400))
+        if a != b
+    ]
+    for name, edges in cases.items():
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+        hm = connected_components(df, max_iter=200).toPandas().sort_values("node").reset_index(drop=True)
+        st = connected_components_star(df).toPandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(hm, st, check_dtype=False), name
+
+    # diameter-199 chain: star converges in O(log n); hash-min at the
+    # same budget must fail LOUDLY, never return wrong labels
+    chain = pd.DataFrame([(i, i + 1) for i in range(199)], columns=["a", "b"])
+    df = spark.createDataFrame(chain)
+    st = connected_components_star(df, max_iter=25).toPandas()
+    assert (st["component"] == 0).all()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=25)
 
 
 def test_minhash_recovers_alias_groups(spark):

@@ -156,6 +156,29 @@ def test_lineage_counters_recorded(run_dir):
     assert entry["extra"]["lineage"]["row_count"] == entry["row_count"]
 
 
+def test_two_phase_dense_ids_pipeline_identical(spark, tmp_path):
+    """dense_ids_impl='two_phase' (the no-global-sort scale path) must
+    produce byte-identical dictionaries and triples to the sort impl."""
+    fdir = ensure_fixtures("unit")
+    outs = {}
+    for impl in ("sort", "two_phase"):
+        work = str(tmp_path / impl)
+        Pipeline(
+            spark,
+            input_path=os.path.join(fdir, "transcripts.parquet"),
+            work_dir=work,
+            gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
+            patterns_path=os.path.join(fdir, "patterns.parquet"),
+            out_partitions=2,
+            dense_ids_impl=impl,
+        ).run(STAGES)
+        outs[impl] = (
+            open(os.path.join(work, "materialize", "openke", "train2id.txt")).read(),
+            open(os.path.join(work, "materialize", "openke", "entity2id.txt")).read(),
+        )
+    assert outs["sort"] == outs["two_phase"]
+
+
 def test_entry_and_contract_smoke(spark):
     import __spark_entry__ as em
 
