@@ -42,6 +42,33 @@ def test_mentions_cover_golden_arguments(spark):
         assert txt[r["start"]:r["end"]] == r["surface"]
 
 
+def test_trie_alternation_equals_flat_longest_first():
+    """The trie-factored surface alternation must produce exactly the
+    matches of a flat longest-first alternation (incl. spans), on real
+    gazetteer surfaces and on adversarial prefix-nested words."""
+    import re
+
+    from kgforge.stages.extract import _B_L, _B_R, _HYPH_TOKEN, _entity_alt, _trie_pattern
+
+    cases = [
+        (gazetteer()["surface"].tolist(),
+         "Acme Corp bought Acme-Corp and ACME yesterday; acme corp inc too."),
+        (["a", "ab", "abc", "abd", "b", "ba"], "ab abc abd ba b a abcd"),
+        (["data", "database", "data base"], "the database holds data base rows"),
+    ]
+    for surfaces, extra_text in cases:
+        flat = "(?:" + "|".join(
+            [re.escape(s) for s in sorted(surfaces, key=len, reverse=True)] + [_HYPH_TOKEN]
+        ) + ")"
+        rx_flat = re.compile(_B_L + "(" + flat + ")" + _B_R)
+        rx_trie = re.compile(_B_L + "(" + _entity_alt(surfaces) + ")" + _B_R)
+        texts = [extra_text] + [f"x {s} y" for s in surfaces]
+        for t in texts:
+            a = [(m.group(1), m.start(1)) for m in rx_flat.finditer(t)]
+            b = [(m.group(1), m.start(1)) for m in rx_trie.finditer(t)]
+            assert a == b, (t, a, b)
+
+
 def test_dedup_idempotent(spark):
     t, _ = gen_transcripts(20)
     df = spark.createDataFrame(t)
