@@ -261,25 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kgforge.stages.canonicalize import lsh_candidate_pairs, minhash_signatures
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
-        tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
-        pairs = ta.crossJoin(tb).where(F.col("a") < F.col("b"))
-
-        import numpy as np  # noqa: F811
-        from kgforge.stages.canonicalize import char_shingles
-
-        def verify(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                sa = char_shingles(pdf["ta"], 5)
-                sb = char_shingles(pdf["tb"], 5)
-                jac = np.asarray(
-                    [(len(x & y) / len(x | y)) if (x or y) else 0.0 for x, y in zip(sa, sb)]
-                )
-                yield pdf[["a", "b"]][jac >= 0.5]
-
-        exact = pairs.mapInPandas(verify, "a long, b long")
+        exact = textops.exact_char_jaccard_pairs(docs, k=5, threshold=0.5).select("a", "b")
         sigs = minhash_signatures(
             docs.select("doc_id", "text"), name_col="text", id_col="doc_id",
             n_perm=64, k=5,

@@ -385,6 +385,96 @@ def simhash_candidate_pairs(sim: DataFrame, band_bits: int = 16, max_hamming: in
     )
 
 
+def char_shingle_table(docs: DataFrame, k: int = 5, seed: int = 42) -> DataFrame:
+    """``(doc_id, shingles array<long>)`` — sorted distinct hashed char
+    k-shingles per normalized doc (same normalization + FNV values as
+    :func:`kgforge.stages.canonicalize.char_shingles` + ``hash_shingle``,
+    so Jaccard over these arrays equals Jaccard over the string sets,
+    collisions aside).
+
+    Computing shingles ONCE per doc and verifying pairs with JVM
+    ``array_intersect`` replaces per-pair Python set shingling — the
+    pair side only ever joins against this table.
+    """
+    from .hashing import fnv1a_tokens, fnv1a_windows, flat_windows, pack_strings, pad_tokens
+    from .session import ensure_min_partitions
+    from .stages.canonicalize import hash_shingle
+
+    docs = ensure_min_partitions(docs)
+    schema = "doc_id long, shingles array<long>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            norm = (
+                pdf["text"].astype("string").fillna("")
+                .str.lower().str.replace(r"[^\w]", "", regex=True)
+            )
+            out: list = [None] * len(pdf)
+            long_i, short_i = [], []
+            for i, s in enumerate(norm):
+                if not s.isascii():
+                    sh = {s[j:j + k] for j in range(max(1, len(s) - k + 1))}
+                    out[i] = np.unique(
+                        np.array([hash_shingle(x, seed) for x in sh], dtype=np.uint64)
+                        .astype(np.int64)
+                    )
+                elif len(s) >= k:
+                    long_i.append(i)
+                else:
+                    short_i.append(i)
+            if long_i:
+                buf, offsets, lens = pack_strings([norm.iloc[i].encode() for i in long_i])
+                starts, counts = flat_windows(lens, offsets, k)
+                base = fnv1a_windows(buf, starts, k, seed).astype(np.int64)
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                for j, i in enumerate(long_i):
+                    out[i] = np.unique(base[bounds[j]:bounds[j + 1]])
+            if short_i:
+                padded, lens = pad_tokens([norm.iloc[i].encode() for i in short_i])
+                base = fnv1a_tokens(padded, lens, seed).astype(np.int64)
+                for j, i in enumerate(short_i):
+                    out[i] = base[j:j + 1]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
+
+
+def exact_char_jaccard_pairs(
+    docs: DataFrame, k: int = 5, threshold: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """Exact char-k-shingle Jaccard pairs (a < b) >= threshold — the
+    brute-force truth the LSH dedup paths are containment-checked
+    against. Shingle arrays computed once per doc; the all-pairs join
+    carries only (id, array) and verifies with JVM ``array_intersect``
+    after the exact ``min >= t*max`` size prefilter. O(N^2) by design
+    (it IS the oracle baseline)."""
+    sh = char_shingle_table(docs, k, seed).localCheckpoint()
+    a = sh.select(
+        F.col("doc_id").alias("a"),
+        F.col("shingles").alias("_sa"),
+        F.size("shingles").alias("_na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b"),
+        F.col("shingles").alias("_sb"),
+        F.size("shingles").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    return (
+        a.crossJoin(b)
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("_na") >= threshold * F.col("_nb"))
+            & (F.col("_nb") >= threshold * F.col("_na"))
+        )
+        .withColumn("jaccard", inter / (F.col("_na") + F.col("_nb") - inter))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_neardup_docs(
     docs: DataFrame, n_perm: int = 64, n_bands: int = 16, threshold: float = 0.7,
     shingle_k: int = 5, max_bucket: int = 100,
@@ -404,27 +494,17 @@ def minhash_neardup_docs(
         n_perm=n_perm, k=shingle_k,
     )
     cands = lsh_candidate_pairs(sigs, "doc_id", n_bands, max_bucket)
-    texts = docs.select("doc_id", normalize_text("text").alias("txt"))
-    pairs = (
-        cands.join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("txt", "ta"), "a")
-        .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("txt", "tb"), "b")
+    # exact verify against per-doc hashed shingle arrays (computed once;
+    # JVM array_intersect — no per-pair Python shingling)
+    sh = char_shingle_table(docs, shingle_k)
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )
-
-    schema = "a long, b long, jaccard double"
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            from .stages.canonicalize import char_shingles
-
-            sa = char_shingles(pdf["ta"], shingle_k)
-            sb = char_shingles(pdf["tb"], shingle_k)
-            jac = [
-                (len(x & y) / len(x | y)) if (x or y) else 0.0 for x, y in zip(sa, sb)
-            ]
-            out = pdf[["a", "b"]].copy()
-            out["jaccard"] = jac
-            yield out[np.asarray(jac) >= threshold]
-
-    return pairs.mapInPandas(verify, schema)

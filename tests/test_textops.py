@@ -111,6 +111,37 @@ def test_simhash_neardup(spark, docs):
     assert ham > 10
 
 
+def test_char_shingle_table_matches_string_sets(spark, docs):
+    """Hashed shingle arrays must equal the string-set recipe exactly
+    (same normalization, same FNV values) — so array_intersect Jaccard
+    == set Jaccard."""
+    from kgforge.stages.canonicalize import hash_shingle
+
+    got = textops.char_shingle_table(docs, k=5).toPandas().set_index("doc_id")["shingles"]
+    norm = DOCS["text"].str.lower().str.replace(r"[^\w]", "", regex=True)
+    for doc_id, s in zip(DOCS["doc_id"], norm):
+        sh = {s[j:j + 5] for j in range(max(1, len(s) - 4))}
+        want = np.unique(
+            np.array([hash_shingle(x, 42) for x in sh], dtype=np.uint64).astype(np.int64)
+        )
+        assert (np.sort(np.asarray(got.loc[doc_id])) == want).all(), doc_id
+
+
+def test_exact_char_jaccard_pairs(spark, docs):
+    """Brute-force exact pairs: near-exact dup (0,1) well above 0.5;
+    jaccard values match the Python set computation."""
+    from kgforge.stages.canonicalize import char_shingles
+
+    got = textops.exact_char_jaccard_pairs(docs, k=5, threshold=0.3).toPandas()
+    pairs = {(a, b): j for a, b, j in got.itertuples(index=False)}
+    assert (0, 1) in pairs
+    norm = DOCS["text"].str.lower().str.replace(r"\s+", " ", regex=True)
+    sh = char_shingles(norm, 5)
+    for (a, b), j in pairs.items():
+        x, y = sh.iloc[a], sh.iloc[b]
+        assert abs(j - len(x & y) / len(x | y)) < 1e-12
+
+
 def test_minhash_neardup_docs(spark, docs):
     got = textops.minhash_neardup_docs(
         docs, n_perm=64, n_bands=16, threshold=0.6, shingle_k=5
