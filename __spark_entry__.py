@@ -140,12 +140,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def b1_conversation_text(spark, sf):
         return reassemble.conversation_text(_transcripts(spark, sf))
 
-    def b2_detect_mentions(spark, sf):  # rows-only (regex spans)
-        return extract.detect_mentions(_transcripts(spark, sf), _gaz_pdf())
+    def b2_detect_mentions(spark, sf):
+        # full-span oracle: generator-intent golden mentions (exact char
+        # offsets, derived at generation time). Detected mentions are
+        # filtered to intended surfaces first — the generic hyphen branch
+        # also (rightly) flags hyphen tokens in noise text ("follow-up"),
+        # which are not generator intent.
+        fdir = _fixture_dir(sf)
+        men = extract.detect_mentions(_transcripts(spark, sf), _gaz_pdf())
+        gm = spark.read.parquet(os.path.join(fdir, "golden_mentions.parquet"))
+        return men.join(gm.select("surface").dropDuplicates(), "surface", "left_semi").select(
+            "conv_id", "turn_idx", "mention_id", "surface", "start", "end", "mtype"
+        )
 
     def b3_extract_triples(spark, sf):
         tri = extract.extract_triples(_transcripts(spark, sf), _gaz_pdf(), patterns_df())
         return tri.select("conv_id", "turn_idx", "subj", "pred", "obj").dropDuplicates()
+
+    def b3_streaming_extract(spark, sf):
+        # Structured Streaming parity: the SAME extraction operator run
+        # as a file-source stream (availableNow micro-batches, memory
+        # sink) must reproduce batch B3 exactly — oracle is the same
+        # generator-intent golden as b3_extract_triples.
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+        from kgforge.fixtures import patterns_df
+
+        src = os.path.join(_fixture_dir(sf), "transcripts.parquet")
+        d = tempfile.mkdtemp(prefix="kgforge_stream_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        st = streaming.stream_transcripts(spark, sdir)
+        tri = streaming.stream_triples(st, _gaz_pdf(), patterns_df())
+        name = "b3_stream_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(
+            tri.select("conv_id", "turn_idx", "subj", "pred", "obj"), name
+        )
+        return spark.table(name).dropDuplicates()
+
+    def dedup_simhash_pigeonhole(spark, sf):
+        # pigeonhole invariant of 4 x 16-bit banding: any pair within
+        # hamming distance 3 has >=1 intact band, so it can NEVER be
+        # missed by the candidate join — all-pairs hamming<=3 minus
+        # candidates must be empty (a banding/keying bug breaks this)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sim = textops.simhash_docs(docs)
+        a = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+        b = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+        close = (
+            a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .select("a", "b")
+        )
+        cands = textops.simhash_candidate_pairs(sim, max_hamming=64).select("a", "b")
+        return close.join(cands, ["a", "b"], "left_anti")
 
     def a3_bern_stats(spark, sf):
         g = _golden(spark, sf).select(
@@ -546,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_conversation_text": b1_conversation_text,
         "b2_detect_mentions": b2_detect_mentions,
         "b3_extract_triples": b3_extract_triples,
+        "b3_streaming_extract": b3_streaming_extract,
+        "dedup_simhash_pigeonhole": dedup_simhash_pigeonhole,
         "a3_bern_stats": a3_bern_stats,
         "b9_dense_ids": b9_dense_ids,
         "b10_id_triples": b10_id_triples,
@@ -896,8 +956,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY turn_idx, ts, role) AS text
             FROM {_TRANS} GROUP BY conv_id
         """,
+        "b2_detect_mentions": f"""
+            SELECT conv_id, turn_idx,
+                   conv_id || ':' || turn_idx || ':' || start AS mention_id,
+                   surface, start, "end", mtype
+            FROM read_parquet('{FIX01}/golden_mentions.parquet')
+        """,
         "b3_extract_triples": f"""
             SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD}
+        """,
+        "b3_streaming_extract": f"""
+            SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD}
+        """,
+        "dedup_simhash_pigeonhole": """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false
         """,
         "a3_bern_stats": f"""
             WITH t AS (SELECT pred AS r, subj_canon AS h, obj_canon AS t FROM {_GOLD}),

@@ -144,7 +144,7 @@ def gen_transcripts(
     hot_frac: float = 0.02,
     median_turns: int = 8,
     hot_factor: int = 40,
-) -> tuple[pd.DataFrame, pd.DataFrame]:
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     return gen_transcripts_range(0, n_convs, seed, hot_frac, median_turns, hot_factor)
 
 
@@ -156,15 +156,19 @@ def gen_transcripts_range(
     median_turns: int = 8,
     hot_factor: int = 40,
     unseen_frac: float = 0.06,
-) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Deterministic transcripts + golden triples.
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Deterministic transcripts + golden triples + golden mentions.
 
-    Returns ``(transcripts, golden)``:
+    Returns ``(transcripts, golden, mentions)``:
 
     * transcripts: ``conv_id, turn_idx, role, text, tool, ts`` — row order
       globally shuffled (stable re-ordering is actually exercised).
     * golden: ``conv_id, turn_idx, subj, pred, obj, subj_canon, obj_canon``
       — the generator's *intent*, the oracle for the P/R ≥ 0.95 gate.
+    * mentions: ``conv_id, turn_idx, surface, start, end, mtype`` — exact
+      character spans of every placed surface (generator intent for B2;
+      derived arithmetically from values already drawn, so adding it
+      changed no byte of transcripts/golden).
 
     ~``hot_frac`` of conversations are hot keys with ``hot_factor``× the
     median turn count (skew for AQE/salting demos, FIXTURES.md F1).
@@ -178,10 +182,12 @@ def gen_transcripts_range(
     """
     gaz = gazetteer()
     by_kind = _surfaces_by_kind(gaz)
+    mtype_of = dict(zip(gaz["surface"], gaz["mtype"]))
     base_ts = np.datetime64("2026-01-01T00:00:00", "us")
 
     t_rows: list[tuple] = []
     g_rows: list[tuple] = []
+    m_rows: list[tuple] = []
     for ci in range(conv_lo, conv_hi):
         rng = np.random.default_rng(seed * 1_000_003 + ci)
         conv_id = f"conv{ci:06d}"
@@ -199,6 +205,7 @@ def gen_transcripts_range(
                 role, tool = "user", None
 
             sentences: list[str] = []
+            turn_mentions: list[tuple[int, str, int]] = []  # (sent_idx, surface, rel_start)
             if role == "tool":
                 sentences.append(f"{tool}() returned {int(rng.integers(1, 9))} results.")
             else:
@@ -241,8 +248,30 @@ def gen_transcripts_range(
                         (conv_id, ti, s_surf, p.pred, o_surf,
                          s_row["canonical"], o_row["canonical"])
                     )
+                    # exact spans of the placed surfaces (generator intent
+                    # for B2) — pure arithmetic, no RNG draws
+                    si_ = len(sentences) - 1
+                    idx_s, idx_o = tmpl.index("{s}"), tmpl.index("{o}")
+                    if idx_s < idx_o:
+                        s_rel = len(pre) + idx_s
+                        o_rel = len(pre) + idx_o - 3 + len(s_surf)
+                    else:
+                        o_rel = len(pre) + idx_o
+                        s_rel = len(pre) + idx_s - 3 + len(o_surf)
+                    turn_mentions.append((si_, s_surf, s_rel))
+                    turn_mentions.append((si_, o_surf, o_rel))
             ts = base_ts + np.timedelta64(ci * 1440 + ti, "m")
             t_rows.append((conv_id, ti, role, " ".join(sentences), tool, ts))
+            if turn_mentions:
+                offs = np.concatenate(
+                    ([0], np.cumsum([len(s) + 1 for s in sentences[:-1]]))
+                ).astype(int)
+                for si_, surf, rel in turn_mentions:
+                    start = int(offs[si_]) + rel
+                    m_rows.append(
+                        (conv_id, ti, surf, start, start + len(surf),
+                         mtype_of.get(surf, "unknown"))
+                    )
 
     transcripts = pd.DataFrame(
         t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -258,7 +287,13 @@ def gen_transcripts_range(
         columns=["conv_id", "turn_idx", "subj", "pred", "obj", "subj_canon", "obj_canon"],
     ).drop_duplicates().reset_index(drop=True)
     golden["turn_idx"] = golden["turn_idx"].astype("int32")
-    return transcripts, golden
+    mentions = pd.DataFrame(
+        m_rows, columns=["conv_id", "turn_idx", "surface", "start", "end", "mtype"]
+    ).reset_index(drop=True)
+    mentions["turn_idx"] = mentions["turn_idx"].astype("int32")
+    mentions["start"] = mentions["start"].astype("int32")
+    mentions["end"] = mentions["end"].astype("int32")
+    return transcripts, golden, mentions
 
 
 # ---------------------------------------------------------------------------
@@ -401,10 +436,12 @@ _PARALLEL_TAGS = {"sf0.1": 4, "bench": 32}
 
 def _gen_part(args):
     lo, hi, seed, d = args
-    t, g = gen_transcripts_range(lo, hi, seed=seed)
+    t, g, m = gen_transcripts_range(lo, hi, seed=seed)
     t.to_parquet(os.path.join(d, "transcripts.parquet", f"part-{lo:08d}.parquet"),
                  index=False, row_group_size=32768)
     g.to_parquet(os.path.join(d, "golden_triples.parquet", f"part-{lo:08d}.parquet"),
+                 index=False)
+    m.to_parquet(os.path.join(d, "golden_mentions.parquet", f"part-{lo:08d}.parquet"),
                  index=False)
     return lo
 
@@ -533,11 +570,44 @@ def ensure_neardup_fixture(seed: int = SEED) -> str:
     return d
 
 
+def _backfill_mentions(d: str, tag: str, seed: int) -> None:
+    """Layout upgrade for pre-mentions fixture dirs: golden_mentions was
+    added in round 2 with zero new RNG draws, so regenerating it for an
+    existing dir reproduces exactly the mentions the committed
+    transcripts/golden were built with (they are byte-unchanged)."""
+    out = os.path.join(d, "golden_mentions.parquet")
+    if os.path.exists(out):
+        return
+    n_convs = TAG_SIZES[tag]
+    if tag in _PARALLEL_TAGS:
+        import multiprocessing as mp
+
+        os.makedirs(out, exist_ok=True)
+        n_parts = _PARALLEL_TAGS[tag]
+        step = (n_convs + n_parts - 1) // n_parts
+        jobs = [(lo, min(lo + step, n_convs), seed, d) for lo in range(0, n_convs, step)]
+        with mp.Pool(min(n_parts, os.cpu_count() or 8)) as pool:
+            pool.map(_gen_mentions_part, jobs)
+    else:
+        _, _, mentions = gen_transcripts(n_convs, seed=seed)
+        mentions.to_parquet(out, index=False)
+
+
+def _gen_mentions_part(args):
+    lo, hi, seed, d = args
+    _, _, m = gen_transcripts_range(lo, hi, seed=seed)
+    m.to_parquet(
+        os.path.join(d, "golden_mentions.parquet", f"part-{lo:08d}.parquet"), index=False
+    )
+    return lo
+
+
 def ensure_fixtures(tag: str, seed: int = SEED) -> str:
     """Idempotently materialize the fixture set for ``tag``; returns dir."""
     d = fixture_dir(tag)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
+        _backfill_mentions(d, tag, seed)
         return d
     os.makedirs(d, exist_ok=True)
     n_convs = TAG_SIZES[tag]
@@ -549,15 +619,17 @@ def ensure_fixtures(tag: str, seed: int = SEED) -> str:
         n_parts = _PARALLEL_TAGS[tag]
         os.makedirs(os.path.join(d, "transcripts.parquet"), exist_ok=True)
         os.makedirs(os.path.join(d, "golden_triples.parquet"), exist_ok=True)
+        os.makedirs(os.path.join(d, "golden_mentions.parquet"), exist_ok=True)
         step = (n_convs + n_parts - 1) // n_parts
         jobs = [(lo, min(lo + step, n_convs), seed, d) for lo in range(0, n_convs, step)]
         with mp.Pool(min(n_parts, os.cpu_count() or 8)) as pool:
             pool.map(_gen_part, jobs)
     else:
-        transcripts, golden = gen_transcripts(n_convs, seed=seed)
+        transcripts, golden, mentions = gen_transcripts(n_convs, seed=seed)
         transcripts.to_parquet(os.path.join(d, "transcripts.parquet"), index=False,
                                row_group_size=32768)
         golden.to_parquet(os.path.join(d, "golden_triples.parquet"), index=False)
+        mentions.to_parquet(os.path.join(d, "golden_mentions.parquet"), index=False)
     gazetteer().to_parquet(os.path.join(d, "gazetteer.parquet"), index=False)
     patterns_df().to_parquet(os.path.join(d, "patterns.parquet"), index=False)
     with open(marker, "w") as f:

@@ -15,7 +15,7 @@ def _pr(got: pd.DataFrame, want: pd.DataFrame, keys: list[str]) -> tuple[float, 
 
 
 def test_triple_extraction_pr_gate(spark):
-    t, golden = gen_transcripts(60)
+    t, golden, _m = gen_transcripts(60)
     df = spark.createDataFrame(t)
     got = extract_triples(df, gazetteer(), patterns_df()).toPandas()
     keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
@@ -25,7 +25,7 @@ def test_triple_extraction_pr_gate(spark):
 
 
 def test_mentions_cover_golden_arguments(spark):
-    t, golden = gen_transcripts(30)
+    t, golden, _m = gen_transcripts(30)
     df = spark.createDataFrame(t)
     m = detect_mentions(df, gazetteer()).toPandas()
     # every golden subject/object surface is detected on its turn
@@ -40,6 +40,20 @@ def test_mentions_cover_golden_arguments(spark):
     for _, r in sample.iterrows():
         txt = texts.loc[(r["conv_id"], r["turn_idx"])]
         assert txt[r["start"]:r["end"]] == r["surface"]
+
+
+def test_detected_mentions_match_golden_spans(spark):
+    """B2 vs generator intent: every intended mention is detected at its
+    exact character span (and nothing else matches intended surfaces)."""
+    t, _g, golden_m = gen_transcripts(40)
+    got = detect_mentions(spark.createDataFrame(t), gazetteer()).toPandas()
+    got = got[got["surface"].isin(set(golden_m["surface"]))]
+    key = ["conv_id", "turn_idx", "start"]
+    cols = ["conv_id", "turn_idx", "surface", "start", "end", "mtype"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True).astype({"start": "int32", "end": "int32"}),
+        golden_m[cols].sort_values(key).reset_index(drop=True),
+    )
 
 
 def test_trie_alternation_equals_flat_longest_first():
@@ -70,7 +84,7 @@ def test_trie_alternation_equals_flat_longest_first():
 
 
 def test_dedup_idempotent(spark):
-    t, _ = gen_transcripts(20)
+    t, _, _m = gen_transcripts(20)
     df = spark.createDataFrame(t)
     tri = extract_triples(df, gazetteer(), patterns_df())
     once = surface_triples_dedup(tri)

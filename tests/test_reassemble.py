@@ -10,7 +10,7 @@ from kgforge.stages.reassemble import conversation_text, conversations, ordered_
 
 
 def test_ordered_turns_recovers_generation_order(spark):
-    t, _ = gen_transcripts(30)
+    t, _, _m = gen_transcripts(30)
     df = spark.createDataFrame(t)  # rows arrive shuffled (generator shuffles)
     got = (
         ordered_turns(df)
@@ -27,7 +27,7 @@ def test_ordered_turns_recovers_generation_order(spark):
 
 
 def test_conversations_array_is_sorted(spark):
-    t, _ = gen_transcripts(10)
+    t, _, _m = gen_transcripts(10)
     df = spark.createDataFrame(t)
     convs = conversations(df).toPandas()
     assert (convs["n_turns"] > 0).all()
@@ -38,7 +38,7 @@ def test_conversations_array_is_sorted(spark):
 
 
 def test_conversation_text_matches_pandas_oracle(spark):
-    t, _ = gen_transcripts(10)
+    t, _, _m = gen_transcripts(10)
     df = spark.createDataFrame(t)
     got = conversation_text(df).toPandas().set_index("conv_id")["text"].to_dict()
     want = (
@@ -52,7 +52,7 @@ def test_conversation_text_matches_pandas_oracle(spark):
 
 def test_ordering_ignores_input_partitioning(spark):
     """Stable order is independent of physical row layout (repartition)."""
-    t, _ = gen_transcripts(15)
+    t, _, _m = gen_transcripts(15)
     df = spark.createDataFrame(t).repartition(7)
     a = conversation_text(df).toPandas().sort_values("conv_id").reset_index(drop=True)
     b = (

@@ -11,7 +11,7 @@ from kgforge.stages.extract import extract_triples
 
 
 def _stage_files(tmp_path, n_convs=25, parts=3):
-    t, _ = gen_transcripts(n_convs)
+    t, _, _m = gen_transcripts(n_convs)
     d = tmp_path / "in"
     d.mkdir()
     step = (len(t) + parts - 1) // parts
