@@ -548,7 +548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "rk"
         )
 
-    def mm_features(spark, sf):  # rows-only (stubbed decode)
+    def mm_features(spark, sf):
+        # decode is an honest deterministic fake (no codecs in sandbox);
+        # the ORACLE checks the structural contract — every media row
+        # produces a feature vector of the requested dimension with its
+        # id/kind preserved through the Arrow batch plumbing
         from kgforge.multimodal import extract_features, synth_media
 
         return extract_features(synth_media(spark, n=48), out_dim=16).select(
@@ -1120,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk_recall": """
             SELECT CAST(0.625 AS DOUBLE) AS recall_at_10
+        """,
+        "mm_features": """
+            SELECT printf('m%05d', x) AS media_id,
+                   CASE x % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(16 AS BIGINT) AS feat_dim
+            FROM range(48) t(x)
         """,
         "a7_transe_scores": _SQL_TRANSE,
         "a7_transe_scores_l2": _SQL_TRANSE.replace(
