@@ -187,6 +187,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return spark.table(name).dropDuplicates()
 
+    def str_windowed_triples(spark, sf):
+        # the streaming module's event-time tumbling-window aggregation,
+        # exercised on a batch frame (F.window is the same operator in
+        # both modes): golden triples joined to their turn timestamps,
+        # per-predicate counts in 10-minute windows. Oracle: DuckDB
+        # time_bucket (both engines align windows to the epoch).
+        from kgforge.streaming import windowed_triple_counts
+
+        g = _golden(spark, sf).select("conv_id", "turn_idx", "pred").dropDuplicates()
+        t = _transcripts(spark, sf).select("conv_id", "turn_idx", "ts")
+        tri = g.join(t, ["conv_id", "turn_idx"])
+        return windowed_triple_counts(tri).select(
+            "window_start", "pred", F.col("n_triples").cast("long").alias("n_triples")
+        )
+
     def dedup_simhash_pigeonhole(spark, sf):
         # pigeonhole invariant of 4 x 16-bit banding: any pair within
         # hamming distance 3 has >=1 intact band, so it can NEVER be
@@ -609,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_detect_mentions": b2_detect_mentions,
         "b3_extract_triples": b3_extract_triples,
         "b3_streaming_extract": b3_streaming_extract,
+        "str_windowed_triples": str_windowed_triples,
         "dedup_simhash_pigeonhole": dedup_simhash_pigeonhole,
         "a3_bern_stats": a3_bern_stats,
         "b9_dense_ids": b9_dense_ids,
@@ -974,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash_pigeonhole": """
             SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false
+        """,
+        "str_windowed_triples": f"""
+            WITH tri AS (
+                SELECT DISTINCT g.conv_id, g.turn_idx, g.pred, t.ts
+                FROM (SELECT DISTINCT conv_id, turn_idx, pred FROM {_GOLD}) g
+                JOIN {_TRANS} t
+                  ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx
+            )
+            SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, pred,
+                   CAST(count(*) AS BIGINT) AS n_triples
+            FROM tri GROUP BY 1, 2
         """,
         "a3_bern_stats": f"""
             WITH t AS (SELECT pred AS r, subj_canon AS h, obj_canon AS t FROM {_GOLD}),
