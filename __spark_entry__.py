@@ -563,6 +563,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "rk"
         )
 
+    def ann_ivf_topk(spark, sf):  # rows-only (approximate candidates)
+        from kgforge.fixtures import ensure_neardup_fixture
+
+        emb = spark.read.parquet(os.path.join(ensure_neardup_fixture(), "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(emb, q, k=10, n_clusters=16, nprobe=4).select(
+            "query_id", "neighbor_id", "rk"
+        )
+
+    def ann_ivf_topk_recall(spark, sf):
+        # IVF recall/compute dial, pinned: nprobe=4 of 16 clusters scans
+        # ~25% of the corpus for recall 0.6625; nprobe=n_clusters is
+        # exact (tested). Deterministic (seeded fixed-iteration k-means).
+        from kgforge.fixtures import ensure_neardup_fixture
+
+        emb = spark.read.parquet(os.path.join(ensure_neardup_fixture(), "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+        ivf = similarity.ivf_topk(emb, q, k=10, n_clusters=16, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            exact.agg(F.count("*").alias("_n"))
+            .crossJoin(hits.agg(F.count("*").alias("_h")))
+            .select(F.round(F.col("_h") / F.col("_n"), 6).alias("recall_at_10"))
+        )
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -668,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_neardup": ann_cosine_neardup,
         "ann_cosine_neardup_exact": ann_cosine_neardup_exact,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_topk_recall": ann_ivf_topk_recall,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -1151,6 +1185,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk_recall": """
             SELECT CAST(0.625 AS DOUBLE) AS recall_at_10
+        """,
+        "ann_ivf_topk_recall": """
+            SELECT CAST(0.6625 AS DOUBLE) AS recall_at_10
         """,
         "mm_features": """
             SELECT printf('m%05d', x) AS media_id,

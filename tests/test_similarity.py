@@ -70,6 +70,29 @@ def test_lsh_neardup_equals_exact_on_planted_fixture(spark):
     assert sim.cosine_neardup_pairs(emb, 0.9, method="auto").count() == 60
 
 
+def test_ivf_topk_recall_dial(spark):
+    """IVF: probing ALL inverted lists is exact (recall 1.0); recall is
+    monotone in nprobe; self is always rank 1 (its own list is probed)."""
+    from kgforge.fixtures import ensure_neardup_fixture
+    from kgforge.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{ensure_neardup_fixture()}/embeddings.parquet")
+    q = emb.where(emb.vec_id < 8).selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    n = exact.count()
+    recalls = []
+    for nprobe in (2, 8, 16):
+        ivf = ivf_topk(emb, q, k=10, n_clusters=16, nprobe=nprobe)
+        hits = exact.join(
+            ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        recalls.append(hits / n)
+        r1 = ivf.where(ivf.rk == 1).toPandas()
+        assert (r1["query_id"] == r1["neighbor_id"]).all()
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0  # nprobe == n_clusters -> exact
+
+
 def test_lsh_topk_recall(spark, emb):
     pdf = emb.toPandas()
     queries = [(int(r["vec_id"]), r["embedding"]) for _, r in pdf.head(10).iterrows()]
