@@ -105,8 +105,8 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         map(
             tuple,
             spark.read.parquet(os.path.join(work, "materialize", "triples"))
-            .toPandas()[["s", "p", "o"]]
-            .itertuples(index=False),
+            .toPandas()[["s", "p", "o", "part"]]  # incl. salted partition:
+            .itertuples(index=False),             # resume must reproduce layout
         )
     )
     pipe2.manifest.invalidate("link")
@@ -127,11 +127,11 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         map(
             tuple,
             spark.read.parquet(os.path.join(work, "materialize", "triples"))
-            .toPandas()[["s", "p", "o"]]
+            .toPandas()[["s", "p", "o", "part"]]
             .itertuples(index=False),
         )
     )
-    assert before == after
+    assert before == after  # data AND partition layout byte-identical
 
 
 def test_evaluate_gate_scores_constructed_kg(spark, run_dir):
