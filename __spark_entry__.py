@@ -218,7 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("a", "b")
         )
         cands = textops.simhash_candidate_pairs(sim, max_hamming=64).select("a", "b")
-        return close.join(cands, ["a", "b"], "left_anti")
+        missed = close.join(cands, ["a", "b"], "left_anti")
+        return (
+            close.agg(F.count("*").cast("long").alias("n_close_pairs"))
+            .crossJoin(missed.agg(F.count("*").cast("long").alias("n_missed")))
+        )
 
     def a3_bern_stats(spark, sf):
         g = _golden(spark, sf).select(
@@ -328,9 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_minhash_containment(spark, sf):
-        # exact char-5-Jaccard >= 0.5 doc pairs missing from the
-        # MinHash-LSH candidate set — must be empty (pairs on this corpus
-        # all sit at j >= 0.93 where banding recall is ~1-1e-10)
+        # exact char-5-Jaccard >= 0.5 doc pairs must ALL appear in the
+        # MinHash-LSH candidate set (pairs on this corpus sit at
+        # j >= 0.93 where banding recall is ~1-1e-10). The oracle
+        # recomputes n_exact_pairs independently with DuckDB list ops
+        # and expects n_missed = 0.
         from kgforge.stages.canonicalize import lsh_candidate_pairs, minhash_signatures
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -340,7 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_perm=64, k=5,
         )
         cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, max_bucket=100)
-        return exact.join(cands, ["a", "b"], "left_anti")
+        missed = exact.join(cands, ["a", "b"], "left_anti")
+        return (
+            exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+            .crossJoin(missed.agg(F.count("*").cast("long").alias("n_missed")))
+        )
 
     def ann_lsh_topk_recall(spark, sf):
         # LSH ANN quality as a pinned single-row metric: recall@10 of
@@ -1023,7 +1033,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD}
         """,
         "dedup_simhash_pigeonhole": """
-            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false
+            -- n_close_pairs is the deterministic hamming<=3 pair count of
+            -- the (seeded) simhash table on the sf0.01 corpus; n_missed=0
+            -- is the pigeonhole guarantee (4 x 16-bit bands)
+            SELECT CAST(16 AS BIGINT) AS n_close_pairs, CAST(0 AS BIGINT) AS n_missed
         """,
         "str_windowed_triples": f"""
             WITH tri AS (
@@ -1180,8 +1193,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_missed
             FROM p
         """,
-        "dedup_minhash_containment": """
-            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false
+        "dedup_minhash_containment": r"""
+            WITH n AS (SELECT doc_id, regexp_replace(lower(text), '[^\w]', '', 'g') AS s
+                       FROM documents),
+            sh AS (SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(s)-4,1)+1), i -> s[i:i+4])) AS g FROM n),
+            p AS (SELECT CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / (len(a.g)+len(b.g)-len(list_intersect(a.g, b.g))) AS j
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT CAST(count(*) FILTER (j >= 0.5) AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM p
         """,
         "ann_lsh_topk_recall": """
             SELECT CAST(0.625 AS DOUBLE) AS recall_at_10
