@@ -419,10 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = spark.createDataFrame(split["test2id"].head(20)[["h", "r"]])
         return ev.top_k_completions(spark, q, emb, k=10).select("h", "r", "candidate", "rk")
 
-    def _kernel_scores(spark, model):
+    def _kernel_scores(spark, model, norm=1):
         split, emb, _ = _openke_emb()
         test = spark.createDataFrame(split["test2id"])
-        return ev.score_triples(spark, test, emb, model=model, norm=1).select(
+        return ev.score_triples(spark, test, emb, model=model, norm=norm).select(
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
@@ -463,6 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def a10_transd_scores(spark, sf):
         return _kernel_scores(spark, "transd")
+
+    def a8_transh_scores_l2(spark, sf):
+        return _kernel_scores(spark, "transh", norm=2)
+
+    def a9_transr_scores_l2(spark, sf):
+        return _kernel_scores(spark, "transr", norm=2)
+
+    def a10_transd_scores_l2(spark, sf):
+        return _kernel_scores(spark, "transd", norm=2)
 
     def a6_training_batches(spark, sf):  # rows-only (counter-based RNG)
         from kgforge.sampling import training_batches
@@ -690,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_transh_scores": a8_transh_scores,
         "a9_transr_scores": a9_transr_scores,
         "a10_transd_scores": a10_transd_scores,
+        "a8_transh_scores_l2": a8_transh_scores_l2,
+        "a9_transr_scores_l2": a9_transr_scores_l2,
+        "a10_transd_scores_l2": a10_transd_scores_l2,
         "a21_incremental_training": a21_incremental_training,
         "a15_link_prediction_ranks": a15_link_prediction_ranks,
         "a15_constrained_ranks": a15_constrained_ranks,
@@ -1250,6 +1262,20 @@ def oracle_sql() -> dict[str, str]:
         "a8_transh_scores": _SQL_TRANSH,
         "a9_transr_scores": _SQL_TRANSR,
         "a10_transd_scores": _SQL_TRANSD,
+        # L2 halves of the kernel x norm matrix: only the final distance
+        # aggregator changes (inner projection sums are norm-independent)
+        "a8_transh_scores_l2": _SQL_TRANSH.replace(
+            "round(sum(abs((eh.val - d.dwh * w.val) + er.val\n                         - (et.val - d.dwt * w.val))), 9)",
+            "round(sqrt(sum(power((eh.val - d.dwh * w.val) + er.val\n                         - (et.val - d.dwt * w.val), 2))), 9)",
+        ),
+        "a9_transr_scores_l2": _SQL_TRANSR.replace(
+            "round(sum(abs(hr.hv + er.val - tr.tv)), 9)",
+            "round(sqrt(sum(power(hr.hv + er.val - tr.tv, 2))), 9)",
+        ),
+        "a10_transd_scores_l2": _SQL_TRANSD.replace(
+            "round(sum(abs((eh.val + dh.dot * rp.val) + er.val\n                         - (et.val + dt.dot * rp.val))), 9)",
+            "round(sqrt(sum(power((eh.val + dh.dot * rp.val) + er.val\n                         - (et.val + dt.dot * rp.val), 2))), 9)",
+        ),
         "a21_incremental_training": """
             -- structural contract of incremental training: after the
             -- second increment the entity table has grown 30 -> 40 rows
