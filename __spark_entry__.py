@@ -381,6 +381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, spark.createDataFrame(split["test2id"]), emb, known, model="transe", norm=1
         )
 
+    def a15_ranks_blocked(spark, sf):
+        # the |E|-beyond-broadcast escape hatch, live: relational
+        # block-nested-loop ranks — same oracle as the broadcast path
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known
+        )
+
     def a17_link_prediction_metrics(spark, sf):
         split, emb, known = _openke_emb()
         ranks = ev.link_prediction_ranks(
@@ -704,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_transd_scores_l2": a10_transd_scores_l2,
         "a21_incremental_training": a21_incremental_training,
         "a15_link_prediction_ranks": a15_link_prediction_ranks,
+        "a15_ranks_blocked": a15_ranks_blocked,
         "a15_constrained_ranks": a15_constrained_ranks,
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
         "a17_metrics_by_category": a17_metrics_by_category,
@@ -1112,6 +1121,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT * FROM read_parquet('{OKE}/train2id.parquet'))
         """,
         "a15_link_prediction_ranks": f"""
+            WITH {_RANK_CTES}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked": f"""
             WITH {_RANK_CTES}
             SELECT * FROM ranks
         """,

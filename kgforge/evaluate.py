@@ -22,9 +22,10 @@ The known-triple filter ships as two hash maps keyed ``(r, t) → {h}`` /
 Scale note: embeddings are model-parameter-sized (|E|·d floats), the
 same thing the reference holds on every worker via its parameter-server
 checkpoint — broadcasting them is the intended design, not a shortcut.
-For |E| beyond broadcast reach, the same ranks are computable with a
-block-nested-loop join (test-batch × entity-block) — documented escape
-hatch, not needed at fixture scale.
+For |E| beyond broadcast reach, :func:`link_prediction_ranks_blocked`
+computes the same ranks relationally (test-batch × entity-block JVM
+join, array-fold scoring in codegen, one aggregation) — built and
+equality-tested, contract-checked against the same oracle.
 """
 
 from __future__ import annotations
@@ -151,6 +152,87 @@ def link_prediction_ranks(
             yield res
 
     return test.select("h", "t", "r").mapInPandas(fn, RANKS_SCHEMA)
+
+
+def link_prediction_ranks_blocked(
+    spark: SparkSession,
+    test: DataFrame,
+    emb: dict[str, np.ndarray],
+    known: pd.DataFrame,
+    norm: int = 1,
+) -> DataFrame:
+    """A15/A16 scale path: block-nested-loop ranks, fully relational.
+
+    The broadcast-NumPy path (:func:`link_prediction_ranks`) holds the
+    whole |E|·d entity matrix on every Python worker — the right plan at
+    model-parameter scale, but an escape hatch is needed when |E| grows
+    beyond broadcast reach. Here the entity embeddings are a DataFrame
+    and candidates stream through a JVM join (test-batch × entity-block;
+    AQE partitions the product), scores are array folds inside codegen,
+    and ranks are one aggregation — nothing |E|-sized ever enters Python
+    or the driver. TransE; same protocol (strict <, raw + filtered).
+    Output is identical to the broadcast path (tested) — L1 scores of
+    float32 embeddings are exact in float64, so the two engines' fold
+    orders cannot disagree.
+    """
+    if norm != 1:
+        raise NotImplementedError("blocked eval ships L1; L2 needs rank rounding (see a15_ranks_l2)")
+
+    def _vec_df(mat: np.ndarray, name: str) -> DataFrame:
+        pdf = pd.DataFrame(
+            {"id": np.arange(mat.shape[0], dtype="int64"),
+             name: [[float(x) for x in row] for row in mat]}
+        )
+        return spark.createDataFrame(pdf)
+
+    ent = _vec_df(emb["ent"], "evec")
+    rel = _vec_df(emb["rel"], "rvec")
+
+    def l1(a, b, c):
+        """sum |a_k + b_k - c_k| as a codegen array fold."""
+        s = F.zip_with(a, b, lambda x, y: x + y)
+        d = F.zip_with(s, c, lambda x, y: x - y)
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+
+    # the true score (same for both directions): l1(hvec, rvec, tvec)
+    t = (
+        test.select("h", "t", "r")
+        .join(F.broadcast(rel.withColumnRenamed("id", "r")), "r")
+        .join(F.broadcast(ent.select(F.col("id").alias("h"), F.col("evec").alias("hvec"))), "h")
+        .join(F.broadcast(ent.select(F.col("id").alias("t"), F.col("evec").alias("tvec"))), "t")
+        .withColumn("s_head_true", l1(F.col("hvec"), F.col("rvec"), F.col("tvec")))
+        .withColumn("s_tail_true", F.col("s_head_true"))
+    )
+    known_df = spark.createDataFrame(known[["h", "t", "r"]].drop_duplicates())
+    kn_heads = known_df.select(F.col("h").alias("cand"), F.col("t"), F.col("r")).withColumn("_kh", F.lit(1))
+    kn_tails = known_df.select(F.col("h"), F.col("t").alias("cand"), F.col("r")).withColumn("_kt", F.lit(1))
+
+    cand = t.crossJoin(ent.select(F.col("id").alias("cand"), F.col("evec").alias("cvec")))
+    head_scored = (
+        cand.withColumn("s_cand", l1(F.col("cvec"), F.col("rvec"), F.col("tvec")))
+        .join(kn_heads, ["cand", "t", "r"], "left")
+        .withColumn("skip", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
+    )
+    head_ranks = head_scored.groupBy("h", "t", "r").agg(
+        (1 + F.sum((F.col("s_cand") < F.col("s_head_true")).cast("long"))).alias("rank_head_raw"),
+        (1 + F.sum(
+            ((F.col("s_cand") < F.col("s_head_true")) & ~F.coalesce("skip", F.lit(False))).cast("long")
+        )).alias("rank_head_filt"),
+    )
+    tail_scored = (
+        cand.withColumn("s_cand", l1(F.col("hvec"), F.col("rvec"), F.col("cvec")))
+        .join(kn_tails, ["cand", "h", "r"], "left")
+        .withColumn("skip", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
+    )
+    tail_ranks = tail_scored.groupBy("h", "t", "r").agg(
+        (1 + F.sum((F.col("s_cand") < F.col("s_tail_true")).cast("long"))).alias("rank_tail_raw"),
+        (1 + F.sum(
+            ((F.col("s_cand") < F.col("s_tail_true")) & ~F.coalesce("skip", F.lit(False))).cast("long")
+        )).alias("rank_tail_filt"),
+    )
+    return head_ranks.join(tail_ranks, ["h", "t", "r"]).select(
+        "h", "t", "r", "rank_head_raw", "rank_head_filt", "rank_tail_raw", "rank_tail_filt"
+    )
 
 
 def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
