@@ -389,6 +389,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, spark.createDataFrame(split["test2id"]), emb, known
         )
 
+    def a15_ranks_blocked_l2(spark, sf):
+        # blocked path, Euclidean scoring: ranks on 6-decimal-rounded
+        # scores in BOTH engines (L2 float sums are accumulation-order
+        # dependent; same recipe as a15_ranks_l2)
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            norm=2, score_decimals=6,
+        )
+
+    def a15_ranks_blocked_transh(spark, sf):
+        # blocked path with hyperplane projection as codegen array folds
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="transh", score_decimals=6,
+        )
+
+    def a15_ranks_blocked_transd(spark, sf):
+        # blocked path with rank-1 dynamic projection (per-entity dot
+        # table is itself relational — one |E|-sized pass, no driver)
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="transd", score_decimals=6,
+        )
+
+    def a15_ranks_blocked_from_parquet(spark, sf):
+        # A20 → blocked eval, end to end DataFrame-native: embeddings
+        # enter as Parquet (id, vec) tables and the known set as the
+        # union of the split parquets — zero data-sized driver pulls
+        # (the round-1/2 path built these from driver NumPy/pandas).
+        import tempfile
+
+        from kgforge.fixtures import gen_embeddings, gen_openke_split
+        from kgforge.io_openke import read_embedding_df, write_embeddings_parquet
+
+        split = gen_openke_split()
+        emb = gen_embeddings(n_ent=len(split["entity2id"]), n_rel=len(split["relation2id"]))
+        d = tempfile.mkdtemp(prefix="kgforge_a20_")
+        write_embeddings_parquet(spark, emb, d)
+        emb_dfs = {k: read_embedding_df(spark, d, k) for k in ("ent", "rel")}
+        known_df = (
+            _openke(spark, "train2id")
+            .unionByName(_openke(spark, "valid2id"))
+            .unionByName(_openke(spark, "test2id"))
+        )
+        return ev.link_prediction_ranks_blocked(
+            spark, _openke(spark, "test2id"), emb_dfs, known_df
+        )
+
+    def a15_ranks_relfilter(spark, sf):
+        # the B12 gate's path: broadcast raw ranks + relational known-
+        # filter correction (known is a DataFrame end to end) — must
+        # equal the broadcast-filter oracle exactly
+        split, emb, known = _openke_emb()
+        known_df = (
+            _openke(spark, "train2id")
+            .unionByName(_openke(spark, "valid2id"))
+            .unionByName(_openke(spark, "test2id"))
+        )
+        return ev.link_prediction_ranks_relfilter(
+            spark, spark.createDataFrame(split["test2id"]), emb, known_df
+        )
+
+    def a20_checkpoint_scores(spark, sf):
+        # A20 round-trip: save → load → score; f32 survives Parquet
+        # bit-identically, so the oracle is the same as a7_transe_scores
+        import tempfile
+
+        from kgforge.fixtures import gen_embeddings, gen_openke_split
+        from kgforge.io_openke import read_embeddings_parquet, write_embeddings_parquet
+
+        split = gen_openke_split()
+        emb = gen_embeddings(n_ent=len(split["entity2id"]), n_rel=len(split["relation2id"]))
+        d = tempfile.mkdtemp(prefix="kgforge_a20s_")
+        write_embeddings_parquet(spark, emb, d)
+        back = read_embeddings_parquet(spark, d)
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, back, model="transe", norm=1).select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a17_link_prediction_metrics(spark, sf):
         split, emb, known = _openke_emb()
         ranks = ev.link_prediction_ranks(
@@ -713,6 +796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_incremental_training": a21_incremental_training,
         "a15_link_prediction_ranks": a15_link_prediction_ranks,
         "a15_ranks_blocked": a15_ranks_blocked,
+        "a15_ranks_blocked_l2": a15_ranks_blocked_l2,
+        "a15_ranks_blocked_transh": a15_ranks_blocked_transh,
+        "a15_ranks_blocked_transd": a15_ranks_blocked_transd,
+        "a15_ranks_blocked_from_parquet": a15_ranks_blocked_from_parquet,
+        "a15_ranks_relfilter": a15_ranks_relfilter,
+        "a20_checkpoint_scores": a20_checkpoint_scores,
         "a15_constrained_ranks": a15_constrained_ranks,
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
         "a17_metrics_by_category": a17_metrics_by_category,
@@ -826,6 +915,146 @@ _RANK_CTES_L2 = _RANK_CTES.replace(
     "sum(abs(he.val + re.val - ce.val))",
     "round(sqrt(sum(power(he.val + re.val - ce.val, 2))), 6)",
 )
+
+# TransH rank protocol: hyperplane-projected scoring (e_perp = e − (w·e)w),
+# rounded to 6 decimals on BOTH engines — projection dots are f32×f32
+# product sums whose last ulp is accumulation-order dependent (same
+# rationale as the L2 variant; see link_prediction_ranks docstring).
+_RANK_CTES_TRANSH = f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  known AS ({_KNOWN}),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  norm AS (SELECT * FROM read_parquet('{OKE}/norm_long.parquet')),
+  wdot AS (
+    SELECT w.id AS r, e.id AS e, sum(w.val * e.val) AS dot
+    FROM norm w JOIN ent e ON e.k = w.k
+    GROUP BY w.id, e.id
+  ),
+  hs AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand,
+           round(sum(abs((ce.val - dc.dot * w.val) + re.val
+                         - (te.val - dt.dot * w.val))), 6) AS score
+    FROM test tt
+    JOIN norm w ON w.id = tt.r
+    JOIN rel re ON re.id = tt.r AND re.k = w.k
+    JOIN ent te ON te.id = tt.t AND te.k = w.k
+    JOIN ent ce ON ce.k = w.k
+    JOIN wdot dc ON dc.r = tt.r AND dc.e = ce.id
+    JOIN wdot dt ON dt.r = tt.r AND dt.e = tt.t
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  ts_ AS (SELECT h, t, r, score FROM hs WHERE cand = h),
+  head_rank AS (
+    SELECT hs.h, hs.t, hs.r,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score) AS rank_head_raw,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score AND k.h IS NULL) AS rank_head_filt
+    FROM hs
+    JOIN ts_ ON hs.h = ts_.h AND hs.t = ts_.t AND hs.r = ts_.r
+    LEFT JOIN known k ON k.h = hs.cand AND k.t = hs.t AND k.r = hs.r AND k.h <> hs.h
+    GROUP BY hs.h, hs.t, hs.r
+  ),
+  tsc AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand,
+           round(sum(abs((he.val - dh.dot * w.val) + re.val
+                         - (ce.val - dc.dot * w.val))), 6) AS score
+    FROM test tt
+    JOIN norm w ON w.id = tt.r
+    JOIN rel re ON re.id = tt.r AND re.k = w.k
+    JOIN ent he ON he.id = tt.h AND he.k = w.k
+    JOIN ent ce ON ce.k = w.k
+    JOIN wdot dh ON dh.r = tt.r AND dh.e = tt.h
+    JOIN wdot dc ON dc.r = tt.r AND dc.e = ce.id
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
+  tail_rank AS (
+    SELECT tsc.h, tsc.t, tsc.r,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score) AS rank_tail_raw,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score AND k.h IS NULL) AS rank_tail_filt
+    FROM tsc
+    JOIN tts ON tsc.h = tts.h AND tsc.t = tts.t AND tsc.r = tts.r
+    LEFT JOIN known k ON k.t = tsc.cand AND k.h = tsc.h AND k.r = tsc.r AND k.t <> tsc.t
+    GROUP BY tsc.h, tsc.t, tsc.r
+  ),
+  ranks AS (
+    SELECT head_rank.h, head_rank.t, head_rank.r,
+           rank_head_raw, rank_head_filt, rank_tail_raw, rank_tail_filt
+    FROM head_rank
+    JOIN tail_rank ON head_rank.h = tail_rank.h AND head_rank.t = tail_rank.t
+                  AND head_rank.r = tail_rank.r
+  )
+"""
+
+# TransD rank protocol: rank-1 dynamic projection e_perp = e + (e_p·e) r_p;
+# (e_p·e) depends only on the entity → one edot CTE, reused by both
+# directions. Rounded to 6 like TransH (product sums).
+_RANK_CTES_TRANSD = f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  known AS ({_KNOWN}),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  entp AS (SELECT * FROM read_parquet('{OKE}/entp_long.parquet')),
+  relp AS (SELECT * FROM read_parquet('{OKE}/relp_long.parquet')),
+  edot AS (
+    SELECT e.id, sum(p.val * e.val) AS dot
+    FROM ent e JOIN entp p ON p.id = e.id AND p.k = e.k
+    GROUP BY e.id
+  ),
+  hs AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand,
+           round(sum(abs((ce.val + dc.dot * rp.val) + re.val
+                         - (te.val + dt.dot * rp.val))), 6) AS score
+    FROM test tt
+    JOIN relp rp ON rp.id = tt.r
+    JOIN rel re ON re.id = tt.r AND re.k = rp.k
+    JOIN ent te ON te.id = tt.t AND te.k = rp.k
+    JOIN ent ce ON ce.k = rp.k
+    JOIN edot dc ON dc.id = ce.id
+    JOIN edot dt ON dt.id = tt.t
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  ts_ AS (SELECT h, t, r, score FROM hs WHERE cand = h),
+  head_rank AS (
+    SELECT hs.h, hs.t, hs.r,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score) AS rank_head_raw,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score AND k.h IS NULL) AS rank_head_filt
+    FROM hs
+    JOIN ts_ ON hs.h = ts_.h AND hs.t = ts_.t AND hs.r = ts_.r
+    LEFT JOIN known k ON k.h = hs.cand AND k.t = hs.t AND k.r = hs.r AND k.h <> hs.h
+    GROUP BY hs.h, hs.t, hs.r
+  ),
+  tsc AS (
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand,
+           round(sum(abs((he.val + dh.dot * rp.val) + re.val
+                         - (ce.val + dc.dot * rp.val))), 6) AS score
+    FROM test tt
+    JOIN relp rp ON rp.id = tt.r
+    JOIN rel re ON re.id = tt.r AND re.k = rp.k
+    JOIN ent he ON he.id = tt.h AND he.k = rp.k
+    JOIN ent ce ON ce.k = rp.k
+    JOIN edot dh ON dh.id = tt.h
+    JOIN edot dc ON dc.id = ce.id
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
+  tail_rank AS (
+    SELECT tsc.h, tsc.t, tsc.r,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score) AS rank_tail_raw,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score AND k.h IS NULL) AS rank_tail_filt
+    FROM tsc
+    JOIN tts ON tsc.h = tts.h AND tsc.t = tts.t AND tsc.r = tts.r
+    LEFT JOIN known k ON k.t = tsc.cand AND k.h = tsc.h AND k.r = tsc.r AND k.t <> tsc.t
+    GROUP BY tsc.h, tsc.t, tsc.r
+  ),
+  ranks AS (
+    SELECT head_rank.h, head_rank.t, head_rank.r,
+           rank_head_raw, rank_head_filt, rank_tail_raw, rank_tail_filt
+    FROM head_rank
+    JOIN tail_rank ON head_rank.h = tail_rank.h AND head_rank.t = tail_rank.t
+                  AND head_rank.r = tail_rank.r
+  )
+"""
 
 _CAT_CTE = f"""
   cat AS (
@@ -1128,6 +1357,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_RANK_CTES}
             SELECT * FROM ranks
         """,
+        "a15_ranks_blocked_l2": f"""
+            WITH {_RANK_CTES_L2}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_transh": f"""
+            WITH {_RANK_CTES_TRANSH}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_transd": f"""
+            WITH {_RANK_CTES_TRANSD}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_from_parquet": f"""
+            WITH {_RANK_CTES}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_relfilter": f"""
+            WITH {_RANK_CTES}
+            SELECT * FROM ranks
+        """,
+        "a20_checkpoint_scores": _SQL_TRANSE,
         "a15_constrained_ranks": f"""
             WITH {_RANK_CTES_CONSTRAINED}
             SELECT * FROM ranks

@@ -50,8 +50,15 @@ RANKS_SCHEMA = (
 )
 
 
-def _known_maps(known: pd.DataFrame) -> tuple[dict, dict]:
-    """(r, t) -> sorted np.array of known heads; (r, h) -> known tails."""
+def _known_maps(known: pd.DataFrame | None) -> tuple[dict, dict]:
+    """(r, t) -> sorted np.array of known heads; (r, h) -> known tails.
+
+    ``known=None`` → empty maps (raw-only ranking; the filtered columns
+    then equal the raw ones — used by :func:`link_prediction_ranks_relfilter`,
+    which applies the known-filter relationally instead).
+    """
+    if known is None or not len(known):
+        return {}, {}
     heads: dict[tuple[int, int], np.ndarray] = {
         k: np.unique(g["h"].to_numpy()) for k, g in known.groupby(["r", "t"])
     }
@@ -65,7 +72,7 @@ def link_prediction_ranks(
     spark: SparkSession,
     test: DataFrame,
     emb: dict[str, np.ndarray],
-    known: pd.DataFrame,
+    known: pd.DataFrame | None,
     model: str = "transe",
     norm: int = 1,
     constraints: tuple[dict[int, np.ndarray], dict[int, np.ndarray]] | None = None,
@@ -154,12 +161,93 @@ def link_prediction_ranks(
     return test.select("h", "t", "r").mapInPandas(fn, RANKS_SCHEMA)
 
 
+def _mat_to_vec_df(spark: SparkSession, mat: np.ndarray, col: str = "vec") -> DataFrame:
+    """``[n, d]`` NumPy → ``(id, vec array<double>)`` DataFrame.
+
+    Test/fixture convenience only — the scale path reads ``(id, vec)``
+    straight from a Parquet checkpoint (:func:`kgforge.io_openke.
+    read_embedding_df`), never through the driver."""
+    mat = np.asarray(mat, dtype="float64")
+    pdf = pd.DataFrame(
+        {"id": np.arange(mat.shape[0], dtype="int64"), col: list(map(list, mat))}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _emb_dfs(spark: SparkSession, emb) -> dict[str, DataFrame]:
+    """Normalize an embeddings argument to ``(id, vec array<double>)``
+    DataFrames per component. Accepts a NumPy dict (fixtures/tests) or a
+    dict of DataFrames (Parquet-backed — the beyond-broadcast path);
+    float vecs are upcast to double so array folds accumulate in f64
+    (L1 of f32 inputs is then exact — rank parity with the f64 oracles).
+    """
+    out: dict[str, DataFrame] = {}
+    for key, v in emb.items():
+        if isinstance(v, DataFrame):
+            out[key] = v.select(
+                F.col("id").cast("long").alias("id"),
+                F.transform("vec", lambda x: x.cast("double")).alias("vec"),
+            )
+        elif key != "mat":  # TransR matrices are not array-fold-expressible
+            out[key] = _mat_to_vec_df(spark, v)
+    return out
+
+
+def _fold_dist(d, norm: int, score_decimals: int | None):
+    """Distance of a difference array as a codegen fold (L1 or L2)."""
+    if norm == 1:
+        s = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    else:
+        s = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.round(s, score_decimals) if score_decimals is not None else s
+
+
+def _vdot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_score(
+    df: DataFrame, model: str, norm: int, score_decimals: int | None,
+    a: str, b: str, out: str,
+) -> DataFrame:
+    """Add ``out`` = model score of (``a`` + r − ``b``) computed as
+    array folds in whole-stage codegen. ``df`` must carry ``rvec`` and
+    the model's extras (``wvec`` for TransH; ``rpvec`` + ``{a,b}_pdot``
+    for TransD). Projection dots are materialized as columns first so
+    the zip_with lambdas reference a plain column, not a nested fold
+    (Spark re-evaluates interpreted higher-order exprs per reference)."""
+    tmp = []
+    if model == "transe":
+        pa, pb = F.col(a), F.col(b)
+    elif model == "transh":
+        da, db = f"_d_{a}", f"_d_{b}"
+        df = df.withColumn(da, _vdot(F.col("wvec"), F.col(a))).withColumn(
+            db, _vdot(F.col("wvec"), F.col(b))
+        )
+        tmp = [da, db]
+        pa = F.zip_with(F.col(a), F.col("wvec"), lambda x, y: x - F.col(da) * y)
+        pb = F.zip_with(F.col(b), F.col("wvec"), lambda x, y: x - F.col(db) * y)
+    elif model == "transd":
+        pa = F.zip_with(F.col(a), F.col("rpvec"), lambda x, y: x + F.col(f"{a}_pdot") * y)
+        pb = F.zip_with(F.col(b), F.col("rpvec"), lambda x, y: x + F.col(f"{b}_pdot") * y)
+    else:
+        raise NotImplementedError(
+            f"blocked eval supports transe/transh/transd; {model!r} needs per-relation "
+            "matrices (use the broadcast path or link_prediction_ranks_relfilter)"
+        )
+    s = F.zip_with(pa, F.col("rvec"), lambda x, y: x + y)
+    d = F.zip_with(s, pb, lambda x, y: x - y)
+    return df.withColumn(out, _fold_dist(d, norm, score_decimals)).drop(*tmp)
+
+
 def link_prediction_ranks_blocked(
     spark: SparkSession,
     test: DataFrame,
-    emb: dict[str, np.ndarray],
-    known: pd.DataFrame,
+    emb,
+    known,
     norm: int = 1,
+    model: str = "transe",
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """A15/A16 scale path: block-nested-loop ranks, fully relational.
 
@@ -170,46 +258,69 @@ def link_prediction_ranks_blocked(
     and candidates stream through a JVM join (test-batch × entity-block;
     AQE partitions the product), scores are array folds inside codegen,
     and ranks are one aggregation — nothing |E|-sized ever enters Python
-    or the driver. TransE; same protocol (strict <, raw + filtered).
-    Output is identical to the broadcast path (tested) — L1 scores of
-    float32 embeddings are exact in float64, so the two engines' fold
-    orders cannot disagree.
+    or the driver.
+
+    ``emb``: dict of ``(id, vec)`` DataFrames (Parquet-backed — the
+    intended ingestion at beyond-broadcast |E|; see ``io_openke.
+    read_embedding_df``) or a NumPy dict (tests/fixtures convenience).
+    ``known``: triples DataFrame (scale path) or pandas (convenience).
+    Models: TransE/TransH/TransD, L1 + L2; TransR needs per-relation
+    matrices — matmul is not an array fold, so it stays on the broadcast
+    path / :func:`link_prediction_ranks_relfilter` (documented gap).
+
+    Same protocol (strict <, raw + filtered); output is identical to the
+    broadcast path (tested). L1 TransE scores of float32 embeddings are
+    exact in float64 so fold order cannot disagree; L2 and the projected
+    models carry products (order-dependent last ulp) — pass
+    ``score_decimals`` (6) to rank on rounded scores, mirroring
+    ``a15_ranks_l2`` semantics.
     """
-    if norm != 1:
-        raise NotImplementedError("blocked eval ships L1; L2 needs rank rounding (see a15_ranks_l2)")
+    dfs = _emb_dfs(spark, emb)
+    ent = dfs["ent"].select("id", F.col("vec").alias("evec"))
+    rel = dfs["rel"].select("id", F.col("vec").alias("rvec"))
 
-    def _vec_df(mat: np.ndarray, name: str) -> DataFrame:
-        pdf = pd.DataFrame(
-            {"id": np.arange(mat.shape[0], dtype="int64"),
-             name: [[float(x) for x in row] for row in mat]}
-        )
-        return spark.createDataFrame(pdf)
-
-    ent = _vec_df(emb["ent"], "evec")
-    rel = _vec_df(emb["rel"], "rvec")
-
-    def l1(a, b, c):
-        """sum |a_k + b_k - c_k| as a codegen array fold."""
-        s = F.zip_with(a, b, lambda x, y: x + y)
-        d = F.zip_with(s, c, lambda x, y: x - y)
-        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + F.abs(x))
-
-    # the true score (same for both directions): l1(hvec, rvec, tvec)
+    # model extras: per-relation vectors are broadcast-joined onto the
+    # test side; TransD per-entity projection dots are one |E|-sized
+    # relational pass (edot), reused by both directions.
     t = (
         test.select("h", "t", "r")
         .join(F.broadcast(rel.withColumnRenamed("id", "r")), "r")
         .join(F.broadcast(ent.select(F.col("id").alias("h"), F.col("evec").alias("hvec"))), "h")
         .join(F.broadcast(ent.select(F.col("id").alias("t"), F.col("evec").alias("tvec"))), "t")
-        .withColumn("s_head_true", l1(F.col("hvec"), F.col("rvec"), F.col("tvec")))
-        .withColumn("s_tail_true", F.col("s_head_true"))
     )
-    known_df = spark.createDataFrame(known[["h", "t", "r"]].drop_duplicates())
+    cand_ent = ent.select(F.col("id").alias("cand"), F.col("evec").alias("cvec"))
+    if model == "transh":
+        w = dfs["norm"].select(F.col("id").alias("r"), F.col("vec").alias("wvec"))
+        t = t.join(F.broadcast(w), "r")
+    elif model == "transd":
+        rp = dfs["rel_p"].select(F.col("id").alias("r"), F.col("vec").alias("rpvec"))
+        edot = (
+            dfs["ent"]
+            .join(dfs["ent_p"].select("id", F.col("vec").alias("pvec")), "id")
+            .select("id", _vdot(F.col("pvec"), F.col("vec")).alias("pdot"))
+        )
+        t = (
+            t.join(F.broadcast(rp), "r")
+            .join(F.broadcast(edot.select(F.col("id").alias("h"), F.col("pdot").alias("hvec_pdot"))), "h")
+            .join(F.broadcast(edot.select(F.col("id").alias("t"), F.col("pdot").alias("tvec_pdot"))), "t")
+        )
+        cand_ent = cand_ent.join(
+            edot.select(F.col("id").alias("cand"), F.col("pdot").alias("cvec_pdot")), "cand"
+        )
+    t = _with_score(t, model, norm, score_decimals, "hvec", "tvec", "s_head_true").withColumn(
+        "s_tail_true", F.col("s_head_true")
+    )
+
+    if isinstance(known, pd.DataFrame):
+        known_df = spark.createDataFrame(known[["h", "t", "r"]].drop_duplicates())
+    else:
+        known_df = known.select("h", "t", "r").dropDuplicates()
     kn_heads = known_df.select(F.col("h").alias("cand"), F.col("t"), F.col("r")).withColumn("_kh", F.lit(1))
     kn_tails = known_df.select(F.col("h"), F.col("t").alias("cand"), F.col("r")).withColumn("_kt", F.lit(1))
 
-    cand = t.crossJoin(ent.select(F.col("id").alias("cand"), F.col("evec").alias("cvec")))
+    cand = t.crossJoin(cand_ent)
     head_scored = (
-        cand.withColumn("s_cand", l1(F.col("cvec"), F.col("rvec"), F.col("tvec")))
+        _with_score(cand, model, norm, score_decimals, "cvec", "tvec", "s_cand")
         .join(kn_heads, ["cand", "t", "r"], "left")
         .withColumn("skip", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
     )
@@ -220,7 +331,7 @@ def link_prediction_ranks_blocked(
         )).alias("rank_head_filt"),
     )
     tail_scored = (
-        cand.withColumn("s_cand", l1(F.col("hvec"), F.col("rvec"), F.col("cvec")))
+        _with_score(cand, model, norm, score_decimals, "hvec", "cvec", "s_cand")
         .join(kn_tails, ["cand", "h", "r"], "left")
         .withColumn("skip", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
     )
@@ -232,6 +343,80 @@ def link_prediction_ranks_blocked(
     )
     return head_ranks.join(tail_ranks, ["h", "t", "r"]).select(
         "h", "t", "r", "rank_head_raw", "rank_head_filt", "rank_tail_raw", "rank_tail_filt"
+    )
+
+
+def link_prediction_ranks_relfilter(
+    spark: SparkSession,
+    test: DataFrame,
+    emb: dict[str, np.ndarray],
+    known: DataFrame,
+    model: str = "transe",
+    norm: int = 1,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """A15/A16 with a **relational** known-triple filter — works for all
+    four models and a data-sized known set.
+
+    The broadcast path ships the full known set as driver-built hash
+    maps — fine for dictionary-scale splits, a "collect() on data-sized
+    inputs" violation when the known set is a corpus-derived KG (the B12
+    gate's case). Decomposition: raw ranks need only the (model-
+    parameter-sized, broadcast) embeddings; the filtered rank is then
+
+        rank_filt = rank_raw − |{known cand ≠ true : score(cand) < score(true)}|
+
+    and that correction is a join: known triples sharing the test
+    triple's (r, t) (head side) / (r, h) (tail side) are the only
+    candidates the filter can ever skip, so score exactly those few
+    rows with the same kernel and subtract. ``known`` is a DataFrame end
+    to end — nothing data-sized touches the driver. Output is identical
+    to :func:`link_prediction_ranks` (tested for every model × norm).
+    """
+    raw = link_prediction_ranks(
+        spark, test, emb, None, model=model, norm=norm, score_decimals=score_decimals
+    ).select("h", "t", "r", "rank_head_raw", "rank_tail_raw")
+
+    s_true = score_triples(
+        spark, test.select("h", "t", "r").dropDuplicates(), emb, model=model, norm=norm
+    ).withColumnRenamed("score", "s_true")
+    if score_decimals is not None:
+        s_true = s_true.withColumn("s_true", F.round("s_true", score_decimals))
+    known = known.select("h", "t", "r")
+
+    def _corr(side: str) -> DataFrame:
+        # candidates the filter skips: known triples sharing the fixed
+        # (r, other-entity) key, excluding the true entity itself
+        var = "h" if side == "head" else "t"     # the corrupted slot
+        fix = "t" if side == "head" else "h"     # the fixed slot
+        kn = known.select(F.col(var).alias("cand"), fix, "r").dropDuplicates()
+        cand = (
+            s_true.join(kn, [fix, "r"])
+            .where(F.col("cand") != F.col(var))
+            .select(
+                F.col(var).alias("_true_e"), F.col(fix), F.col("r"), "s_true",
+                F.col("cand").alias(var),
+            )
+        )
+        scored = score_triples(spark, cand, emb, model=model, norm=norm)
+        if score_decimals is not None:
+            scored = scored.withColumn("score", F.round("score", score_decimals))
+        return (
+            scored.where(F.col("score") < F.col("s_true"))
+            .groupBy(F.col("_true_e").alias(var), F.col(fix), F.col("r"))
+            .agg(F.count("*").alias(f"_corr_{side}"))
+        )
+
+    return (
+        raw.join(_corr("head"), ["h", "t", "r"], "left")
+        .join(_corr("tail"), ["h", "t", "r"], "left")
+        .select(
+            "h", "t", "r",
+            "rank_head_raw",
+            (F.col("rank_head_raw") - F.coalesce("_corr_head", F.lit(0))).alias("rank_head_filt"),
+            "rank_tail_raw",
+            (F.col("rank_tail_raw") - F.coalesce("_corr_tail", F.lit(0))).alias("rank_tail_filt"),
+        )
     )
 
 

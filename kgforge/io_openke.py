@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,6 +109,71 @@ def read_type_constraint(path: str) -> tuple[dict[int, list[int]], dict[int, lis
             r2, cnt = int(parts[0]), int(parts[1])
             ranges[r2] = [int(x) for x in parts[2:2 + cnt]]
     return domains, ranges
+
+
+# -- A20: embedding checkpoint (Parquet (id, vec) tables) --------------------
+
+#: checkpoint component tables. ``mat`` (TransR [|R|, d_r, d_e]) is stored
+#: row-major flattened with its dims in meta.json.
+EMB_COMPONENTS = ("ent", "rel", "norm", "mat", "ent_p", "rel_p")
+
+
+def write_embeddings_parquet(spark: SparkSession, emb: dict, out_dir: str) -> None:
+    """A20 parameter export: NumPy embedding dict → Parquet ``(id,
+    vec array<float>)`` tables, one per component (SURVEY.md §2 A20:
+    "Parquet write/read of (id, vec) tables").
+
+    Embeddings are model-parameter-sized (the same thing the reference
+    checkpoints from its parameter server), so a driver-side write is
+    the intended design; the *readers* below serve both regimes — NumPy
+    for the broadcast eval path, ``(id, vec)`` DataFrames for the
+    beyond-broadcast blocked path. float32 round-trips bit-identical
+    (f32 → f64 python floats → f32 parquet is exact).
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    dims = {}
+    for key in EMB_COMPONENTS:
+        if key not in emb:
+            continue
+        mat = np.asarray(emb[key])
+        dims[key] = list(mat.shape)
+        flat = mat.reshape(mat.shape[0], -1).astype("float32")
+        pdf = pd.DataFrame(
+            {"id": np.arange(flat.shape[0], dtype="int64"), "vec": list(map(list, flat))}
+        )
+        spark.createDataFrame(pdf, "id long, vec array<float>").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, key))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"dims": dims}, f, indent=1, sort_keys=True)
+
+
+def read_embedding_df(spark: SparkSession, in_dir: str, component: str) -> DataFrame:
+    """A20 scale-path import: one checkpoint component as an ``(id, vec)``
+    DataFrame — feed this straight to ``link_prediction_ranks_blocked``;
+    the embeddings never pass through the driver."""
+    return spark.read.parquet(os.path.join(in_dir, component))
+
+
+def read_embeddings_parquet(spark: SparkSession, in_dir: str) -> dict[str, np.ndarray]:
+    """A20 import for the broadcast path: checkpoint → NumPy dict,
+    reshaped per meta.json. Parameter-sized by design (|E|·d floats)."""
+    import json
+
+    with open(os.path.join(in_dir, "meta.json")) as f:
+        dims = json.load(f)["dims"]
+    out: dict[str, np.ndarray] = {}
+    for key, shape in dims.items():
+        pdf = (
+            read_embedding_df(spark, in_dir, key)
+            .orderBy("id")
+            .toPandas()  # parameter-sized: n_rows = |E| or |R|, not data-sized
+        )
+        assert (pdf["id"].to_numpy() == np.arange(len(pdf))).all(), f"non-dense ids in {key}"
+        out[key] = np.array(pdf["vec"].tolist(), dtype="float32").reshape(shape)
+    return out
 
 
 # -- distributed writer (scale path: triple exports can be huge) ------------

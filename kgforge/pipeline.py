@@ -49,6 +49,7 @@ class Pipeline:
         resume: bool = False,
         embeddings_seed: int = 42,
         dense_ids_impl: str = "sort",
+        embeddings_path: str | None = None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -60,13 +61,20 @@ class Pipeline:
         self.out_partitions = out_partitions
         self.resume = resume
         self.embeddings_seed = embeddings_seed
+        self.embeddings_path = embeddings_path
         if dense_ids_impl not in ("sort", "two_phase"):
             raise ValueError(dense_ids_impl)
         self.dense_ids_impl = dense_ids_impl
         os.makedirs(work_dir, exist_ok=True)
         self.manifest = Manifest(work_dir)
         self.cfg_fp = fingerprint_config(
-            {"model": model, "norm": norm, "out_partitions": out_partitions}
+            {
+                "model": model,
+                "norm": norm,
+                "out_partitions": out_partitions,
+                "embeddings_seed": embeddings_seed,
+                "embeddings_path": embeddings_path or "",
+            }
         )
         self.timings: dict[str, float] = {}
 
@@ -195,6 +203,18 @@ class Pipeline:
         r2id = did(pats.select(F.col("pred").alias("name")))
         _write(e2id, os.path.join(self._out("dicts"), "entity2id"), 1)
         _write(r2id, os.path.join(self._out("dicts"), "relation2id"), 1)
+        # A20: the model parameters the link/eval stages score with live
+        # in a Parquet (id, vec) checkpoint. A trained checkpoint
+        # (training.train* → io_openke.write_embeddings_parquet) plugs in
+        # via embeddings_path; otherwise seeded frozen embeddings sized
+        # to the dictionaries are generated once and checkpointed here —
+        # either way downstream stages READ the same format.
+        if self.embeddings_path is None:
+            e2, r2 = self._dicts()
+            emb = fixtures.gen_embeddings(
+                n_ent=e2.count(), n_rel=r2.count(), dim=16, seed=self.embeddings_seed
+            )
+            io_openke.write_embeddings_parquet(self.spark, emb, self._emb_dir())
         return {}
 
     def _dicts(self):
@@ -204,20 +224,20 @@ class Pipeline:
             self.spark.read.parquet(os.path.join(d, "relation2id")),
         )
 
-    def _embeddings(self, e2id, r2id) -> dict[str, np.ndarray]:
-        """Frozen link-scoring embeddings sized to the dictionaries.
+    def _emb_dir(self) -> str:
+        return self.embeddings_path or os.path.join(self.work, "embeddings")
 
-        Stand-in for a trained OpenKE checkpoint import (A20) — seeded so
-        runs are reproducible; swap with ``io_openke`` checkpoint load in
-        production."""
-        n_ent = e2id.count()
-        n_rel = r2id.count()
-        return fixtures.gen_embeddings(n_ent=n_ent, n_rel=n_rel, dim=16, seed=self.embeddings_seed)
+    def _embeddings(self) -> dict[str, np.ndarray]:
+        """Link-scoring parameters from the A20 Parquet checkpoint
+        (written by stage_dicts, or an external trained checkpoint via
+        ``embeddings_path``). NumPy load is parameter-sized by design —
+        the same matrices get broadcast to every worker anyway."""
+        return io_openke.read_embeddings_parquet(self.spark, self._emb_dir())
 
     def stage_link(self) -> dict:
         tri = self.spark.read.parquet(os.path.join(self._out("extract"), "triples"))
         e2id, r2id = self._dicts()
-        emb = self._embeddings(e2id, r2id)
+        emb = self._embeddings()
         # the alias dictionary is the canonicalize stage's CC output —
         # B7/B8 are load-bearing, not decorative
         linked = link.link_triples(
@@ -255,13 +275,15 @@ class Pipeline:
 
         A deterministic content-hash bucket of the materialized triples
         (~10%, capped at 500, ordered take) is ranked against the full
-        entity dictionary with the same frozen embeddings the link stage
-        scored with — so a regression anywhere upstream (extraction,
-        canonicalization, dense ids, materialization) moves
+        entity dictionary with the same checkpointed embeddings the link
+        stage scored with — so a regression anywhere upstream
+        (extraction, canonicalization, dense ids, materialization) moves
         ``eval_metrics.json``, and the stage's manifest dependency on
         materialize is real. The known-triple filter is the materialized
-        set itself (distinct canonical triples; for corpus-scale KGs
-        sample the gate input rather than lifting the cap).
+        set itself, consumed **relationally** (``link_prediction_ranks_
+        relfilter`` joins the known DataFrame; the gate never collects
+        the KG to the driver — only the ≤500-row test sample and the
+        final one-row metrics land there).
         """
         from . import evaluate as ev
 
@@ -272,12 +294,10 @@ class Pipeline:
         test = tri.where(bucket == F.lit(9)).orderBy("h", "t", "r").limit(500)
         if test.isEmpty():  # tiny KGs: gate on everything
             test = tri.orderBy("h", "t", "r").limit(500)
-        e2id, r2id = self._dicts()
-        emb = self._embeddings(e2id, r2id)
-        known = tri.toPandas()
-        ranks = ev.link_prediction_ranks(
-            self.spark, test, emb, known, model=self.model, norm=self.norm
-        )
+        emb = self._embeddings()
+        ranks = ev.link_prediction_ranks_relfilter(
+            self.spark, test, emb, tri, model=self.model, norm=self.norm
+        ).localCheckpoint()  # ≤500 rows; one execution feeds metrics + count
         metrics = ev.link_prediction_metrics(ranks).toPandas().iloc[0].to_dict()
         metrics["n_gate_triples"] = int(ranks.count())
         with open(os.path.join(self.work, "eval_metrics.json"), "w") as f:
@@ -293,9 +313,9 @@ class Pipeline:
             "extract": [self._out("reassemble"), self.gazetteer_path, self.patterns_path],
             "canonicalize": [self._out("extract"), self.gazetteer_path],
             "dicts": [self._out("canonicalize"), self.patterns_path],
-            "link": [self._out("extract"), self._out("dicts"), self._out("canonicalize")],
+            "link": [self._out("extract"), self._out("dicts"), self._out("canonicalize"), self._emb_dir()],
             "materialize": [self._out("link"), self._out("dicts")],
-            "evaluate": [self._out("materialize")],
+            "evaluate": [self._out("materialize"), self._emb_dir()],
         }
         for s in stages:
             self._run_stage(s, deps[s], getattr(self, f"stage_{s}"))

@@ -30,6 +30,11 @@ def main() -> int:
     ap.add_argument("--model", default="transe", choices=["transe", "transh", "transr", "transd"])
     ap.add_argument("--norm", type=int, default=1, choices=[1, 2])
     ap.add_argument("--out-partitions", type=int, default=16)
+    ap.add_argument(
+        "--embeddings-path", default=None,
+        help="A20 Parquet embedding checkpoint dir (io_openke.write_embeddings_parquet "
+             "layout); default: seeded frozen embeddings checkpointed under work-dir",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--stages", default=None, help="comma-separated subset")
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
@@ -80,6 +85,7 @@ def main() -> int:
         norm=args.norm,
         out_partitions=args.out_partitions,
         resume=args.resume,
+        embeddings_path=args.embeddings_path,
     )
     report = pipe.run(stages)
     print(json.dumps(report, indent=1, default=str))

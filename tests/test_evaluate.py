@@ -96,6 +96,111 @@ def test_topk_matches_bruteforce(spark):
         assert list(grp.sort_values("rk")["candidate"]) == list(want)
 
 
+BLOCKED_CASES = [
+    ("transe", 1, None),
+    ("transe", 2, 6),
+    ("transh", 1, 6),
+    ("transh", 2, 6),
+    ("transd", 1, 6),
+    ("transd", 2, 6),
+]
+
+
+@pytest.mark.parametrize("model,norm,dec", BLOCKED_CASES)
+def test_blocked_ranks_equal_broadcast(spark, model, norm, dec):
+    """The relational block-nested-loop path must reproduce the broadcast
+    protocol for every supported model × norm (score_decimals rounds
+    both engines identically where float sums are order-dependent)."""
+    from kgforge.evaluate import link_prediction_ranks_blocked
+
+    test = spark.createDataFrame(SPLIT["test2id"].head(12))
+    key = ["h", "t", "r"]
+    a = (
+        link_prediction_ranks(spark, test, EMB, KNOWN, model=model, norm=norm, score_decimals=dec)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        link_prediction_ranks_blocked(
+            spark, test, EMB, KNOWN, norm=norm, model=model, score_decimals=dec
+        ).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_blocked_ranks_transr_raises(spark):
+    from kgforge.evaluate import link_prediction_ranks_blocked
+
+    with pytest.raises(NotImplementedError):
+        link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(SPLIT["test2id"].head(2)), EMB, KNOWN, model="transr"
+        ).collect()
+
+
+def test_blocked_ranks_from_parquet_checkpoint(spark, tmp_path):
+    """A20 + blocked eval end to end: embeddings and the known set enter
+    as Parquet-backed DataFrames — zero data-sized driver pulls."""
+    from kgforge.evaluate import link_prediction_ranks_blocked
+    from kgforge.io_openke import read_embedding_df, write_embeddings_parquet
+
+    d = str(tmp_path / "ckpt")
+    write_embeddings_parquet(spark, EMB, d)
+    emb_dfs = {k: read_embedding_df(spark, d, k) for k in ("ent", "rel")}
+    known_df = spark.createDataFrame(KNOWN[["h", "t", "r"]])
+    test = spark.createDataFrame(SPLIT["test2id"].head(12))
+    key = ["h", "t", "r"]
+    a = (
+        link_prediction_ranks(spark, test, EMB, KNOWN)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        link_prediction_ranks_blocked(spark, test, emb_dfs, known_df)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("model,norm", [("transe", 1), ("transh", 1), ("transr", 1), ("transd", 2)])
+def test_relfilter_ranks_equal_broadcast(spark, model, norm):
+    """The relational known-filter decomposition (raw broadcast ranks −
+    join-scored correction) must equal the broadcast filter for every
+    model, including TransR (which the blocked path can't express)."""
+    from kgforge.evaluate import link_prediction_ranks_relfilter
+
+    dec = 6 if (norm == 2 or model != "transe") else None
+    test = spark.createDataFrame(SPLIT["test2id"].head(12))
+    known_df = spark.createDataFrame(KNOWN[["h", "t", "r"]])
+    key = ["h", "t", "r"]
+    a = (
+        link_prediction_ranks(spark, test, EMB, KNOWN, model=model, norm=norm, score_decimals=dec)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        link_prediction_ranks_relfilter(
+            spark, test, EMB, known_df, model=model, norm=norm, score_decimals=dec
+        ).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_embedding_checkpoint_roundtrip(spark, tmp_path):
+    """A20: save → load → bit-identical float32 parameters, all
+    components (incl. the reshaped TransR matrices), and identical
+    downstream scores."""
+    from kgforge.evaluate import score_triples
+    from kgforge.io_openke import read_embeddings_parquet, write_embeddings_parquet
+
+    d = str(tmp_path / "ckpt")
+    write_embeddings_parquet(spark, EMB, d)
+    back = read_embeddings_parquet(spark, d)
+    assert set(back) == set(EMB)
+    for k in EMB:
+        np.testing.assert_array_equal(back[k], EMB[k].astype("float32"))
+    test = spark.createDataFrame(SPLIT["test2id"].head(10))
+    s0 = score_triples(spark, test, EMB, model="transr").toPandas().sort_values(["h", "t", "r"])
+    s1 = score_triples(spark, test, back, model="transr").toPandas().sort_values(["h", "t", "r"])
+    np.testing.assert_array_equal(s0["score"].to_numpy(), s1["score"].to_numpy())
+
+
 def test_triple_classification_reasonable(spark):
     rng = np.random.default_rng(3)
 
