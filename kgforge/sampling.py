@@ -153,10 +153,23 @@ def _exact_negatives(
     reject known triples with one distributed ``left_anti`` join, keep
     the min-attempt survivor per slot. The round loop runs on the
     driver but every data pass is a Spark plan — no collect().
+
+    Duplicate positives are legal: slots are built per (h, t, r) GROUP
+    with ``multiplicity × neg_per_pos`` distinct k values, so each
+    duplicate row contributes its own negatives and the output is
+    exactly ``neg_per_pos × count(triples)`` rows even on non-distinct
+    input (distinct input takes k ∈ [0, neg_per_pos) — bit-identical to
+    the ungrouped construction).
     """
     spark = triples.sparkSession
-    slots = triples.select("h", "t", "r").withColumn(
-        "k", F.explode(F.array([F.lit(i) for i in range(neg_per_pos)]))
+    slots = (
+        triples.groupBy("h", "t", "r")
+        .agg(F.count("*").alias("_m"))
+        .withColumn(
+            "k",
+            F.explode(F.sequence(F.lit(0), F.col("_m") * neg_per_pos - 1)),
+        )
+        .select("h", "t", "r", F.col("k").cast("long").alias("k"))
     ).localCheckpoint()
     kn = known.select("h", "t", "r")
     picked = []

@@ -196,26 +196,44 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard_filter(
-    pairs: DataFrame, threshold: float = 0.5, k: int = 3
+    pairs: DataFrame, threshold: float = 0.5, k: int = 3, seed: int = 42
 ) -> DataFrame:
-    """B7 step 4: verify candidates with exact shingle Jaccard (vectorized)."""
-    schema = "a string, b string, jaccard double"
+    """B7 step 4: verify candidates with exact shingle Jaccard.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            sa = char_shingles(pdf["a"], k)
-            sb = char_shingles(pdf["b"], k)
-            jac = [
-                (len(x & y) / len(x | y)) if (x or y) else 0.0
-                for x, y in zip(sa, sb)
-            ]
-            out = pdf[["a", "b"]].copy()
-            out["jaccard"] = jac
-            yield out[np.asarray(jac) >= threshold]
+    Each *distinct name* is shingled exactly once (hashed char-k-shingle
+    arrays via :func:`kgforge.textops.char_shingle_table` — same FNV
+    values as :func:`hash_shingle`); candidate pairs then verify with a
+    JVM ``array_intersect`` join. This replaces the per-pair Python set
+    recomputation (each name used to be re-shingled once per pair it
+    appeared in) with the same per-doc-once + codegen-verify shape the
+    document dedup path uses (textops.exact_char_jaccard_pairs).
+    Jaccard over the hashed arrays equals Jaccard over the string sets,
+    FNV collisions aside (none observed; values are 64-bit).
+    """
+    from ..textops import char_shingle_table
 
-    return pairs.mapInPandas(fn, schema)
+    names = (
+        pairs.select(F.col("a").alias("name"))
+        .union(pairs.select(F.col("b").alias("name")))
+        .distinct()
+        .withColumn("_text", F.col("name"))
+    )
+    # referenced twice (a-side and b-side joins): localCheckpoint so the
+    # mapInPandas shingling runs once, not per downstream reference
+    sh = char_shingle_table(names, k=k, seed=seed, id_col="name", text_col="_text").localCheckpoint()
+    a = sh.select(F.col("name").alias("a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col("name").alias("b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    return (
+        pairs.select("a", "b")
+        .join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard", inter / (F.size("_sa") + F.size("_sb") - inter).cast("double")
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def alias_pairs(
@@ -326,6 +344,8 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
         )
 
+    n_e = e.count()
+    converged = False
     for _ in range(max_iter):
         # one large-star + one small-star round over the symmetric view
         ls = _star(e, large=True)
@@ -337,12 +357,20 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
             .distinct()
             .localCheckpoint()
         )
-        # converged when every node's min-neighbor is a fixpoint: the
-        # directed (child -> root) view stops changing
-        changed = new_e.exceptAll(e).limit(1).count()
-        e = new_e
-        if changed == 0:
+        # converged when the edge SET is a fixpoint. The test must be
+        # symmetric: a one-direction exceptAll misses rounds that only
+        # REMOVE edges (new_e ⊊ e) — equal count + empty one-direction
+        # diff together imply set equality (both are distinct sets).
+        n_new = new_e.count()
+        changed = (n_new != n_e) or new_e.exceptAll(e).limit(1).count() > 0
+        e, n_e = new_e, n_new
+        if not changed:
+            converged = True
             break
+    if not converged:
+        # silent wrong labels are worse than a loud failure (same
+        # contract as connected_components)
+        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
     roots = e.groupBy("u").agg(F.min("v").alias("component"))
     return (
         nodes.join(roots.withColumnRenamed("u", "node"), "node", "left")

@@ -86,9 +86,14 @@ def _trie_pattern(words: list[str]) -> str:
 
 
 def _entity_alt(surfaces: list[str], generic: bool = True) -> str:
-    alts = [_trie_pattern(sorted(set(surfaces)))]
+    # skip the trie branch entirely for an empty surface list:
+    # _trie_pattern([]) is "" and an empty alternation branch matches the
+    # empty string at every position (zero-length-match hazard)
+    alts = [_trie_pattern(sorted(set(surfaces)))] if surfaces else []
     if generic:
         alts.append(_HYPH_TOKEN)
+    if not alts:
+        raise ValueError("no surfaces and generic=False: empty entity alternation")
     return "(?:" + "|".join(alts) + ")"
 
 

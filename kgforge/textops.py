@@ -183,7 +183,7 @@ def hashed_gram_table(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int | None = None
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int | None = 10_000
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (a < b) above threshold.
 
@@ -199,10 +199,13 @@ def ngram_jaccard_pairs(
     arrays (``array_intersect``), so any reported Jaccard is exact. A
     true pair is missed only if ALL its shared shingles are stop-
     shingles — at a near-dup threshold a pair shares a large fraction of
-    its (mostly discriminative) shingles, so a generous cap (say 1e4 at
-    corpus scale) keeps recall 1.0 in practice; the cap bounds join
-    fan-out at ``df_cap^2`` per shingle. Use :func:`ngram_df_capped_stats`
-    to observe how many shingles a cap drops.
+    its (mostly discriminative) shingles, so the generous default
+    (10,000) keeps recall 1.0 in practice while bounding join fan-out at
+    ``df_cap^2`` per shingle. The guard is ON by default — the quadratic
+    unguarded join requires an explicit ``df_cap=None`` opt-out (only
+    sensible as a small-corpus oracle baseline). Use
+    :func:`ngram_df_capped_stats` to observe how many shingles a cap
+    drops.
     """
     grams = hashed_gram_table(docs, n)
     ex = grams.select(
@@ -385,8 +388,11 @@ def simhash_candidate_pairs(sim: DataFrame, band_bits: int = 16, max_hamming: in
     )
 
 
-def char_shingle_table(docs: DataFrame, k: int = 5, seed: int = 42) -> DataFrame:
-    """``(doc_id, shingles array<long>)`` — sorted distinct hashed char
+def char_shingle_table(
+    docs: DataFrame, k: int = 5, seed: int = 42,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """``(<id_col>, shingles array<long>)`` — sorted distinct hashed char
     k-shingles per normalized doc (same normalization + FNV values as
     :func:`kgforge.stages.canonicalize.char_shingles` + ``hash_shingle``,
     so Jaccard over these arrays equals Jaccard over the string sets,
@@ -394,21 +400,22 @@ def char_shingle_table(docs: DataFrame, k: int = 5, seed: int = 42) -> DataFrame
 
     Computing shingles ONCE per doc and verifying pairs with JVM
     ``array_intersect`` replaces per-pair Python set shingling — the
-    pair side only ever joins against this table.
+    pair side only ever joins against this table. ``id_col`` may be any
+    type (the alias canonicalizer keys by the name string itself).
     """
     from .hashing import fnv1a_tokens, fnv1a_windows, flat_windows, pack_strings, pad_tokens
     from .session import ensure_min_partitions
     from .stages.canonicalize import hash_shingle
 
     docs = ensure_min_partitions(docs)
-    schema = "doc_id long, shingles array<long>"
+    schema = f"{id_col} {dict(docs.dtypes)[id_col]}, shingles array<long>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             norm = (
-                pdf["text"].astype("string").fillna("")
+                pdf[text_col].astype("string").fillna("")
                 .str.lower().str.replace(r"[^\w]", "", regex=True)
             )
             out: list = [None] * len(pdf)
@@ -436,9 +443,9 @@ def char_shingle_table(docs: DataFrame, k: int = 5, seed: int = 42) -> DataFrame
                 base = fnv1a_tokens(padded, lens, seed).astype(np.int64)
                 for j, i in enumerate(short_i):
                     out[i] = base[j:j + 1]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": out})
 
-    return docs.select("doc_id", "text").mapInPandas(fn, schema)
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 
 def exact_char_jaccard_pairs(

@@ -41,6 +41,25 @@ def test_uniform_negatives_exact_count(spark):
     assert len(neg1) == len(train)
 
 
+def test_negatives_duplicate_positives(spark):
+    """Non-distinct train input: each duplicate row contributes its own
+    neg_per_pos negatives (slots carry a per-duplicate ordinal), so the
+    'exactly neg_per_pos * count(triples)' contract holds verbatim."""
+    train = SPLIT["train2id"].head(50)
+    dup = pd.concat([train, train.head(10)], ignore_index=True)  # 10 dup rows
+    neg = negative_samples(spark.createDataFrame(dup), 60, 2, "uniform", seed=3).toPandas()
+    assert len(neg) == 2 * len(dup)
+    _check_negatives(neg, dup)
+    # the distinct-input run is reproduced verbatim inside the dup run:
+    # multiplicity-1 slots keep their k ordinals, so every negative the
+    # base run draws also appears in the dup run (counter-based RNG)
+    base = negative_samples(spark.createDataFrame(train), 60, 2, "uniform", seed=3).toPandas()
+    key = ["h", "t", "r"]
+    base_set = set(map(tuple, base[key].itertuples(index=False)))
+    got_set = set(map(tuple, neg[key].itertuples(index=False)))
+    assert base_set <= got_set
+
+
 def test_bern_negatives_deterministic_across_partitioning(spark):
     train = SPLIT["train2id"]
     a = negative_samples(spark.createDataFrame(train), 60, 1, "bern", seed=1).toPandas()
