@@ -280,6 +280,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .crossJoin(viol.agg(F.count("*").cast("long").alias("n_known_violations")))
         )
 
+    def a5_bern_properties(spark, sf):
+        # the bern contract as an oracle-checkable property: one draw per
+        # positive; per relation, n must equal the SQL positive count and
+        # the observed head-corruption ratio must sit within a 4-sigma
+        # binomial band of tph/(tph+hpt) — the EXPECTED ratio is computed
+        # independently by both engines (Spark bern_stats vs DuckDB SQL),
+        # so this cross-checks A3 and the bern wiring together. The draw
+        # itself is counter-RNG; within_tol is deterministic at the fixed
+        # seed and pinned TRUE by the oracle.
+        from kgforge.sampling import corruption_side_stats
+
+        t = _openke(spark, "train2id")
+        obs = corruption_side_stats(t, n_ent=200, mode="bern", seed=42)
+        exp = bern_stats(t).withColumn(
+            "p_exp", F.col("tph") / (F.col("tph") + F.col("hpt"))
+        )
+        j = obs.join(exp.select("r", "p_exp"), "r")
+        ratio = F.col("n_head_corrupt") / F.col("n")
+        tol = 4 * F.sqrt(F.col("p_exp") * (1 - F.col("p_exp")) / F.col("n")) + F.lit(0.02)
+        return j.select(
+            "r",
+            F.col("n").cast("long").alias("n"),
+            F.round("p_exp", 6).alias("p_exp"),
+            (F.abs(ratio - F.col("p_exp")) <= tol).alias("within_tol"),
+        )
+
+    def a14_train_eval_metrics(spark, sf):
+        # train-to-eval parity, end to end: A11/A12/A14 NumPy trainer →
+        # A20 Parquet checkpoint → A15/A17 protocol on the loaded model.
+        # Training is iterative (not SQL-expressible); everything is
+        # seeded/counter-based, so the oracle pins the resulting metric
+        # row — any regression in trainer, checkpoint codec, or eval
+        # protocol moves a pinned value.
+        import tempfile
+
+        from kgforge import training
+        from kgforge.fixtures import gen_openke_split
+        from kgforge.io_openke import read_embeddings_parquet, write_embeddings_parquet
+
+        split = gen_openke_split(n_ent=50, n_rel=4, n_train=300, n_valid=30, n_test=30, seed=5)
+        emb = training.train(
+            split["train2id"], n_ent=50, n_rel=4, dim=8, epochs=20, lr=0.05,
+            margin=1.0, seed=11, valid_triples=split["valid2id"], eval_every=10,
+        )
+        d = tempfile.mkdtemp(prefix="kgforge_a14_")
+        write_embeddings_parquet(spark, emb, d)
+        back = read_embeddings_parquet(spark, d)
+        known = pd.concat([split["train2id"], split["valid2id"], split["test2id"]])
+        ranks = ev.link_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), back, known
+        )
+        m = ev.link_prediction_metrics(ranks)
+        return m.select(*[F.round(F.col(c), 6).alias(c) for c in m.columns])
+
     def a6_batch_properties(spark, sf):
         from kgforge.sampling import training_batches
 
@@ -777,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_triple_dedup": a2_triple_dedup,
         "a4_negative_sampling": a4_negative_sampling,
         "a4_negative_properties": a4_negative_properties,
+        "a5_bern_properties": a5_bern_properties,
+        "a14_train_eval_metrics": a14_train_eval_metrics,
         "a6_training_batches": a6_training_batches,
         "a6_batch_properties": a6_batch_properties,
         "b2_mentions_cover_golden": b2_mentions_cover_golden,
@@ -1426,6 +1482,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 * count(*) AS BIGINT) AS n_neg,
                    CAST(0 AS BIGINT) AS n_known_violations
             FROM read_parquet('{OKE}/train2id.parquet')
+        """,
+        "a5_bern_properties": f"""
+            -- bern head-corruption property: n = per-relation positive
+            -- count (one draw each), p_exp = tph/(tph+hpt) recomputed
+            -- independently in SQL, within_tol pinned TRUE (the observed
+            -- ratio is counter-RNG; the 4-sigma band is deterministic at
+            -- the fixed seed)
+            WITH tphx AS (
+              SELECT r, avg(n) AS tph FROM (
+                SELECT r, h, count(DISTINCT t) AS n
+                FROM read_parquet('{OKE}/train2id.parquet') GROUP BY r, h)
+              GROUP BY r),
+            hptx AS (
+              SELECT r, avg(n) AS hpt FROM (
+                SELECT r, t, count(DISTINCT h) AS n
+                FROM read_parquet('{OKE}/train2id.parquet') GROUP BY r, t)
+              GROUP BY r),
+            cnt AS (
+              SELECT r, CAST(count(*) AS BIGINT) AS n
+              FROM read_parquet('{OKE}/train2id.parquet') GROUP BY r)
+            SELECT cnt.r, cnt.n,
+                   round(tphx.tph / (tphx.tph + hptx.hpt), 6) AS p_exp,
+                   TRUE AS within_tol
+            FROM cnt JOIN tphx ON cnt.r = tphx.r JOIN hptx ON cnt.r = hptx.r
+        """,
+        "a14_train_eval_metrics": """
+            -- pinned train->checkpoint->eval metrics: the trainer is
+            -- iterative NumPy (not SQL-expressible) but fully seeded /
+            -- counter-based, so the end-to-end result is a constant; a
+            -- regression in A11/A12/A14 training, the A20 codec, or the
+            -- A15/A17 protocol moves a pinned value
+            SELECT 23.566667 AS mr_raw, 0.127942 AS mrr_raw,
+                   0.233333 AS hits10_raw, 0.116667 AS hits3_raw,
+                   0.05 AS hits1_raw,
+                   19.433333 AS mr_filt, 0.159099 AS mrr_filt,
+                   0.283333 AS hits10_filt, 0.15 AS hits3_filt,
+                   0.083333 AS hits1_filt
         """,
         "a6_batch_properties": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_pos,

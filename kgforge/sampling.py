@@ -58,6 +58,7 @@ def bern_stats(triples: DataFrame) -> DataFrame:
 
 
 _CAND_SCHEMA = "sh long, st long, sr long, k long, attempt long, h long, t long, r long"
+_CAND_SIDE_SCHEMA = _CAND_SCHEMA + ", corrupt_head boolean"
 
 
 def _mix_base(H, T, R, K, ATT, seed: int, salt: int) -> np.ndarray:
@@ -79,12 +80,18 @@ def _slot_candidates(
     seed: int,
     bern_p: dict[int, float] | None,
     corrupt_rel: bool,
+    with_side: bool = False,
 ) -> DataFrame:
     """One candidate per (slot, attempt) for attempts in [att_lo, att_hi).
 
     ``slots`` = ``(h, t, r, k)`` — positive × negative-slot index. The
     candidate is a pure counter hash of (h, t, r, k, attempt, seed):
     partition-independent and reproducible across retry rounds.
+
+    ``with_side=True`` (entity mode only) keeps degenerate draws and
+    emits the ``corrupt_head`` decision — the observability path for
+    the bern head/tail ratio property (exactly one row per slot ×
+    attempt, so row counts are SQL-derivable).
     """
     n_att = att_hi - att_lo
 
@@ -127,9 +134,15 @@ def _slot_candidates(
                     "h": nh, "t": nt, "r": nr,
                 }
             )
-            yield out[keep]
+            if with_side:
+                out["corrupt_head"] = corrupt_head
+                yield out
+            else:
+                yield out[keep]
 
-    return slots.mapInPandas(gen, _CAND_SCHEMA)
+    if with_side and corrupt_rel:
+        raise ValueError("with_side applies to entity corruption only")
+    return slots.mapInPandas(gen, _CAND_SIDE_SCHEMA if with_side else _CAND_SCHEMA)
 
 
 def _exact_negatives(
@@ -258,6 +271,35 @@ def negative_rel_samples(
     """
     known = known if known is not None else triples
     return _exact_negatives(triples, n_rel, neg_per_pos, seed, None, known, corrupt_rel=True)
+
+
+def corruption_side_stats(
+    triples: DataFrame,
+    n_ent: int,
+    mode: str = "bern",
+    seed: int = 42,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """A5 observability: per-relation head-vs-tail corruption counts for
+    the first draw of each positive (exactly one draw per row — no
+    rejection/degenerate filtering, so ``n`` is SQL-derivable as the
+    per-relation positive count).
+
+    Output: ``r, n, n_head_corrupt`` (BIGINT). The bern contract (Wang
+    et al. 2014): head corruption probability = tph/(tph+hpt) per
+    relation — the a5 property oracle checks the observed ratio against
+    the SQL-derived expectation within a binomial tolerance band.
+    """
+    bern_p: dict[int, float] | None = None
+    if mode == "bern":
+        st = (stats if stats is not None else bern_stats(triples)).toPandas()
+        bern_p = {int(row.r): float(row.tph / (row.tph + row.hpt)) for row in st.itertuples()}
+    slots = triples.select("h", "t", "r").withColumn("k", F.lit(0).cast("long"))
+    cand = _slot_candidates(slots, n_ent, 0, 1, seed, bern_p, corrupt_rel=False, with_side=True)
+    return cand.groupBy(F.col("sr").alias("r")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("corrupt_head").cast("long")).cast("long").alias("n_head_corrupt"),
+    )
 
 
 def training_batches(
