@@ -759,6 +759,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.round(F.col("_h") / F.col("_n"), 6).alias("recall_at_10"))
         )
 
+    def ann_ivf_persisted_recall(spark, sf):
+        # the IVF serving shape: centroids + (id, cluster) assignments
+        # persisted to parquet once, later query batches answered FROM
+        # the index (no re-quantization, no corpus re-scan). Same seeded
+        # quantizer → byte-equal candidates → the same pinned recall as
+        # the in-memory build (a wrong persisted assignment moves it).
+        import tempfile
+
+        from kgforge.fixtures import ensure_neardup_fixture
+
+        emb = spark.read.parquet(os.path.join(ensure_neardup_fixture(), "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        d = tempfile.mkdtemp(prefix="kgforge_ivf_")
+        similarity.ivf_index_write(spark, emb, d, n_clusters=16)
+        idx = similarity.ivf_index_read(spark, d)
+        exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+        ivf = similarity.ivf_topk(emb, q, k=10, nprobe=4, index=idx).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            exact.agg(F.count("*").alias("_n"))
+            .crossJoin(hits.agg(F.count("*").alias("_h")))
+            .select(F.round(F.col("_h") / F.col("_n"), 6).alias("recall_at_10"))
+        )
+
+    def str_session_windows(spark, sf):
+        # gap-based session windows run as a REAL stream (file source,
+        # availableNow drain, complete-mode memory sink): consecutive
+        # events of a user merge while each arrives within 30 min of the
+        # previous (delta <= gap merges — an event exactly gap later
+        # still extends; pinned by a synthetic edge-case test); window
+        # end = last event + gap. The oracle recomputes sessions as gap
+        # islands in SQL with the same boundary rule.
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+
+        src = f"{sf}/events.parquet"
+        d = tempfile.mkdtemp(prefix="kgforge_sess_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        schema = spark.read.parquet(src).schema
+        st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(sdir)
+        sw = streaming.session_windows(st, gap="30 minutes", watermark="2 hours")
+        name = "sess_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(sw, name, mode="complete")
+        return spark.table(name)
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -878,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_topk_recall": ann_ivf_topk_recall,
+        "ann_ivf_persisted_recall": ann_ivf_persisted_recall,
+        "str_session_windows": str_session_windows,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -1575,6 +1636,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk_recall": """
             SELECT CAST(0.625 AS DOUBLE) AS recall_at_10
+        """,
+        "ann_ivf_persisted_recall": """
+            -- identical to ann_ivf_topk_recall by construction: the
+            -- persisted index carries the same seeded centroids and the
+            -- same assignments, so the candidate sets are byte-equal
+            SELECT CAST(0.6625 AS DOUBLE) AS recall_at_10
+        """,
+        "str_session_windows": """
+            WITH m AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "ann_ivf_topk_recall": """
             SELECT CAST(0.6625 AS DOUBLE) AS recall_at_10

@@ -269,6 +269,49 @@ def ivf_assignments(
     return embeddings.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
+def ivf_index_write(
+    spark,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_clusters: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: centroids (tiny parquet) + the ``(id,
+    cluster)`` assignment table, written distributed.
+
+    Assignment is the expensive corpus-sized pass; persisting it means
+    query batches arriving later (the steady-state serving shape) reuse
+    the index instead of re-scanning the corpus — rebuild only when the
+    corpus changes.
+    """
+    import os
+
+    C = ivf_centroids(embeddings, n_clusters, dim, seed, id_col=id_col, vec_col=vec_col)
+    cpdf = pd.DataFrame(
+        {"cluster": np.arange(len(C), dtype="int32"), "vec": list(map(list, C.astype("float64")))}
+    )
+    spark.createDataFrame(cpdf, "cluster int, vec array<double>").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "centroids"))
+    ivf_assignments(embeddings, C, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "assignments")
+    )
+
+
+def ivf_index_read(spark, in_dir: str) -> tuple[np.ndarray, DataFrame]:
+    """Load a persisted IVF index: (centroid matrix, assignments DF).
+    Centroids are n_clusters × dim (driver-tiny); assignments stay a
+    DataFrame — corpus-sized, never collected."""
+    import os
+
+    cpdf = spark.read.parquet(os.path.join(in_dir, "centroids")).orderBy("cluster").toPandas()
+    C = np.stack(cpdf["vec"].to_numpy()).astype("float64")
+    return C, spark.read.parquet(os.path.join(in_dir, "assignments"))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -280,6 +323,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: tuple[np.ndarray, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest
     inverted lists, exact re-rank within them.
@@ -288,11 +332,19 @@ def ivf_topk(
     O(N·nprobe/n_clusters·Q) candidates — the standard IVF recall/compute
     dial (raise nprobe toward n_clusters → exact). Deterministic:
     centroids come from :func:`ivf_centroids` (seeded, fixed-iteration).
+
+    ``index``: a persisted ``(centroids, assignments)`` pair from
+    :func:`ivf_index_read` — skips quantizer training AND the
+    corpus-sized assignment pass (``n_clusters/dim/seed`` are then
+    ignored; they are baked into the index).
     """
-    C = ivf_centroids(
-        embeddings, n_clusters, dim, seed, id_col=id_col, vec_col=vec_col
-    )
-    e_assign = ivf_assignments(embeddings, C, id_col, vec_col)
+    if index is not None:
+        C, e_assign = index
+    else:
+        C = ivf_centroids(
+            embeddings, n_clusters, dim, seed, id_col=id_col, vec_col=vec_col
+        )
+        e_assign = ivf_assignments(embeddings, C, id_col, vec_col)
     schema = f"{query_id_col} long, cluster int"
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

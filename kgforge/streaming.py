@@ -11,6 +11,8 @@ continuously.
 * :func:`stream_triples` — streaming triple extraction (stateless pass).
 * :func:`windowed_triple_counts` — per-predicate counts in event-time
   tumbling windows with a watermark for late turns.
+* :func:`session_windows` — gap-based session windows
+  (``F.session_window``), identical on batch and streaming input.
 * :func:`run_to_parquet` — append sink + ``availableNow`` trigger (drain
   what exists, then stop — the batch-parity execution mode).
 
@@ -76,6 +78,39 @@ def windowed_triple_counts(
             F.col("w.end").alias("window_end"),
             "pred",
             "n_triples",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): consecutive
+    events of the same key merge while each arrives within ``gap`` of
+    the previous (delta <= gap merges — the boundary is inclusive,
+    pinned by test_session_windows_stream_equals_batch); the window end
+    extends to last event + gap. One stateful aggregation — identical semantics on batch and
+    streaming input (parity tested), which is the whole point: the
+    sessionization that ``evt_sessionize`` does with a batch window
+    function runs continuously under a watermark here.
+
+    Output: ``<key>, session_start, session_end, n_events``.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.select(key, ts.alias("_ts"))
+        .withWatermark("_ts", watermark)
+        .groupBy(F.session_window("_ts", gap).alias("w"), key)
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
         )
     )
 

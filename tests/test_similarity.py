@@ -93,6 +93,24 @@ def test_ivf_topk_recall_dial(spark):
     assert recalls[-1] == 1.0  # nprobe == n_clusters -> exact
 
 
+def test_ivf_persisted_index_equals_inmemory(spark, tmp_path):
+    """IVF serving path: a parquet-persisted index (centroids +
+    assignments) must answer queries byte-identically to the in-memory
+    build — same seeded quantizer, same candidates, same ranks."""
+    from kgforge.fixtures import ensure_neardup_fixture
+    from kgforge.similarity import ivf_index_read, ivf_index_write, ivf_topk
+
+    emb = spark.read.parquet(f"{ensure_neardup_fixture()}/embeddings.parquet")
+    q = emb.where(emb.vec_id < 8).selectExpr("vec_id as query_id", "embedding")
+    d = str(tmp_path / "ivf")
+    ivf_index_write(spark, emb, d, n_clusters=16)
+    idx = ivf_index_read(spark, d)
+    key = ["query_id", "rk"]
+    a = ivf_topk(emb, q, k=10, n_clusters=16, nprobe=4).toPandas().sort_values(key).reset_index(drop=True)
+    b = ivf_topk(emb, q, k=10, nprobe=4, index=idx).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_lsh_topk_recall(spark, emb):
     pdf = emb.toPandas()
     queries = [(int(r["vec_id"]), r["embedding"]) for _, r in pdf.head(10).iterrows()]

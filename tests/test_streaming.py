@@ -56,3 +56,68 @@ def test_windowed_counts(spark, tmp_path):
     # totals must never exceed the batch count and windows are disjoint
     assert got["n"].sum() <= len(t)
     assert got["ws"].is_unique
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Gap-based session windows: the streaming run (file source,
+    availableNow, complete mode) must equal the batch run AND a manual
+    gap-island computation (new session when delta > gap — the boundary
+    is inclusive-merge; end = last event + gap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2025-06-01T00:00:00")
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 60)))
+        for _ in range(40):
+            rows.append((eid, t, uid))
+            eid += 1
+            # mix of intra-session gaps, one exact-gap edge case, and
+            # session-breaking gaps
+            step = int(rng.choice([1, 5, 29, 30, 31, 90]))
+            t = t + pd.Timedelta(minutes=step)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read NANOS parquet
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    pdf.to_parquet(os.path.join(src, "part-0.parquet"), index=False)
+
+    batch = streaming.session_windows(
+        spark.read.parquet(src), gap="30 minutes", key="user_id"
+    ).toPandas()
+
+    schema = spark.read.parquet(src).schema
+    st = spark.readStream.schema(schema).parquet(src)
+    sw = streaming.session_windows(st, gap="30 minutes", watermark="2 hours", key="user_id")
+    streaming.run_to_memory(sw, "sess_parity", mode="complete")
+    stream = spark.table("sess_parity").toPandas()
+
+    key = ["user_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        batch.sort_values(key).reset_index(drop=True),
+        stream.sort_values(key).reset_index(drop=True),
+    )
+
+    # manual gap islands (Spark merge rule: delta <= gap merges; an
+    # event exactly gap later still extends the session)
+    want = []
+    gap = pd.Timedelta(minutes=30)
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].tolist()
+        start, last, n = ts[0], ts[0], 1
+        for x in ts[1:]:
+            if x - last > gap:
+                want.append((uid, start, last + gap, n))
+                start, n = x, 0
+            last = x
+            n += 1
+        want.append((uid, start, last + gap, n))
+    wdf = pd.DataFrame(want, columns=["user_id", "session_start", "session_end", "n_events"])
+    got = batch.sort_values(key).reset_index(drop=True)
+    wdf = wdf.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), wdf.astype({"n_events": "int64"}),
+        check_dtype=False,
+    )
