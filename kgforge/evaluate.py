@@ -212,21 +212,17 @@ def _with_score(
 ) -> DataFrame:
     """Add ``out`` = model score of (``a`` + r − ``b``) computed as
     array folds in whole-stage codegen. ``df`` must carry ``rvec`` and
-    the model's extras (``wvec`` for TransH; ``rpvec`` + ``{a,b}_pdot``
-    for TransD). Projection dots are materialized as columns first so
-    the zip_with lambdas reference a plain column, not a nested fold
-    (Spark re-evaluates interpreted higher-order exprs per reference)."""
-    tmp = []
+    the model's projection dots as JOINED columns (``{a,b}_wdot`` for
+    TransH, ``{a,b}_pdot`` for TransD — see the wdot/edot tables in the
+    caller). The dots MUST be join-produced attributes, not expressions:
+    Catalyst collapses a withColumn dot into the zip_with lambda, where
+    the O(d) fold would re-evaluate per array element (O(d²)/row —
+    verified in the captured plan, docs/PLANS.md §6)."""
     if model == "transe":
         pa, pb = F.col(a), F.col(b)
     elif model == "transh":
-        da, db = f"_d_{a}", f"_d_{b}"
-        df = df.withColumn(da, _vdot(F.col("wvec"), F.col(a))).withColumn(
-            db, _vdot(F.col("wvec"), F.col(b))
-        )
-        tmp = [da, db]
-        pa = F.zip_with(F.col(a), F.col("wvec"), lambda x, y: x - F.col(da) * y)
-        pb = F.zip_with(F.col(b), F.col("wvec"), lambda x, y: x - F.col(db) * y)
+        pa = F.zip_with(F.col(a), F.col("wvec"), lambda x, y: x - F.col(f"{a}_wdot") * y)
+        pb = F.zip_with(F.col(b), F.col("wvec"), lambda x, y: x - F.col(f"{b}_wdot") * y)
     elif model == "transd":
         pa = F.zip_with(F.col(a), F.col("rpvec"), lambda x, y: x + F.col(f"{a}_pdot") * y)
         pb = F.zip_with(F.col(b), F.col("rpvec"), lambda x, y: x + F.col(f"{b}_pdot") * y)
@@ -237,7 +233,7 @@ def _with_score(
         )
     s = F.zip_with(pa, F.col("rvec"), lambda x, y: x + y)
     d = F.zip_with(s, pb, lambda x, y: x - y)
-    return df.withColumn(out, _fold_dist(d, norm, score_decimals)).drop(*tmp)
+    return df.withColumn(out, _fold_dist(d, norm, score_decimals))
 
 
 def link_prediction_ranks_blocked(
@@ -289,9 +285,27 @@ def link_prediction_ranks_blocked(
         .join(F.broadcast(ent.select(F.col("id").alias("t"), F.col("evec").alias("tvec"))), "t")
     )
     cand_ent = ent.select(F.col("id").alias("cand"), F.col("evec").alias("cvec"))
+    cand_extra_join = None
     if model == "transh":
         w = dfs["norm"].select(F.col("id").alias("r"), F.col("vec").alias("wvec"))
         t = t.join(F.broadcast(w), "r")
+        # (entity, test-relation) projection dots as a relational table —
+        # the dot must reach the scoring lambda as a join attribute, not
+        # an inline expression (see _with_score). |E| × |distinct test
+        # relations| rows; exactly the SQL oracle's wdot CTE.
+        rels = test.select("r").dropDuplicates()
+        wdot = (
+            dfs["ent"]
+            .crossJoin(F.broadcast(w.join(rels, "r")))
+            .select("id", "r", _vdot(F.col("wvec"), F.col("vec")).alias("wdot"))
+        )
+        t = (
+            t.join(wdot.select(F.col("id").alias("h"), "r", F.col("wdot").alias("hvec_wdot")), ["h", "r"])
+            .join(wdot.select(F.col("id").alias("t"), "r", F.col("wdot").alias("tvec_wdot")), ["t", "r"])
+        )
+        cand_extra_join = wdot.select(
+            F.col("id").alias("cand"), "r", F.col("wdot").alias("cvec_wdot")
+        )
     elif model == "transd":
         rp = dfs["rel_p"].select(F.col("id").alias("r"), F.col("vec").alias("rpvec"))
         edot = (
@@ -319,6 +333,8 @@ def link_prediction_ranks_blocked(
     kn_tails = known_df.select(F.col("h"), F.col("t").alias("cand"), F.col("r")).withColumn("_kt", F.lit(1))
 
     cand = t.crossJoin(cand_ent)
+    if cand_extra_join is not None:
+        cand = cand.join(cand_extra_join, ["cand", "r"])
     head_scored = (
         _with_score(cand, model, norm, score_decimals, "cvec", "tvec", "s_cand")
         .join(kn_heads, ["cand", "t", "r"], "left")
