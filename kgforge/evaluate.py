@@ -393,46 +393,58 @@ def link_prediction_ranks_relfilter(
         spark, test, emb, None, model=model, norm=norm, score_decimals=score_decimals
     ).select("h", "t", "r", "rank_head_raw", "rank_tail_raw")
 
+    # true scores once (|test| rows — checkpoint so the two downstream
+    # references don't re-run the scoring UDF)
     s_true = score_triples(
         spark, test.select("h", "t", "r").dropDuplicates(), emb, model=model, norm=norm
     ).withColumnRenamed("score", "s_true")
     if score_decimals is not None:
         s_true = s_true.withColumn("s_true", F.round("s_true", score_decimals))
+    s_true = s_true.localCheckpoint()
     known = known.select("h", "t", "r")
 
-    def _corr(side: str) -> DataFrame:
-        # candidates the filter skips: known triples sharing the fixed
-        # (r, other-entity) key, excluding the true entity itself
+    # candidates the filter skips: known triples sharing the fixed
+    # (r, other-entity) key, excluding the true entity itself. Both
+    # directions union into ONE scoring pass (side-tagged), then one
+    # conditional aggregation back onto the test key.
+    def _cand(side: str) -> DataFrame:
         var = "h" if side == "head" else "t"     # the corrupted slot
         fix = "t" if side == "head" else "h"     # the fixed slot
         kn = known.select(F.col(var).alias("cand"), fix, "r").dropDuplicates()
-        cand = (
-            s_true.join(kn, [fix, "r"])
-            .where(F.col("cand") != F.col(var))
-            .select(
-                F.col(var).alias("_true_e"), F.col(fix), F.col("r"), "s_true",
-                F.col("cand").alias(var),
-            )
-        )
-        scored = score_triples(spark, cand, emb, model=model, norm=norm)
-        if score_decimals is not None:
-            scored = scored.withColumn("score", F.round("score", score_decimals))
-        return (
-            scored.where(F.col("score") < F.col("s_true"))
-            .groupBy(F.col("_true_e").alias(var), F.col(fix), F.col("r"))
-            .agg(F.count("*").alias(f"_corr_{side}"))
+        c = s_true.join(kn, [fix, "r"]).where(F.col("cand") != F.col(var))
+        # scored triple: corrupted slot = cand; original entity rides
+        # along as _true_e to reconstruct the test key after scoring
+        return c.select(
+            F.lit(side).alias("side"),
+            F.col(var).alias("_true_e"),
+            "s_true",
+            F.col("cand").alias(var) if side == "head" else F.col("h"),
+            F.col("t") if side == "head" else F.col("cand").alias("t"),
+            F.col("r"),
         )
 
-    return (
-        raw.join(_corr("head"), ["h", "t", "r"], "left")
-        .join(_corr("tail"), ["h", "t", "r"], "left")
-        .select(
-            "h", "t", "r",
-            "rank_head_raw",
-            (F.col("rank_head_raw") - F.coalesce("_corr_head", F.lit(0))).alias("rank_head_filt"),
-            "rank_tail_raw",
-            (F.col("rank_tail_raw") - F.coalesce("_corr_tail", F.lit(0))).alias("rank_tail_filt"),
+    cands = _cand("head").unionByName(_cand("tail"))
+    scored = score_triples(spark, cands, emb, model=model, norm=norm)
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    corr = (
+        scored.where(F.col("score") < F.col("s_true"))
+        .groupBy(
+            F.when(F.col("side") == "head", F.col("_true_e")).otherwise(F.col("h")).alias("h"),
+            F.when(F.col("side") == "head", F.col("t")).otherwise(F.col("_true_e")).alias("t"),
+            F.col("r"),
         )
+        .agg(
+            F.sum((F.col("side") == "head").cast("long")).alias("_corr_head"),
+            F.sum((F.col("side") == "tail").cast("long")).alias("_corr_tail"),
+        )
+    )
+    return raw.join(corr, ["h", "t", "r"], "left").select(
+        "h", "t", "r",
+        "rank_head_raw",
+        (F.col("rank_head_raw") - F.coalesce("_corr_head", F.lit(0))).alias("rank_head_filt"),
+        "rank_tail_raw",
+        (F.col("rank_tail_raw") - F.coalesce("_corr_tail", F.lit(0))).alias("rank_tail_filt"),
     )
 
 

@@ -134,18 +134,29 @@ def write_embeddings_parquet(spark: SparkSession, emb: dict, out_dir: str) -> No
 
     os.makedirs(out_dir, exist_ok=True)
     dims = {}
+    frames = []
     for key in EMB_COMPONENTS:
         if key not in emb:
             continue
         mat = np.asarray(emb[key])
         dims[key] = list(mat.shape)
         flat = mat.reshape(mat.shape[0], -1).astype("float32")
-        pdf = pd.DataFrame(
-            {"id": np.arange(flat.shape[0], dtype="int64"), "vec": list(map(list, flat))}
+        frames.append(
+            pd.DataFrame(
+                {
+                    "component": key,
+                    "id": np.arange(flat.shape[0], dtype="int64"),
+                    "vec": list(map(list, flat)),
+                }
+            )
         )
-        spark.createDataFrame(pdf, "id long, vec array<float>").repartition(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, key))
+    # one write job for all components: hive-partitioned by component, so
+    # the (id, vec) per-component layout survives as subdirectories
+    spark.createDataFrame(
+        pd.concat(frames, ignore_index=True), "component string, id long, vec array<float>"
+    ).coalesce(1).write.mode("overwrite").partitionBy("component").parquet(
+        os.path.join(out_dir, "components")
+    )
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"dims": dims}, f, indent=1, sort_keys=True)
 
@@ -154,25 +165,25 @@ def read_embedding_df(spark: SparkSession, in_dir: str, component: str) -> DataF
     """A20 scale-path import: one checkpoint component as an ``(id, vec)``
     DataFrame — feed this straight to ``link_prediction_ranks_blocked``;
     the embeddings never pass through the driver."""
-    return spark.read.parquet(os.path.join(in_dir, component))
+    return spark.read.parquet(
+        os.path.join(in_dir, "components", f"component={component}")
+    ).select("id", "vec")
 
 
 def read_embeddings_parquet(spark: SparkSession, in_dir: str) -> dict[str, np.ndarray]:
     """A20 import for the broadcast path: checkpoint → NumPy dict,
-    reshaped per meta.json. Parameter-sized by design (|E|·d floats)."""
+    reshaped per meta.json. Parameter-sized by design (|E|·d floats);
+    one read job for all components."""
     import json
 
     with open(os.path.join(in_dir, "meta.json")) as f:
         dims = json.load(f)["dims"]
+    pdf = spark.read.parquet(os.path.join(in_dir, "components")).toPandas()
     out: dict[str, np.ndarray] = {}
     for key, shape in dims.items():
-        pdf = (
-            read_embedding_df(spark, in_dir, key)
-            .orderBy("id")
-            .toPandas()  # parameter-sized: n_rows = |E| or |R|, not data-sized
-        )
-        assert (pdf["id"].to_numpy() == np.arange(len(pdf))).all(), f"non-dense ids in {key}"
-        out[key] = np.array(pdf["vec"].tolist(), dtype="float32").reshape(shape)
+        part = pdf[pdf["component"] == key].sort_values("id")
+        assert (part["id"].to_numpy() == np.arange(len(part))).all(), f"non-dense ids in {key}"
+        out[key] = np.array(part["vec"].tolist(), dtype="float32").reshape(shape)
     return out
 
 
