@@ -10,14 +10,15 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check): mention
-spans (b2), LSH pair generation (b7), counter-RNG sample rows (a4/a6),
-MinHash/SimHash pairs, LSH ANN rows, multimodal features —
-non-SQL-expressible (regex spans, hash functions, approximate
-candidates). Each now ALSO has an oracle-checked property companion:
-b2_mentions_cover_golden, b7_lsh_covers_exact_jaccard,
-a4_negative_properties, a6_batch_properties, dedup_minhash_containment,
-ann_lsh_topk_recall, and a structural oracle for a21.
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 69):
+LSH pair generation (b7_alias_pairs), counter-RNG sample rows
+(a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
+(dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
+ann_ivf_topk) — intrinsically hash/RNG-valued. Each has an
+oracle-checked property companion: b7_lsh_covers_exact_jaccard,
+a4_negative_properties / a5_bern_properties, a6_batch_properties,
+dedup_minhash_containment / dedup_simhash_pigeonhole,
+ann_lsh_topk_recall / ann_ivf_topk_recall / ann_ivf_persisted_recall.
 """
 
 from __future__ import annotations
@@ -508,6 +509,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, spark.createDataFrame(split["test2id"]), emb, known_df
         )
 
+    def a15_ranks_relfilter_transr(spark, sf):
+        # TransR through the relational-filter path: the one kernel the
+        # blocked array folds can't express (per-relation matmul) still
+        # gets full rank-protocol oracle coverage — the DuckDB side does
+        # the matmul relationally (proj CTE). score_decimals=6: matmul
+        # product sums round accumulation-order-dependently.
+        split, emb, known = _openke_emb()
+        known_df = (
+            _openke(spark, "train2id")
+            .unionByName(_openke(spark, "valid2id"))
+            .unionByName(_openke(spark, "test2id"))
+        )
+        return ev.link_prediction_ranks_relfilter(
+            spark, spark.createDataFrame(split["test2id"]), emb, known_df,
+            model="transr", score_decimals=6,
+        )
+
     def a20_checkpoint_scores(spark, sf):
         # A20 round-trip: save → load → score; f32 survives Parquet
         # bit-identically, so the oracle is the same as a7_transe_scores
@@ -916,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_blocked_transd": a15_ranks_blocked_transd,
         "a15_ranks_blocked_from_parquet": a15_ranks_blocked_from_parquet,
         "a15_ranks_relfilter": a15_ranks_relfilter,
+        "a15_ranks_relfilter_transr": a15_ranks_relfilter_transr,
         "a20_checkpoint_scores": a20_checkpoint_scores,
         "a15_constrained_ranks": a15_constrained_ranks,
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
@@ -1083,6 +1102,69 @@ _RANK_CTES_TRANSH = f"""
     JOIN wdot dh ON dh.r = tt.r AND dh.e = tt.h
     JOIN wdot dc ON dc.r = tt.r AND dc.e = ce.id
     GROUP BY tt.h, tt.t, tt.r, ce.id
+  ),
+  tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
+  tail_rank AS (
+    SELECT tsc.h, tsc.t, tsc.r,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score) AS rank_tail_raw,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score AND k.h IS NULL) AS rank_tail_filt
+    FROM tsc
+    JOIN tts ON tsc.h = tts.h AND tsc.t = tts.t AND tsc.r = tts.r
+    LEFT JOIN known k ON k.t = tsc.cand AND k.h = tsc.h AND k.r = tsc.r AND k.t <> tsc.t
+    GROUP BY tsc.h, tsc.t, tsc.r
+  ),
+  ranks AS (
+    SELECT head_rank.h, head_rank.t, head_rank.r,
+           rank_head_raw, rank_head_filt, rank_tail_raw, rank_tail_filt
+    FROM head_rank
+    JOIN tail_rank ON head_rank.h = tail_rank.h AND head_rank.t = tail_rank.t
+                  AND head_rank.r = tail_rank.r
+  )
+"""
+
+# TransR rank protocol: relational matmul — projected vectors per
+# (relation, entity) pair come from one proj CTE (mat_long join ent_long,
+# grouped by output dim), then TransE on the projections. Rounded to 6
+# (product sums). Exercised via the relfilter path (TransR is the one
+# kernel the blocked array folds can't express).
+_RANK_CTES_TRANSR = f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  known AS ({_KNOWN}),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  mat AS (SELECT * FROM read_parquet('{OKE}/mat_long.parquet')),
+  proj AS (
+    SELECT m.id AS r, e.id AS e, m.i AS k, sum(m.val * e.val) AS v
+    FROM mat m JOIN ent e ON e.k = m.j
+    GROUP BY m.id, e.id, m.i
+  ),
+  hs AS (
+    SELECT tt.h, tt.t, tt.r, pc.e AS cand,
+           round(sum(abs(pc.v + re.val - pt.v)), 6) AS score
+    FROM test tt
+    JOIN proj pc ON pc.r = tt.r
+    JOIN proj pt ON pt.r = tt.r AND pt.e = tt.t AND pt.k = pc.k
+    JOIN rel re ON re.id = tt.r AND re.k = pc.k
+    GROUP BY tt.h, tt.t, tt.r, pc.e
+  ),
+  ts_ AS (SELECT h, t, r, score FROM hs WHERE cand = h),
+  head_rank AS (
+    SELECT hs.h, hs.t, hs.r,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score) AS rank_head_raw,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score AND k.h IS NULL) AS rank_head_filt
+    FROM hs
+    JOIN ts_ ON hs.h = ts_.h AND hs.t = ts_.t AND hs.r = ts_.r
+    LEFT JOIN known k ON k.h = hs.cand AND k.t = hs.t AND k.r = hs.r AND k.h <> hs.h
+    GROUP BY hs.h, hs.t, hs.r
+  ),
+  tsc AS (
+    SELECT tt.h, tt.t, tt.r, pc.e AS cand,
+           round(sum(abs(ph.v + re.val - pc.v)), 6) AS score
+    FROM test tt
+    JOIN proj pc ON pc.r = tt.r
+    JOIN proj ph ON ph.r = tt.r AND ph.e = tt.h AND ph.k = pc.k
+    JOIN rel re ON re.id = tt.r AND re.k = pc.k
+    GROUP BY tt.h, tt.t, tt.r, pc.e
   ),
   tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
   tail_rank AS (
@@ -1492,6 +1574,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a15_ranks_relfilter": f"""
             WITH {_RANK_CTES}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_relfilter_transr": f"""
+            WITH {_RANK_CTES_TRANSR}
             SELECT * FROM ranks
         """,
         "a20_checkpoint_scores": _SQL_TRANSE,

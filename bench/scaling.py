@@ -89,13 +89,18 @@ def main() -> int:
     ensure_fixtures(args.sf_tag)
 
     levels = [int(x) for x in args.levels.split(",")]
-    results: dict[int, list[dict]] = {}
+    results: dict[int, list[dict]] = {c: [] for c in levels}
+    # INTERLEAVED sampling: each timed iteration runs every level
+    # back-to-back, so both levels see the same host conditions. The
+    # grouped ordering (all local[2], then all local[8]) measured a
+    # spurious 0.64 efficiency when neighbor-VM load shifted between the
+    # two blocks — identical unchanged stages moved ±40% between rounds
+    # (host noise is the dominant error source on this box; CLAUDE.md).
     for cores in levels:
-        runs = []
         run_once(cores, args.sf_tag, "warmup")  # warm-up (OS page cache etc.)
-        for i in range(args.runs):
-            runs.append(run_once(cores, args.sf_tag, f"r{i}"))
-        results[cores] = runs
+    for i in range(args.runs):
+        for cores in levels:
+            results[cores].append(run_once(cores, args.sf_tag, f"r{i}"))
 
     med = {
         c: statistics.median([r["stage_sum"] for r in rs]) for c, rs in results.items()
