@@ -471,6 +471,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             model="transd", score_decimals=6,
         )
 
+    def a15_ranks_blocked_transr(spark, sf):
+        # blocked path with the per-relation matmul done relationally:
+        # entities pre-projected per test relation (transform over
+        # broadcast matrix rows — _transr_proj), then TransE on the
+        # projections. Same oracle as the relfilter TransR query (the
+        # DuckDB proj CTE is the same matmul).
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="transr", score_decimals=6,
+        )
+
     def a15_ranks_blocked_from_parquet(spark, sf):
         # A20 → blocked eval, end to end DataFrame-native: embeddings
         # enter as Parquet (id, vec) tables and the known set as the
@@ -932,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_blocked_l2": a15_ranks_blocked_l2,
         "a15_ranks_blocked_transh": a15_ranks_blocked_transh,
         "a15_ranks_blocked_transd": a15_ranks_blocked_transd,
+        "a15_ranks_blocked_transr": a15_ranks_blocked_transr,
         "a15_ranks_blocked_from_parquet": a15_ranks_blocked_from_parquet,
         "a15_ranks_relfilter": a15_ranks_relfilter,
         "a15_ranks_relfilter_transr": a15_ranks_relfilter_transr,
@@ -1566,6 +1579,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a15_ranks_blocked_transd": f"""
             WITH {_RANK_CTES_TRANSD}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_transr": f"""
+            WITH {_RANK_CTES_TRANSR}
             SELECT * FROM ranks
         """,
         "a15_ranks_blocked_from_parquet": f"""

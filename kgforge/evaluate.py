@@ -188,7 +188,14 @@ def _emb_dfs(spark: SparkSession, emb) -> dict[str, DataFrame]:
                 F.col("id").cast("long").alias("id"),
                 F.transform("vec", lambda x: x.cast("double")).alias("vec"),
             )
-        elif key != "mat":  # TransR matrices are not array-fold-expressible
+        elif key == "mat":
+            # TransR matrices [|R|, d_r, d_e] ride as flat (id, vec)
+            # rows — exactly the A20 checkpoint layout (io_openke
+            # flattens trailing dims); re-sliced to 2-D lazily where
+            # the relational matmul needs rows (_transr_proj).
+            m = np.asarray(v)
+            out[key] = _mat_to_vec_df(spark, m.reshape(m.shape[0], -1))
+        else:
             out[key] = _mat_to_vec_df(spark, v)
     return out
 
@@ -236,6 +243,48 @@ def _with_score(
     return df.withColumn(out, _fold_dist(d, norm, score_decimals))
 
 
+def _transr_proj(test: DataFrame, dfs: dict[str, DataFrame]) -> DataFrame:
+    """TransR projections as a relational table: ``(id, r, pvec)`` for
+    every entity × distinct test relation.
+
+    The per-relation matmul is one ``transform`` over the matrix rows
+    whose lambda folds d_e elements — genuinely O(d_r·d_e) work per
+    entity (a matmul's intrinsic cost), *not* the inlined-fold bug of
+    docs/PLANS.md §6; downstream the projected vector reaches the
+    scoring folds as a JOIN attribute. localCheckpointed because three
+    joins (h-side, t-side, candidate-side) reference it — interpreted
+    higher-order exprs re-evaluate per downstream reference otherwise.
+    Matrices are model-parameter-sized (|R|·d²) → broadcast; the
+    |E|-scaling side never leaves the JVM.
+    """
+    ent = dfs["ent"]
+    mat = dfs["mat"]
+    # O(1)-row probes for the literal slice bounds — not data-sized pulls
+    d_e = len(ent.select("vec").first()[0])
+    d_r = len(mat.select("vec").first()[0]) // d_e
+    rels_test = test.select("r").dropDuplicates()
+    mat2d = (
+        mat.withColumnRenamed("id", "r")
+        .join(rels_test, "r")
+        .select(
+            "r",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d_r - 1)),
+                lambda i: F.slice("vec", i * d_e + 1, d_e),
+            ).alias("mat2d"),
+        )
+    )
+    return (
+        ent.crossJoin(F.broadcast(mat2d))
+        .select(
+            "id",
+            "r",
+            F.transform("mat2d", lambda row: _vdot(row, F.col("vec"))).alias("pvec"),
+        )
+        .localCheckpoint()
+    )
+
+
 def link_prediction_ranks_blocked(
     spark: SparkSession,
     test: DataFrame,
@@ -260,9 +309,11 @@ def link_prediction_ranks_blocked(
     intended ingestion at beyond-broadcast |E|; see ``io_openke.
     read_embedding_df``) or a NumPy dict (tests/fixtures convenience).
     ``known``: triples DataFrame (scale path) or pandas (convenience).
-    Models: TransE/TransH/TransD, L1 + L2; TransR needs per-relation
-    matrices — matmul is not an array fold, so it stays on the broadcast
-    path / :func:`link_prediction_ranks_relfilter` (documented gap).
+    Models: all four (TransE/TransH/TransD/TransR), L1 + L2. TransR's
+    per-relation matmul is relational too: entities are pre-projected
+    per distinct test relation (:func:`_transr_proj` — the matrix rides
+    broadcast, the |E|-sized projection table is a localCheckpointed
+    JVM pass) and scoring is then TransE over the projections.
 
     Same protocol (strict <, raw + filtered); output is identical to the
     broadcast path (tested). L1 TransE scores of float32 embeddings are
@@ -277,13 +328,23 @@ def link_prediction_ranks_blocked(
 
     # model extras: per-relation vectors are broadcast-joined onto the
     # test side; TransD per-entity projection dots are one |E|-sized
-    # relational pass (edot), reused by both directions.
-    t = (
-        test.select("h", "t", "r")
-        .join(F.broadcast(rel.withColumnRenamed("id", "r")), "r")
-        .join(F.broadcast(ent.select(F.col("id").alias("h"), F.col("evec").alias("hvec"))), "h")
-        .join(F.broadcast(ent.select(F.col("id").alias("t"), F.col("evec").alias("tvec"))), "t")
-    )
+    # relational pass (edot), reused by both directions. TransR entities
+    # are pre-projected per test relation (_transr_proj) and the score
+    # is then TransE on the projections.
+    t = test.select("h", "t", "r").join(F.broadcast(rel.withColumnRenamed("id", "r")), "r")
+    if model == "transr":
+        proj = _transr_proj(test, dfs)
+        t = (
+            t.join(proj.select(F.col("id").alias("h"), "r", F.col("pvec").alias("hvec")), ["h", "r"])
+            .join(proj.select(F.col("id").alias("t"), "r", F.col("pvec").alias("tvec")), ["t", "r"])
+        )
+        score_model = "transe"
+    else:
+        t = (
+            t.join(F.broadcast(ent.select(F.col("id").alias("h"), F.col("evec").alias("hvec"))), "h")
+            .join(F.broadcast(ent.select(F.col("id").alias("t"), F.col("evec").alias("tvec"))), "t")
+        )
+        score_model = model
     cand_ent = ent.select(F.col("id").alias("cand"), F.col("evec").alias("cvec"))
     cand_extra_join = None
     if model == "transh":
@@ -321,7 +382,7 @@ def link_prediction_ranks_blocked(
         cand_ent = cand_ent.join(
             edot.select(F.col("id").alias("cand"), F.col("pdot").alias("cvec_pdot")), "cand"
         )
-    t = _with_score(t, model, norm, score_decimals, "hvec", "tvec", "s_head_true").withColumn(
+    t = _with_score(t, score_model, norm, score_decimals, "hvec", "tvec", "s_head_true").withColumn(
         "s_tail_true", F.col("s_head_true")
     )
 
@@ -332,11 +393,19 @@ def link_prediction_ranks_blocked(
     kn_heads = known_df.select(F.col("h").alias("cand"), F.col("t"), F.col("r")).withColumn("_kh", F.lit(1))
     kn_tails = known_df.select(F.col("h"), F.col("t").alias("cand"), F.col("r")).withColumn("_kt", F.lit(1))
 
-    cand = t.crossJoin(cand_ent)
-    if cand_extra_join is not None:
-        cand = cand.join(cand_extra_join, ["cand", "r"])
+    if model == "transr":
+        # every (entity, test-relation) projection IS a candidate row —
+        # joining proj on r alone enumerates the full candidate set
+        # without a separate cross join
+        cand = t.join(
+            proj.select(F.col("id").alias("cand"), "r", F.col("pvec").alias("cvec")), "r"
+        )
+    else:
+        cand = t.crossJoin(cand_ent)
+        if cand_extra_join is not None:
+            cand = cand.join(cand_extra_join, ["cand", "r"])
     head_scored = (
-        _with_score(cand, model, norm, score_decimals, "cvec", "tvec", "s_cand")
+        _with_score(cand, score_model, norm, score_decimals, "cvec", "tvec", "s_cand")
         .join(kn_heads, ["cand", "t", "r"], "left")
         .withColumn("skip", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
     )
@@ -347,7 +416,7 @@ def link_prediction_ranks_blocked(
         )).alias("rank_head_filt"),
     )
     tail_scored = (
-        _with_score(cand, model, norm, score_decimals, "hvec", "cvec", "s_cand")
+        _with_score(cand, score_model, norm, score_decimals, "hvec", "cvec", "s_cand")
         .join(kn_tails, ["cand", "h", "r"], "left")
         .withColumn("skip", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
     )

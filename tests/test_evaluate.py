@@ -103,6 +103,8 @@ BLOCKED_CASES = [
     ("transh", 2, 6),
     ("transd", 1, 6),
     ("transd", 2, 6),
+    ("transr", 1, 6),
+    ("transr", 2, 6),
 ]
 
 
@@ -127,12 +129,12 @@ def test_blocked_ranks_equal_broadcast(spark, model, norm, dec):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_blocked_ranks_transr_raises(spark):
+def test_with_score_unknown_model_raises(spark):
     from kgforge.evaluate import link_prediction_ranks_blocked
 
     with pytest.raises(NotImplementedError):
         link_prediction_ranks_blocked(
-            spark, spark.createDataFrame(SPLIT["test2id"].head(2)), EMB, KNOWN, model="transr"
+            spark, spark.createDataFrame(SPLIT["test2id"].head(2)), EMB, KNOWN, model="rescal"
         ).collect()
 
 
