@@ -144,11 +144,14 @@ class Pipeline:
         tri = self.spark.read.parquet(os.path.join(self._out("extract"), "triples"))
         gaz = self._gaz()
         gazmap = gaz.select("surface", "canonical").dropDuplicates(["surface"])
+        # pinned: referenced by the LSH chain AND the alias_map build —
+        # each reference would otherwise re-read + re-distinct the triples
         names = (
             tri.select(F.col("subj").alias("name"))
             .unionByName(tri.select(F.col("obj").alias("name")))
             .unionByName(gaz.select(F.col("surface").alias("name")))
             .distinct()
+            .localCheckpoint()
         )
         pairs = canon.alias_pairs(names, threshold=0.5)
         a_can = gazmap.select(F.col("surface").alias("a"), F.col("canonical").alias("_ca"))
@@ -178,6 +181,9 @@ class Pipeline:
             .select(F.col("name").alias("surface"), "canonical")
         )
         _write(alias_map, os.path.join(self._out("canonicalize"), "alias_map"), 1)
+        # downstream (entities rollup + count) reads the written parquet
+        # back rather than re-executing the alias_map join plan twice
+        alias_map = self._alias_map()
         ents = (
             alias_map.groupBy("canonical")
             .agg(F.sort_array(F.collect_set("surface")).alias("aliases"))
