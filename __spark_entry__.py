@@ -848,6 +848,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming.run_to_memory(sw, name, mode="complete")
         return spark.table(name)
 
+    def str_dedup_docs(spark, sf):
+        # stateful in-stream exact dedup as a REAL stream (file source,
+        # availableNow drain): the first arrival of each content hash
+        # wins, duplicates in LATER micro-batches are dropped by
+        # dropDuplicatesWithinWatermark state (bounded by the watermark
+        # horizon, not keys-ever-seen). Output = the distinct content-
+        # hash set — oracle is SELECT DISTINCT md5(text). Event time is
+        # a constant (all rows inside one horizon), so stream output ==
+        # batch dropDuplicates == SQL DISTINCT; the cross-micro-batch
+        # statefulness itself is pinned by
+        # test_stream_dedup_across_microbatches.
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+
+        src = f"{sf}/documents.parquet"
+        d = tempfile.mkdtemp(prefix="kgforge_sdedup_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        schema = spark.read.parquet(src).schema
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(sdir)
+            .withColumn("doc_hash", F.md5("text"))
+            .withColumn("_ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        )
+        ded = streaming.stream_dedup(st, key="doc_hash", ts_col="_ts")
+        name = "sdedup_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(ded.select("doc_hash"), name)
+        return spark.table(name)
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -971,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_recall": ann_ivf_topk_recall,
         "ann_ivf_persisted_recall": ann_ivf_persisted_recall,
         "str_session_windows": str_session_windows,
+        "str_dedup_docs": str_dedup_docs,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -1766,6 +1807,9 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "str_dedup_docs": """
+            SELECT DISTINCT md5(text) AS doc_hash FROM documents
         """,
         "ann_ivf_topk_recall": """
             SELECT CAST(0.6625 AS DOUBLE) AS recall_at_10

@@ -13,6 +13,8 @@ continuously.
   tumbling windows with a watermark for late turns.
 * :func:`session_windows` — gap-based session windows
   (``F.session_window``), identical on batch and streaming input.
+* :func:`stream_dedup` — stateful in-stream exact dedup (first arrival
+  of each key wins; state expires with the watermark).
 * :func:`run_to_parquet` — append sink + ``availableNow`` trigger (drain
   what exists, then stop — the batch-parity execution mode).
 
@@ -113,6 +115,27 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    key: str = "doc_hash",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful in-stream exact dedup: the FIRST arrival of each ``key``
+    survives; any duplicate arriving within ``watermark`` of the stream's
+    event-time frontier is dropped across micro-batches
+    (``dropDuplicatesWithinWatermark``). State is bounded by
+    keys-per-horizon, not keys-ever-seen — the property that makes
+    continuous dedup viable on an unbounded firehose (plain streaming
+    ``dropDuplicates`` without the event-time column in the key keeps
+    state forever). Matches batch ``dropDuplicates([key])`` whenever all
+    duplicates fall inside the horizon (parity tested, plus a
+    cross-micro-batch test that forces duplicates into separate
+    triggers).
+    """
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
 def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"):

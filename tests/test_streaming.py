@@ -4,6 +4,7 @@ watermarked windowed counts."""
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from kgforge import streaming
 from kgforge.fixtures import gazetteer, gen_transcripts, patterns_df
@@ -121,3 +122,58 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         got.astype({"n_events": "int64"}), wdf.astype({"n_events": "int64"}),
         check_dtype=False,
     )
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """In-stream exact dedup must be STATEFUL across micro-batches:
+    duplicates planted in a LATER file (forced into its own trigger via
+    maxFilesPerTrigger=1) are dropped by dropDuplicatesWithinWatermark
+    state, not merely by within-batch distinct. Also parity: output key
+    set == batch dropDuplicates == pandas drop_duplicates."""
+    base = pd.Timestamp("2030-01-01T00:00:00")
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha", "beta", "gamma", "alpha"],  # within-batch dup
+            "ts": [base] * 4,
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6],
+            "text": ["beta", "delta", "gamma"],  # cross-batch dups + 1 new
+            "ts": [base + pd.Timedelta(minutes=5)] * 3,
+        }
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, pdf in (("part-0.parquet", f1), ("part-1.parquet", f2)):
+        pdf.assign(ts=pdf["ts"].astype("datetime64[us]")).to_parquet(
+            os.path.join(src, name), index=False
+        )
+
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # pandas-written parquet reads back TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("doc_hash", F.md5("text"))
+    )
+    ded = streaming.stream_dedup(st, key="doc_hash", ts_col="ts", watermark="1 hour")
+    streaming.run_to_memory(ded.select("doc_hash", "text"), "sdedup_xbatch")
+    got = spark.table("sdedup_xbatch").toPandas()
+
+    # exactly one survivor per distinct text, across both micro-batches
+    assert sorted(got["text"]) == ["alpha", "beta", "delta", "gamma"]
+    batch_keys = sorted(
+        r["doc_hash"]
+        for r in spark.read.parquet(src)
+        .withColumn("doc_hash", F.md5("text"))
+        .dropDuplicates(["doc_hash"])
+        .select("doc_hash")
+        .collect()
+    )
+    assert sorted(got["doc_hash"]) == batch_keys
