@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 69):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 72):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,

@@ -85,31 +85,6 @@ def link_triples(
         .select("conv_id", "turn_idx", "subj", "pred", "obj", "s", "p", "o")
     )
 
-    if emb is not None:
-        b_emb = spark.sparkContext.broadcast(emb)
-        _PINNED.append(b_emb)
-
-        def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            E = b_emb.value
-            for pdf in batches:
-                if len(pdf):
-                    pdf = pdf.copy()
-                    pdf["link_score"] = kernels.score_batch(
-                        model, E,
-                        pdf["s"].to_numpy(np.int64),
-                        pdf["p"].to_numpy(np.int64),
-                        pdf["o"].to_numpy(np.int64),
-                        norm,
-                    ).astype("float64")
-                    yield pdf
-
-        schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in withids.schema.fields
-        ) + ", link_score double"
-        scored = withids.mapInPandas(score_fn, schema)
-    else:
-        scored = withids.withColumn("link_score", F.lit(0.0))
-
     # B6 best-link selection. Two scale-aware plans, same semantics
     # (min over (link_score, s, o) per extracted triple):
     #
@@ -118,10 +93,59 @@ def link_triples(
     #   row via broadcast joins, which never move rows — so the argmin is
     #   computable per partition with ZERO shuffle (mapInPandas groupby).
     #   The b5 oracle check guards the co-partitioning assumption.
-    # * local_select=False: general-input path — min_by hash aggregation
-    #   (partial map-side combine, one shuffle, no sort; still strictly
-    #   better than a window row_number which must shuffle AND sort).
+    #   Scoring and selection are FUSED into one mapInPandas: two
+    #   back-to-back pandas stages would ship the full candidate table
+    #   across the Arrow boundary twice (JVM→Py→JVM→Py→JVM) for no plan
+    #   benefit — both are partition-local.
+    # * local_select=False: general-input path — score as its own pandas
+    #   pass, then min_by hash aggregation (partial map-side combine, one
+    #   shuffle, no sort; still strictly better than a window row_number
+    #   which must shuffle AND sort).
     keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+
+    def _score(pdf: pd.DataFrame, E) -> pd.DataFrame:
+        pdf["link_score"] = kernels.score_batch(
+            model, E,
+            pdf["s"].to_numpy(np.int64),
+            pdf["p"].to_numpy(np.int64),
+            pdf["o"].to_numpy(np.int64),
+            norm,
+        ).astype("float64")
+        return pdf
+
+    scored_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in withids.schema.fields
+    ) + ", link_score double"
+
+    if emb is not None and local_select:
+        b_emb = spark.sparkContext.broadcast(emb)
+        _PINNED.append(b_emb)
+
+        def score_select(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            E = b_emb.value
+            parts = [_score(p, E) for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["link_score", "s", "o"], kind="stable")
+            yield pdf.drop_duplicates(subset=keys, keep="first")
+
+        return withids.mapInPandas(score_select, scored_schema)
+
+    if emb is not None:
+        b_emb = spark.sparkContext.broadcast(emb)
+        _PINNED.append(b_emb)
+
+        def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            E = b_emb.value
+            for pdf in batches:
+                if len(pdf):
+                    yield _score(pdf, E)
+
+        scored = withids.mapInPandas(score_fn, scored_schema)
+    else:
+        scored = withids.withColumn("link_score", F.lit(0.0))
+
     rest = [c for c in scored.columns if c not in keys]
     if local_select:
         out_schema = ", ".join(

@@ -146,10 +146,11 @@ def test_blocked_ranks_from_parquet_checkpoint(spark, tmp_path):
 
     d = str(tmp_path / "ckpt")
     write_embeddings_parquet(spark, EMB, d)
-    emb_dfs = {k: read_embedding_df(spark, d, k) for k in ("ent", "rel")}
     known_df = spark.createDataFrame(KNOWN[["h", "t", "r"]])
     test = spark.createDataFrame(SPLIT["test2id"].head(12))
     key = ["h", "t", "r"]
+
+    emb_dfs = {k: read_embedding_df(spark, d, k) for k in ("ent", "rel")}
     a = (
         link_prediction_ranks(spark, test, EMB, KNOWN)
         .toPandas().sort_values(key).reset_index(drop=True)
@@ -159,6 +160,20 @@ def test_blocked_ranks_from_parquet_checkpoint(spark, tmp_path):
         .toPandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # TransR too: the checkpoint's flat (id, vec) mat component feeds the
+    # relational matmul directly — all four kernels DataFrame-native
+    emb_r = {k: read_embedding_df(spark, d, k) for k in ("ent", "rel", "mat")}
+    ar = (
+        link_prediction_ranks(spark, test, EMB, KNOWN, model="transr", score_decimals=6)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    br = (
+        link_prediction_ranks_blocked(
+            spark, test, emb_r, known_df, model="transr", score_decimals=6
+        ).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ar, br, check_dtype=False)
 
 
 @pytest.mark.parametrize("model,norm", [("transe", 1), ("transh", 1), ("transr", 1), ("transd", 2)])
