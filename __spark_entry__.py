@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 72):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 74):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -704,6 +704,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def txt_lang_id(spark, sf):
         return textops.lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
 
+    def txt_tfidf_top_terms(spark, sf):
+        # corpus TF-IDF, top-10 terms per doc: explode → (doc,term) agg →
+        # term-aligned df/idf agg → vocab-sized join back → bounded
+        # per-doc window. Both engines round idf and tfidf to 6 decimals
+        # (double log products) and tie-break rank by term.
+        return textops.tfidf_top_terms(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def txt_length_quantiles(spark, sf):
+        # exact continuous quantiles (Spark percentile == DuckDB
+        # quantile_cont, bit-equal interpolation)
+        return textops.length_quantiles(spark.read.parquet(f"{sf}/documents.parquet"))
+
     def dedup_ngram_jaccard(spark, sf):
         # df_cap: the stop-shingle skew guard is live (capped candidate
         # generation + exact array_intersect verify). Output is exact for
@@ -1000,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_counts": txt_token_counts,
         "txt_quality_scores": txt_quality_scores,
         "txt_lang_id": txt_lang_id,
+        "txt_tfidf_top_terms": txt_tfidf_top_terms,
+        "txt_length_quantiles": txt_length_quantiles,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1955,6 +1969,39 @@ def oracle_sql() -> dict[str, str]:
                    WHEN n_es >= 1 THEN 'es'
                    ELSE 'und' END AS lang_pred
             FROM c
+        """,
+        "txt_tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            idf AS (
+              SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dft, nd
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                     round(idf.idf, 6) AS idf,
+                     round(tf.tf * idf.idf, 6) AS tfidf
+              FROM tf JOIN idf USING (term)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, idf, tfidf, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 10
+        """,
+        "txt_length_quantiles": """
+            SELECT quantile_cont(n_chars, 0.25) AS q25,
+                   quantile_cont(n_chars, 0.5) AS q50,
+                   quantile_cont(n_chars, 0.75) AS q75,
+                   quantile_cont(n_chars, 0.99) AS q99
+            FROM documents
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (

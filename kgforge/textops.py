@@ -515,3 +515,72 @@ def minhash_neardup_docs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus TF-IDF with smoothed idf; the top-``k`` terms per document.
+
+    ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)`` over ``[a-z0-9]+``
+    tokens of the lowercased text (both factors double; rounded to 6
+    decimals so cross-engine float ordering is stable).
+
+    Scale shape: the token explode is a narrow map (no shuffle); ``tf``
+    is one shuffle on (doc, term); ``df``/``idf`` re-aggregate BY TERM —
+    a second token-scale shuffle that is inherent to idf (term-aligned
+    statistics cannot ride the doc-aligned partitioning); the
+    vocabulary-sized idf table then joins back to ``tf`` (AQE
+    broadcasts it while the vocabulary fits, falls back to a shuffle
+    join beyond that); the per-doc top-k window is bounded by each
+    document's own distinct-term count, never partition size.
+
+    Output: ``doc_id, term, tf, idf, tfidf, rk`` (rk 1..k by tfidf
+    desc, term asc).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round("idf", 6).alias("idf"),
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "idf", "tfidf", "rk")
+    )
+
+
+def length_quantiles(
+    docs: DataFrame, col: str = "n_chars", probs: tuple = (0.25, 0.5, 0.75, 0.99)
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of a numeric column (one row).
+
+    Uses Spark's exact ``percentile`` (sort-based, SQL-standard
+    continuous interpolation — matches DuckDB ``quantile_cont`` to the
+    bit). For 100 TB profiling jobs swap in ``percentile_approx``
+    (t-digest, single pass, no sort) — the exact version is the oracle
+    anchor.
+    """
+    arr = ", ".join(str(p) for p in probs)
+    q = docs.select(F.expr(f"percentile({col}, array({arr}))").alias("q"))
+    return q.select(
+        *[F.col("q")[i].alias(f"q{int(p * 100)}") for i, p in enumerate(probs)]
+    )

@@ -156,3 +156,28 @@ def test_fingerprint_on_testdata(spark):
     fp = textops.fingerprint_docs(docs)
     assert fp.where(F.length("fingerprint") != 32).count() == 0
     assert fp.count() == docs.count()
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Smoothed idf: a term in every doc scores ln(1)=0+1 -> idf 1.0;
+    rarer terms score higher; rank orders by tfidf desc then term."""
+    from kgforge.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple cherry"),
+            (2, "apple durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_top_terms(docs, k=2).toPandas().set_index(["doc_id", "term"])
+    # 'apple' is in all 3 docs: idf = ln(4/4)+1 = 1.0
+    assert got.loc[(0, "apple"), "idf"] == 1.0
+    # 'durian' (1 doc, tf 3) must outrank 'apple' (idf 1, tf 1) in doc 2
+    assert got.loc[(2, "durian"), "rk"] == 1
+    assert got.loc[(2, "apple"), "rk"] == 2
+    import math
+    assert abs(got.loc[(2, "durian"), "idf"] - round(math.log(4 / 2) + 1, 6)) < 1e-9
+    # per-doc top-k bound respected
+    assert got.reset_index().groupby("doc_id").size().max() <= 2
