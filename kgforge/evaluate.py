@@ -281,7 +281,7 @@ def _transr_proj(test: DataFrame, dfs: dict[str, DataFrame]) -> DataFrame:
             "r",
             F.transform("mat2d", lambda row: _vdot(row, F.col("vec"))).alias("pvec"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 

@@ -151,7 +151,7 @@ class Pipeline:
             .unionByName(tri.select(F.col("obj").alias("name")))
             .unionByName(gaz.select(F.col("surface").alias("name")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         pairs = canon.alias_pairs(names, threshold=0.5)
         a_can = gazmap.select(F.col("surface").alias("a"), F.col("canonical").alias("_ca"))

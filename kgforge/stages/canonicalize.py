@@ -186,8 +186,15 @@ def lsh_candidate_pairs(
     )
     # pinned before the self-join: the a/b sides are not recognized as a
     # reusable exchange (verified in the executed plan), so without this
-    # the signature mapInPandas and the bucket window run twice
-    ok = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n").localCheckpoint()
+    # the signature mapInPandas and the bucket window run twice. Lazy
+    # (eager=False): the first consuming job materializes it — an eager
+    # pin here costs a whole extra job, measured +0.5s per call at
+    # bench scale with zero benefit (the compute dedup is identical).
+    ok = (
+        sized.where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+        .localCheckpoint(eager=False)
+    )
     a = ok.withColumnRenamed(name_col, "a")
     b = ok.withColumnRenamed(name_col, "b")
     return (
@@ -218,7 +225,7 @@ def exact_jaccard_filter(
     # referenced three times below (a-names, b-names, join base): pin the
     # candidate set once or every reference re-runs the upstream LSH plan
     # (bucket-capped, so this is always small relative to the corpus)
-    pairs = pairs.select("a", "b").localCheckpoint()
+    pairs = pairs.select("a", "b").localCheckpoint(eager=False)
     names = (
         pairs.select(F.col("a").alias("name"))
         .union(pairs.select(F.col("b").alias("name")))
@@ -227,7 +234,7 @@ def exact_jaccard_filter(
     )
     # referenced twice (a-side and b-side joins): localCheckpoint so the
     # mapInPandas shingling runs once, not per downstream reference
-    sh = char_shingle_table(names, k=k, seed=seed, id_col="name", text_col="_text").localCheckpoint()
+    sh = char_shingle_table(names, k=k, seed=seed, id_col="name", text_col="_text").localCheckpoint(eager=False)
     a = sh.select(F.col("name").alias("a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col("name").alias("b"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
@@ -275,7 +282,7 @@ def connected_components(
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("x").alias("node"))
