@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 74):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 75):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -716,6 +716,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile_cont, bit-equal interpolation)
         return textops.length_quantiles(spark.read.parquet(f"{sf}/documents.parquet"))
 
+    def docs_corpus_filter(spark, sf):
+        # composite training-data cleanup: quality gate AND en-language
+        # gate, then exact dedup of the survivors — the operators
+        # composed as a user would chain them; oracle replays the same
+        # gates + group-by in SQL.
+        return textops.training_corpus_filter(spark.read.parquet(f"{sf}/documents.parquet"))
+
     def dedup_ngram_jaccard(spark, sf):
         # df_cap: the stop-shingle skew guard is live (capped candidate
         # generation + exact array_intersect verify). Output is exact for
@@ -1014,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": txt_lang_id,
         "txt_tfidf_top_terms": txt_tfidf_top_terms,
         "txt_length_quantiles": txt_length_quantiles,
+        "docs_corpus_filter": docs_corpus_filter,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2002,6 +2010,43 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.75) AS q75,
                    quantile_cont(n_chars, 0.99) AS q99
             FROM documents
+        """,
+        "docs_corpus_filter": r"""
+            WITH q AS (
+              SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents
+              WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+                AND length(text) >= 20
+                AND CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) < 0.2
+            ),
+            lc AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with)\b')) AS n_en,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS n_fr,
+                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit|ein)\b')) AS n_de,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|con|para)\b')) AS n_es
+              FROM documents
+            ),
+            lang AS (
+              SELECT doc_id FROM lc
+              WHERE (CASE WHEN n_en >= greatest(n_fr, n_de, n_es, 1) THEN 'en'
+                   WHEN n_fr >= greatest(n_de, n_es, 1) THEN 'fr'
+                   WHEN n_de >= greatest(n_es, 1) THEN 'de'
+                   WHEN n_es >= 1 THEN 'es'
+                   ELSE 'und' END) = 'en'
+            ),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN q USING (doc_id) JOIN lang USING (doc_id)
+            ),
+            ded AS (
+              SELECT min(doc_id) AS doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+                     count(*) AS group_size
+              FROM kept GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            )
+            SELECT ded.doc_id, ded.fingerprint, ded.group_size, q.n_tokens
+            FROM ded JOIN q ON q.doc_id = ded.doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (

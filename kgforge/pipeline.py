@@ -33,6 +33,17 @@ def _write(df: DataFrame, path: str, partitions: int | None = None) -> None:
     w.write.mode("overwrite").parquet(path)
 
 
+def _write_counted(df: DataFrame, path: str, partitions: int | None = None) -> int:
+    """Write + row count in ONE job: the count rides the write via
+    ``df.observe`` instead of a count-after-write re-read — each re-read
+    was a whole extra (footer-only, but scheduled) job per stage."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _write(df.observe(obs, F.count(F.lit(1)).alias("n")), path, partitions)
+    return int(obs.get["n"])
+
+
 class Pipeline:
     STAGES = ["reassemble", "extract", "canonicalize", "dicts", "link", "materialize", "evaluate"]
 
@@ -105,8 +116,8 @@ class Pipeline:
         ordered = reassemble.ordered_turns(df)
         # write straight out of the window's shuffle partitioning — an
         # extra repartition() here would be a second full shuffle
-        _write(ordered, self._out("reassemble"))
-        return {"row_count": self.spark.read.parquet(self._out("reassemble")).count()}
+        n = _write_counted(ordered, self._out("reassemble"))
+        return {"row_count": n}
 
     def stage_extract(self) -> dict:
         # B2 and B3 as two independent scans. A single combined pass
@@ -119,10 +130,9 @@ class Pipeline:
         pat_pdf = self.spark.read.parquet(self.patterns_path).toPandas()
         tri = extract.extract_triples(turns, gaz_pdf, pat_pdf)
         tri = extract.surface_triples_dedup(tri)
-        _write(tri, os.path.join(self._out("extract"), "triples"))
+        n = _write_counted(tri, os.path.join(self._out("extract"), "triples"))
         men = extract.detect_mentions(turns, gaz_pdf)
         _write(men, os.path.join(self._out("extract"), "mentions"))
-        n = self.spark.read.parquet(os.path.join(self._out("extract"), "triples")).count()
         return {"row_count": n}
 
     def stage_canonicalize(self) -> dict:
@@ -180,16 +190,15 @@ class Pipeline:
             .withColumn("canonical", F.coalesce("anchor_canonical", "_own", "component"))
             .select(F.col("name").alias("surface"), "canonical")
         )
-        _write(alias_map, os.path.join(self._out("canonicalize"), "alias_map"), 1)
-        # downstream (entities rollup + count) reads the written parquet
-        # back rather than re-executing the alias_map join plan twice
-        alias_map = self._alias_map()
+        n = _write_counted(alias_map, os.path.join(self._out("canonicalize"), "alias_map"), 1)
+        # the entities rollup reads the written parquet back rather than
+        # re-executing the alias_map join plan
         ents = (
-            alias_map.groupBy("canonical")
+            self._alias_map().groupBy("canonical")
             .agg(F.sort_array(F.collect_set("surface")).alias("aliases"))
         )
         _write(ents, os.path.join(self._out("canonicalize"), "entities"), 1)
-        return {"row_count": alias_map.count()}
+        return {"row_count": n}
 
     def _alias_map(self):
         return self.spark.read.parquet(os.path.join(self._out("canonicalize"), "alias_map"))

@@ -584,3 +584,29 @@ def length_quantiles(
     return q.select(
         *[F.col("q")[i].alias(f"q{int(p * 100)}") for i, p in enumerate(probs)]
     )
+
+
+def training_corpus_filter(docs: DataFrame, lang: str = "en") -> DataFrame:
+    """Composite training-data pipeline: quality gate ∧ language gate →
+    exact dedup of the survivors — the canonical pre-training corpus
+    cleanup, composed from this module's own operators so the pieces are
+    exercised TOGETHER (the user story, not just per-op oracles).
+
+    Shapes: the two gates are narrow per-doc maps (no shuffle — the
+    joins on doc_id collapse to one scan under AQE at small scale and
+    stay doc-partitioned at large); :func:`exact_dedup` contributes the
+    only required shuffle (md5-key hash agg, map-side partial).
+
+    Output: ``doc_id`` (group survivor = min id), ``fingerprint``,
+    ``group_size``, ``n_tokens``.
+    """
+    q = quality_scores(docs).where("quality_ok").select("doc_id", "n_tokens")
+    gate = lang_id(docs).where(F.col("lang_pred") == lang).select("doc_id")
+    kept = docs.select("doc_id", "text").join(q.select("doc_id"), "doc_id").join(gate, "doc_id")
+    ded = exact_dedup(kept)
+    return ded.join(q, "doc_id").select(
+        "doc_id",
+        "fingerprint",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
