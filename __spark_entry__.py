@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 75):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 76):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -604,6 +604,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a7_transe_scores(spark, sf):
         return _kernel_scores(spark, "transe")
 
+    def a11_margin_loss(spark, sf):
+        # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
+        # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
+        # so DuckDB replays the exact pos/neg pairing — the sampler
+        # itself keeps its own property oracles (a4/a5). hinge =
+        # max(0, margin + s_pos - s_neg), the reference's pairwise loss
+        # (recalled base/Model.h margin term); L1-f32 scores are exact
+        # in f64, rounded to 9 like every kernel-score oracle.
+        split, emb, _ = _openke_emb()
+        n_ent = len(split["entity2id"])
+        train = spark.createDataFrame(split["train2id"]).select("h", "t", "r").dropDuplicates()
+        pos = ev.score_triples(spark, train, emb).withColumnRenamed("score", "s_pos")
+        neg_in = train.select(
+            F.pmod(F.col("h") + 1, F.lit(n_ent)).cast("long").alias("h"), "t", "r"
+        )
+        neg = ev.score_triples(spark, neg_in, emb).select(
+            F.pmod(F.col("h") - 1 + n_ent, F.lit(n_ent)).cast("long").alias("h"),
+            "t", "r", F.col("score").alias("s_neg"),
+        )
+        return (
+            pos.join(neg, ["h", "t", "r"])
+            .select(
+                "h", "t", "r",
+                F.round("s_pos", 9).alias("s_pos"),
+                F.round("s_neg", 9).alias("s_neg"),
+                F.round(
+                    F.greatest(F.lit(0.0), F.lit(1.0) + F.col("s_pos") - F.col("s_neg")), 9
+                ).alias("hinge"),
+            )
+        )
+
     def a7_transe_scores_l2(spark, sf):
         # the reference's L1/L2 switch, L2 half (Config.p_norm, recalled)
         split, emb, _ = _openke_emb()
@@ -989,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_recall": ann_lsh_topk_recall,
         "a7_transe_scores": a7_transe_scores,
         "a7_transe_scores_l2": a7_transe_scores_l2,
+        "a11_margin_loss": a11_margin_loss,
         "a15_ranks_l2": a15_ranks_l2,
         "a19_topk_heads": a19_topk_heads,
         "a8_transh_scores": a8_transh_scores,
@@ -1843,6 +1875,34 @@ def oracle_sql() -> dict[str, str]:
             FROM range(48) t(x)
         """,
         "a7_transe_scores": _SQL_TRANSE,
+        "a11_margin_loss": f"""
+            WITH train AS (
+              SELECT DISTINCT h, t, r FROM read_parquet('{OKE}/train2id.parquet')
+            ),
+            n AS (SELECT count(*) AS n_ent FROM read_parquet('{OKE}/entity2id.parquet')),
+            ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+            rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+            pos AS (
+              SELECT tt.h, tt.t, tt.r, sum(abs(eh.val + er.val - et.val)) AS s_pos
+              FROM train tt
+              JOIN rel er ON er.id = tt.r
+              JOIN ent eh ON eh.id = tt.h AND eh.k = er.k
+              JOIN ent et ON et.id = tt.t AND et.k = er.k
+              GROUP BY tt.h, tt.t, tt.r
+            ),
+            neg AS (
+              SELECT tt.h, tt.t, tt.r, sum(abs(eh.val + er.val - et.val)) AS s_neg
+              FROM train tt, n
+              JOIN rel er ON er.id = tt.r
+              JOIN ent eh ON eh.id = (tt.h + 1) % n.n_ent AND eh.k = er.k
+              JOIN ent et ON et.id = tt.t AND et.k = er.k
+              GROUP BY tt.h, tt.t, tt.r
+            )
+            SELECT pos.h, pos.t, pos.r,
+                   round(s_pos, 9) AS s_pos, round(s_neg, 9) AS s_neg,
+                   round(greatest(0.0, 1.0 + s_pos - s_neg), 9) AS hinge
+            FROM pos JOIN neg ON pos.h = neg.h AND pos.t = neg.t AND pos.r = neg.r
+        """,
         "a7_transe_scores_l2": _SQL_TRANSE.replace(
             "round(sum(abs(eh.val + er.val - et.val)), 9)",
             "round(sqrt(sum(power(eh.val + er.val - et.val, 2))), 9)",
