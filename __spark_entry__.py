@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 76):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 77):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -938,6 +938,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming.run_to_memory(ded.select("doc_hash"), name)
         return spark.table(name)
 
+    def str_stateful_counts(spark, sf):
+        # custom stateful operator as a REAL stream: per-user running
+        # event counts via applyInPandasWithState (explicit group state,
+        # update mode). The sink holds a monotone count series per user;
+        # max(n_events) per user == batch groupBy count — the oracle.
+        # Cross-micro-batch accumulation is pinned by
+        # test_stateful_running_counts_across_microbatches.
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+
+        src = f"{sf}/events.parquet"
+        d = tempfile.mkdtemp(prefix="kgforge_state_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        schema = spark.read.parquet(src).schema
+        st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(sdir)
+        out = streaming.stateful_running_counts(st, key="user_id")
+        name = "state_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(out, name, mode="update")
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").cast("long").alias("n_events"))
+        )
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -1066,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted_recall": ann_ivf_persisted_recall,
         "str_session_windows": str_session_windows,
         "str_dedup_docs": str_dedup_docs,
+        "str_stateful_counts": str_stateful_counts,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -1861,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "str_stateful_counts": """
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         """,
         "str_dedup_docs": """
             SELECT DISTINCT md5(text) AS doc_hash FROM documents

@@ -138,6 +138,41 @@ def stream_dedup(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
+def stateful_running_counts(
+    events: DataFrame, key: str = "user_id", key_type: str = "long"
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    RUNNING event counts maintained in explicit group state across
+    micro-batches — the escape hatch for stateful logic the built-in
+    windowed/dedup operators can't express.
+
+    Each micro-batch emits the updated running total for every key it
+    touched (update mode), so the sink holds a monotone count series per
+    key; ``max(n_events)`` per key equals the batch ``groupBy count``
+    (the stream==batch parity oracle). State is one long per key —
+    bounded by key cardinality, the right cost model for per-user
+    counters on an unbounded firehose.
+
+    Output per emission: ``<key>, n_events``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} {key_type}, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"):
     """Drain all available input (availableNow) into parquet and stop."""
     q = (

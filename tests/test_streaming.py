@@ -177,3 +177,28 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
         .collect()
     )
     assert sorted(got["doc_hash"]) == batch_keys
+
+
+def test_stateful_running_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key counts across micro-batches:
+    with one file per trigger, a key seen in both files must emit a
+    RUNNING total (file2's emission includes file1's rows), and the
+    final max per key equals the batch groupBy count."""
+    base = pd.Timestamp("2030-01-01T00:00:00")
+    f1 = pd.DataFrame({"user_id": [1, 1, 2], "ts": [base] * 3})
+    f2 = pd.DataFrame({"user_id": [1, 2, 3], "ts": [base + pd.Timedelta(minutes=1)] * 3})
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for name, pdf in (("part-0.parquet", f1), ("part-1.parquet", f2)):
+        pdf.assign(ts=pdf["ts"].astype("datetime64[us]")).to_parquet(
+            os.path.join(src, name), index=False
+        )
+    schema = spark.read.parquet(src).schema
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming.stateful_running_counts(st, key="user_id")
+    streaming.run_to_memory(out, "state_counts", mode="update")
+    got = spark.table("state_counts").toPandas()
+    final = got.groupby("user_id")["n_events"].max()
+    assert final.to_dict() == {1: 3, 2: 2, 3: 1}
+    # running (not per-batch) totals: user 1's emissions are 2 then 3
+    assert sorted(got[got["user_id"] == 1]["n_events"]) == [2, 3]
