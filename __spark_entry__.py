@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 77):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 79):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -996,6 +996,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
         )
 
+    def q1_pricing_summary(spark, sf):
+        # TPC-H Q1 shape (scan-heavy groupBy): the cross-engine float
+        # trap is the SUM — double accumulation is order-dependent, so
+        # every sum runs in DECIMAL (exact, associative → bit-identical
+        # regardless of partitioning) and the averages divide the exact
+        # sums in double afterwards. Per-row products are computed in
+        # double (deterministic IEEE) and cast once.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+        # every monetary input is an exact 2-decimal value (verified on
+        # the generator output), so casting the FACTORS to decimal is
+        # lossless and the products are exact decimal arithmetic — no
+        # double-to-decimal rounding anywhere (engines disagree on that
+        # rounding mode; it cost 3e-3 on sum_charge before this)
+        qty = F.col("l_quantity").cast("decimal(12,2)")
+        price = F.col("l_extendedprice").cast("decimal(12,2)")
+        one_m_disc = (1 - F.col("l_discount")).cast("decimal(4,2)")
+        one_p_tax = (1 + F.col("l_tax")).cast("decimal(4,2)")
+        disc = price * one_m_disc
+        charge = price * one_m_disc * one_p_tax
+        g = (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(qty).alias("sum_qty"),
+                F.sum(price).alias("sum_base_price"),
+                F.sum(disc).alias("sum_disc_price"),
+                F.sum(charge).alias("sum_charge"),
+                F.count("*").alias("count_order"),
+            )
+        )
+        return g.select(
+            "l_returnflag", "l_linestatus",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+            F.col("sum_charge").cast("double").alias("sum_charge"),
+            (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+            F.col("count_order").cast("long").alias("count_order"),
+        )
+
+    def q3_top_revenue_orders(spark, sf):
+        # TPC-H Q3 shape: selective dimension filter -> broadcast join ->
+        # fact join -> agg -> top-k. Revenue sums in DECIMAL (same exact-
+        # arithmetic recipe as q1); deterministic tie-break on orderkey.
+        from pyspark.sql import Window
+
+        c = spark.read.parquet(f"{sf}/customer.parquet").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = spark.read.parquet(f"{sf}/orders.parquet").where(
+            F.col("o_orderdate") < F.lit("1996-01-01")
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            F.col("l_shipdate") > F.lit("1996-01-01")
+        )
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(rev).alias("revenue_d"))
+        )
+        # distributed top-k: orderBy+limit compiles to TakeOrdered
+        # (per-partition top-10 then driver merge of 10-row heads) — a
+        # global row_number window would move the whole aggregate to one
+        # partition. The rank window then runs over just 10 rows.
+        top = j.orderBy(F.col("revenue_d").desc(), "l_orderkey").limit(10)
+        w = Window.orderBy(F.col("revenue_d").desc(), "l_orderkey")
+        return (
+            top.withColumn("rk", F.row_number().over(w).cast("long"))
+            .select(
+                "l_orderkey",
+                F.col("revenue_d").cast("double").alias("revenue"),
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "rk",
+            )
+        )
+
     def a3_skew_stats_lineitem(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -1104,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
         "evt_sessionize": evt_sessionize,
     }
 
@@ -2197,6 +2279,40 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                 FROM orders) WHERE rk <= 3
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            WITH j AS (
+              SELECT l.l_orderkey, o.o_orderdate,
+                     sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS revenue_d
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1996-01-01'
+                AND l.l_shipdate > TIMESTAMP '1996-01-01'
+              GROUP BY l.l_orderkey, o.o_orderdate
+            ),
+            r AS (
+              SELECT l_orderkey, CAST(revenue_d AS DOUBLE) AS revenue,
+                     CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                     row_number() OVER (ORDER BY revenue_d DESC, l_orderkey) AS rk
+              FROM j
+            )
+            SELECT l_orderkey, revenue, o_orderdate, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10
         """,
         "a3_skew_stats_lineitem": """
             SELECT l_returnflag, avg(n) AS avg_suppliers_per_order, count(*) AS n_orders
