@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 79):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 81):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -1076,6 +1076,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_rollup_lineitem(spark, sf):
+        # multi-level aggregation (ROLLUP): per (returnflag, linestatus),
+        # per returnflag subtotal, and grand total in ONE pass (partial
+        # aggregation handles all grouping sets map-side). NULL grouping
+        # keys are the subtotal markers in both engines.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+
+    def q_approx_distinct_parts(spark, sf):
+        # HLL sketch vs exact: approx_count_distinct must land within 5%
+        # of the exact distinct count (sketch values are engine-specific,
+        # so the CONTRACT row is the property, house style of the recall
+        # pins). Exact side doubles as a real count check.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return li.select(
+            F.countDistinct("l_partkey").cast("long").alias("exact_distinct"),
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", 0.02).cast("double")
+                    - F.countDistinct("l_partkey").cast("double")
+                )
+                / F.countDistinct("l_partkey").cast("double")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+
     def a3_skew_stats_lineitem(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -1185,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
         "q1_pricing_summary": q1_pricing_summary,
+        "q_rollup_lineitem": q_rollup_lineitem,
+        "q_approx_distinct_parts": q_approx_distinct_parts,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "evt_sessionize": evt_sessionize,
     }
@@ -2279,6 +2315,17 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                 FROM orders) WHERE rk <= 3
+        """,
+        "q_rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_approx_distinct_parts": """
+            SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+                   true AS within_5pct
+            FROM lineitem
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
