@@ -72,11 +72,34 @@ def test_star_cc_matches_hashmin_and_scales_deep_graphs(spark):
         for a, b in zip(rng.integers(0, 300, 400), rng.integers(0, 300, 400))
         if a != b
     ]
+    def union_find(edges):
+        # independent pure-Python oracle — star==hash-min alone could
+        # share a bug; union-find cannot
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
     for name, edges in cases.items():
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
         hm = connected_components(df, max_iter=200).toPandas().sort_values("node").reset_index(drop=True)
         st = connected_components_star(df).toPandas().sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(hm, st, check_dtype=False), name
+        uf = union_find(edges)
+        # min-of-component labels: union-find roots path-compress toward
+        # the min because we always parent the larger root
+        got = dict(zip(hm["node"], hm["component"]))
+        assert got == uf, name
 
     # diameter-199 chain: star converges in O(log n); hash-min at the
     # same budget must fail LOUDLY, never return wrong labels

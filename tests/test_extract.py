@@ -89,3 +89,36 @@ def test_dedup_idempotent(spark):
     tri = extract_triples(df, gazetteer(), patterns_df())
     once = surface_triples_dedup(tri)
     assert once.count() == surface_triples_dedup(once).count()
+
+
+def test_trie_alternation_property_random():
+    """Property (hypothesis): for ANY surface set and text over the
+    working alphabet, the trie-factored alternation matches the flat
+    longest-first alternation exactly, including spans — prefix-nested
+    and substring-nested surfaces are the regression surface here."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgforge.stages.extract import _B_L, _B_R, _HYPH_TOKEN, _entity_alt
+
+    surfaces_s = st.lists(
+        st.text(alphabet="abAB12", min_size=1, max_size=6), min_size=1, max_size=12
+    )
+    text_s = st.text(alphabet="abAB12 -.", max_size=60)
+
+    @given(surfaces=surfaces_s, text=text_s)
+    @settings(max_examples=250, deadline=None)
+    def check(surfaces, text):
+        flat = "(?:" + "|".join(
+            [re.escape(s) for s in sorted(set(surfaces), key=lambda x: (-len(x), x))]
+            + [_HYPH_TOKEN]
+        ) + ")"
+        rx_flat = re.compile(_B_L + "(" + flat + ")" + _B_R)
+        rx_trie = re.compile(_B_L + "(" + _entity_alt(surfaces) + ")" + _B_R)
+        a = [(m.group(1), m.start(1)) for m in rx_flat.finditer(text)]
+        b = [(m.group(1), m.start(1)) for m in rx_trie.finditer(text)]
+        assert a == b, (surfaces, text, a, b)
+
+    check()
