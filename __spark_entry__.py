@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 81):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 82):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -1076,6 +1076,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def asof_purchases(spark, sf):
+        # as-of join (operator Spark lacks natively): each click event
+        # picks the user's LATEST purchase at-or-before its timestamp.
+        # kgforge.joins.asof_join composes it as union + ONE window pass
+        # (single shuffle on user_id — no range-join candidate
+        # explosion); the oracle is DuckDB's native ASOF LEFT JOIN.
+        from kgforge.joins import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        left = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+        right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return asof_join(left, right, "user_id", "ts", ["value"]).select(
+            "user_id", "event_id", "ts",
+            F.col("value_right").alias("purchase_value"),
+            F.col("ts_right").alias("purchase_ts"),
+        )
+
     def q_rollup_lineitem(spark, sf):
         # multi-level aggregation (ROLLUP): per (returnflag, linestatus),
         # per returnflag subtotal, and grand total in ONE pass (partial
@@ -1220,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
         "q1_pricing_summary": q1_pricing_summary,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "asof_purchases": asof_purchases,
         "q_approx_distinct_parts": q_approx_distinct_parts,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "evt_sessionize": evt_sessionize,
@@ -2315,6 +2333,15 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                 FROM orders) WHERE rk <= 3
+        """,
+        "asof_purchases": """
+            SELECT l.user_id, l.event_id, l.ts,
+                   r.value AS purchase_value, r.ts AS purchase_ts
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "q_rollup_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

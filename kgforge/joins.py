@@ -1,0 +1,57 @@
+"""Relational join extensions Spark lacks as built-ins.
+
+:func:`asof_join` — the classic time-series join (each left row picks
+the LATEST right row at-or-before its timestamp, per key). Spark has no
+native ASOF; the naive formulations are a range join (explodes to
+O(|L|·|R|) per key before filtering) or a per-key Python loop. This is
+the scale-correct composition: tag the two sides, union, ONE window
+pass partitioned by key (single shuffle, sort within partition), carry
+the last non-null right values forward, keep the left rows. DuckDB's
+native ``ASOF JOIN`` is the cross-engine oracle (contract query
+``asof_purchases``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``value_cols`` (and
+    ``<ts><suffix>``) of the latest ``right`` row with
+    ``right.ts <= left.ts`` for the same ``key``; nulls when no prior
+    right row exists (LEFT semantics, tie at equal ts matches — same
+    rule as DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    ``right`` must be unique per ``(key, ts)`` — pre-aggregate
+    otherwise (which of several same-instant rows "the" match is would
+    be undefined in any engine).
+
+    Plan shape: one shuffle on ``key`` (the window), no range-join
+    candidate explosion; cost is the sort of |L|+|R| rows within each
+    key partition — the same shape a windowed lag/lead pays, and skew
+    on ``key`` is AQE's standard case.
+    """
+    rsel = [F.col(key), F.col(ts), F.col(ts).alias(ts + suffix)]
+    rsel += [F.col(c).alias(c + suffix) for c in value_cols]
+    r = right.select(*rsel).withColumn("_side", F.lit(0))
+    lf = left.withColumn("_side", F.lit(1))
+    u = lf.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
+    # exactly-simultaneous right row is matched (inclusive <=)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in [ts + suffix] + [c + suffix for c in value_cols]:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop("_side")

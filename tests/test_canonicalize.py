@@ -72,30 +72,12 @@ def test_star_cc_matches_hashmin_and_scales_deep_graphs(spark):
         for a, b in zip(rng.integers(0, 300, 400), rng.integers(0, 300, 400))
         if a != b
     ]
-    def union_find(edges):
-        # independent pure-Python oracle — star==hash-min alone could
-        # share a bug; union-find cannot
-        parent = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in edges:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        return {n: find(n) for n in parent}
-
     for name, edges in cases.items():
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
         hm = connected_components(df, max_iter=200).toPandas().sort_values("node").reset_index(drop=True)
         st = connected_components_star(df).toPandas().sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(hm, st, check_dtype=False), name
-        uf = union_find(edges)
+        uf = _union_find(edges)
         # min-of-component labels: union-find roots path-compress toward
         # the min because we always parent the larger root
         got = dict(zip(hm["node"], hm["component"]))
@@ -194,3 +176,31 @@ def test_link_local_select_equals_min_by(spark):
         .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_manual_case(spark):
+    """As-of semantics on a hand-checked case: inclusive tie (right row
+    at the SAME instant matches), carry-forward across later lefts,
+    null before any right row, keys independent."""
+    from kgforge.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 305), (1, 12, 300), (2, 20, 150)],
+        "user_id long, event_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 200, 9.0), (1, 300, 42.0), (2, 400, 7.0)],
+        "user_id long, ts long, value double",
+    )
+    got = (
+        asof_join(left, right, "user_id", "ts", ["value"])
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # event 10 @100: no purchase <= 100 -> null
+    assert pd.isna(got.loc[0, "value_right"]) and pd.isna(got.loc[0, "ts_right"])
+    # event 11 @305: latest right <= 305 is ts=300
+    assert got.loc[1, "value_right"] == 42.0 and got.loc[1, "ts_right"] == 300
+    # event 12 @300: INCLUSIVE tie matches ts=300
+    assert got.loc[2, "value_right"] == 42.0 and got.loc[2, "ts_right"] == 300
+    # key 2 independent: event 20 @150: no right <= 150 for user 2 (400 > 150)
+    assert pd.isna(got.loc[3, "value_right"])
