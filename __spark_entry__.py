@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 82):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 83):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -972,6 +972,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.max("n_events").cast("long").alias("n_events"))
         )
 
+    def str_enriched_segments(spark, sf):
+        # stream-static enrichment: the event stream broadcast-joins a
+        # static dimension (customer market segment) mid-stream, then a
+        # complete-mode count per segment — the standard dimension-
+        # enrichment shape (static side re-read per micro-batch, stream
+        # side never leaves its partitioning). Oracle = the same join +
+        # GROUP BY in SQL.
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+
+        src = f"{sf}/events.parquet"
+        d = tempfile.mkdtemp(prefix="kgforge_enrich_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        schema = spark.read.parquet(src).schema
+        st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(sdir)
+        dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        enriched = st.join(F.broadcast(dim), "user_id")
+        counts = enriched.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_events")
+        )
+        name = "enrich_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(counts, name, mode="complete")
+        return spark.table(name)
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -1232,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_session_windows": str_session_windows,
         "str_dedup_docs": str_dedup_docs,
         "str_stateful_counts": str_stateful_counts,
+        "str_enriched_segments": str_enriched_segments,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -2032,6 +2069,11 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "str_enriched_segments": """
+            SELECT c.c_mktsegment, count(*) AS n_events
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "str_stateful_counts": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
