@@ -308,7 +308,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .join(labels.select("node", F.col("component").alias("_old")), "node")
-            .observe(obs, F.sum((F.col("component") != F.col("_old")).cast("long")).alias("changed"))
+            .observe(
+                obs,
+                # coalesce: sum over an EMPTY label set is NULL, and
+                # None == 0 is False — an empty edge input would loop to
+                # exhaustion and raise instead of converging immediately
+                F.coalesce(
+                    F.sum((F.col("component") != F.col("_old")).cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
             .select("node", "component")
         ).localCheckpoint()
         labels = new_labels

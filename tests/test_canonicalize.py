@@ -204,3 +204,14 @@ def test_asof_join_manual_case(spark):
     assert got.loc[2, "value_right"] == 42.0 and got.loc[2, "ts_right"] == 300
     # key 2 independent: event 20 @150: no right <= 150 for user 2 (400 > 150)
     assert pd.isna(got.loc[3, "value_right"])
+
+
+def test_connected_components_empty_edges(spark):
+    """Empty edge set converges immediately to an empty label table
+    (the observe-fused convergence sum is NULL over an empty set —
+    regression guard for the coalesce)."""
+    from kgforge.stages.canonicalize import connected_components_star
+
+    empty = spark.createDataFrame([], "a string, b string")
+    assert connected_components(empty).count() == 0
+    assert connected_components_star(empty).count() == 0
