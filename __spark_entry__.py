@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 83):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 84):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -1129,6 +1129,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ts_right").alias("purchase_ts"),
         )
 
+    def q_region_supplier_stats(spark, sf):
+        # snowflake-dimension rollup: supplier -> nation -> region via
+        # two broadcast joins (each dim is catalog-sized), then one agg;
+        # acctbal sums in exact decimal (parity cookbook rule 2).
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        sup = spark.read.parquet(f"{sf}/supplier.parquet")
+        agg = (
+            sup.join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").cast("long").alias("n_suppliers"),
+                F.countDistinct("n_nationkey").cast("long").alias("n_nations"),
+                F.sum(F.col("s_acctbal").cast("decimal(14,2)"))
+                .cast("double")
+                .alias("sum_acctbal"),
+            )
+        )
+        return agg
+
     def q_rollup_lineitem(spark, sf):
         # multi-level aggregation (ROLLUP): per (returnflag, linestatus),
         # per returnflag subtotal, and grand total in ONE pass (partial
@@ -1274,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
         "q1_pricing_summary": q1_pricing_summary,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "q_region_supplier_stats": q_region_supplier_stats,
         "asof_purchases": asof_purchases,
         "q_approx_distinct_parts": q_approx_distinct_parts,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -2384,6 +2406,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_region_supplier_stats": """
+            SELECT r.r_name,
+                   count(*) AS n_suppliers,
+                   count(DISTINCT n.n_nationkey) AS n_nations,
+                   CAST(sum(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "q_rollup_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
