@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 84):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 85):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -1150,6 +1150,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return agg
 
+    def q_part_brand_prices(spark, sf):
+        # last unexercised driver table: per-brand part stats, retail
+        # prices summed in exact decimal, deterministic output.
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        return p.groupBy("p_brand").agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_retail"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+
     def q_rollup_lineitem(spark, sf):
         # multi-level aggregation (ROLLUP): per (returnflag, linestatus),
         # per returnflag subtotal, and grand total in ONE pass (partial
@@ -1296,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_rollup_lineitem": q_rollup_lineitem,
         "q_region_supplier_stats": q_region_supplier_stats,
+        "q_part_brand_prices": q_part_brand_prices,
         "asof_purchases": asof_purchases,
         "q_approx_distinct_parts": q_approx_distinct_parts,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -2406,6 +2419,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_part_brand_prices": """
+            SELECT p_brand, count(*) AS n_parts,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_retail,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand
         """,
         "q_region_supplier_stats": """
             SELECT r.r_name,
