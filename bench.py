@@ -102,6 +102,9 @@ def main() -> int:
         "ann_cosine_topk",
         "w_topk_orders",
         "evt_sessionize",
+        "q1_pricing_summary",
+        "asof_purchases",
+        "txt_tfidf_top_terms",
     ]
     for name in bench_queries:
         runs = []
