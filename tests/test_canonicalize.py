@@ -215,3 +215,53 @@ def test_connected_components_empty_edges(spark):
     empty = spark.createDataFrame([], "a string, b string")
     assert connected_components(empty).count() == 0
     assert connected_components_star(empty).count() == 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized independent oracle: pandas merge_asof(direction=
+    'backward') implements the same latest-at-or-before semantics —
+    compare on random keyed event sets (unique (key, ts) on the right,
+    nulls where no prior right row)."""
+    import numpy as np
+
+    from kgforge.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        nl, nr = 120, 60
+        left = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 8, nl),
+                "event_id": np.arange(nl),
+                "ts": rng.integers(0, 500, nl),
+            }
+        )
+        right = (
+            pd.DataFrame(
+                {
+                    "user_id": rng.integers(0, 8, nr),
+                    "ts": rng.integers(0, 500, nr),
+                    "value": rng.normal(size=nr).round(3),
+                }
+            )
+            .drop_duplicates(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                "user_id", "ts", ["value"],
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="user_id", direction="backward",
+        ).sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["value_right"], want["value"], check_names=False
+        )
