@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming.run_to_memory(
             tri.select("conv_id", "turn_idx", "subj", "pred", "obj"), name
         )
+        # the memory sink holds the drained rows — the staged input files
+        # are no longer referenced (repeated contract runs were leaking a
+        # parquet copy per query into /tmp)
+        shutil.rmtree(d, ignore_errors=True)
         return spark.table(name).dropDuplicates()
 
     def str_windowed_triples(spark, sf):
@@ -896,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sw = streaming.session_windows(st, gap="30 minutes", watermark="2 hours")
         name = "sess_" + uuid.uuid4().hex[:8]
         streaming.run_to_memory(sw, name, mode="complete")
+        shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
     def str_dedup_docs(spark, sf):
@@ -936,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ded = streaming.stream_dedup(st, key="doc_hash", ts_col="_ts")
         name = "sdedup_" + uuid.uuid4().hex[:8]
         streaming.run_to_memory(ded.select("doc_hash"), name)
+        shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
     def str_stateful_counts(spark, sf):
@@ -966,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = streaming.stateful_running_counts(st, key="user_id")
         name = "state_" + uuid.uuid4().hex[:8]
         streaming.run_to_memory(out, name, mode="update")
+        shutil.rmtree(d, ignore_errors=True)
         return (
             spark.table(name)
             .groupBy("user_id")
@@ -1006,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         name = "enrich_" + uuid.uuid4().hex[:8]
         streaming.run_to_memory(counts, name, mode="complete")
+        shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
     def mm_features(spark, sf):
