@@ -10,7 +10,7 @@ via ``read_parquet`` from the committed ``fixtures/`` directory — the
 golden tables there are generator-intent, produced by a code path
 independent of the engine operators under test.
 
-Ops intentionally *without* an oracle entry (rows-only check, 7 of 85):
+Ops intentionally *without* an oracle entry (rows-only check, 7 of 86):
 LSH pair generation (b7_alias_pairs), counter-RNG sample rows
 (a4_negative_sampling, a6_training_batches), MinHash/SimHash pair rows
 (dedup_minhash, dedup_simhash), approximate ANN rows (ann_lsh_topk,
@@ -1016,6 +1016,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
+    def cat_time_travel(spark, sf):
+        # Iceberg-lite catalog semantics under oracle check: snapshot 1
+        # commits the short documents, snapshot 2 OVERWRITES with all of
+        # them; a time-travel read of snapshot 1 must return exactly the
+        # pre-overwrite row set (atomic pointer swap + per-snapshot data
+        # dirs). Oracle replays snapshot 1's predicate on the source
+        # table. Partitioned by lang so the hive layout is exercised.
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_cat_"))
+        t.overwrite(docs.where(F.col("n_chars") < 300), partition_by=("lang",))
+        t.overwrite(docs, partition_by=("lang",))
+        assert t.current_snapshot_id() == 2
+        return (
+            t.read(spark, snapshot_id=1)
+            .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        )
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -1310,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_dedup_docs": str_dedup_docs,
         "str_stateful_counts": str_stateful_counts,
         "str_enriched_segments": str_enriched_segments,
+        "cat_time_travel": cat_time_travel,
         "mm_features": mm_features,
         "w_topk_orders": w_topk_orders,
         "a3_skew_stats_lineitem": a3_skew_stats_lineitem,
@@ -2112,6 +2134,9 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "cat_time_travel": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300
         """,
         "str_enriched_segments": """
             SELECT c.c_mktsegment, count(*) AS n_events
