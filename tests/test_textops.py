@@ -181,3 +181,51 @@ def test_tfidf_top_terms_semantics(spark):
     assert abs(got.loc[(2, "durian"), "idf"] - round(math.log(4 / 2) + 1, 6)) < 1e-9
     # per-doc top-k bound respected
     assert got.reset_index().groupby("doc_id").size().max() <= 2
+
+
+def test_new_ops_partitioning_independent(spark):
+    """Repo invariant: no operator's result may depend on partitioning.
+    Check the round-3 additions (as-of join, tfidf, corpus filter)
+    across different repartition layouts."""
+    import numpy as np
+
+    from kgforge.joins import asof_join
+    from kgforge.textops import tfidf_top_terms, training_corpus_filter
+
+    rng = np.random.default_rng(5)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [
+                    " ".join(rng.choice(["the", "acme", "widget", "beta", "et", "la"], 8))
+                    for _ in range(40)
+                ],
+            }
+        )
+    )
+    for fn in (tfidf_top_terms, training_corpus_filter):
+        a = fn(docs).toPandas()
+        b = fn(docs.repartition(7)).toPandas()
+        cols = list(a.columns)
+        pd.testing.assert_frame_equal(
+            a.sort_values(cols).reset_index(drop=True),
+            b.sort_values(cols).reset_index(drop=True),
+        )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": rng.integers(0, 4, 30), "event_id": range(30),
+                      "ts": rng.integers(0, 100, 30)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"user_id": rng.integers(0, 4, 15), "ts": rng.integers(0, 100, 15),
+                      "value": rng.normal(size=15).round(3)})
+        .drop_duplicates(["user_id", "ts"])
+    )
+    a = asof_join(left, right, "user_id", "ts", ["value"]).toPandas()
+    b = asof_join(left.repartition(5), right.repartition(3), "user_id", "ts", ["value"]).toPandas()
+    key = ["event_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)],
+    )
