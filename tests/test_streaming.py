@@ -163,11 +163,14 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
         .withColumn("doc_hash", F.md5("text"))
     )
     ded = streaming.stream_dedup(st, key="doc_hash", ts_col="ts", watermark="1 hour")
-    streaming.run_to_memory(ded.select("doc_hash", "text"), "sdedup_xbatch")
+    streaming.run_to_memory(ded.select("doc_id", "doc_hash", "text"), "sdedup_xbatch")
     got = spark.table("sdedup_xbatch").toPandas()
 
     # exactly one survivor per distinct text, across both micro-batches
     assert sorted(got["text"]) == ["alpha", "beta", "delta", "gamma"]
+    # and it is the FIRST arrival that survives (doc_ids 0,1,2 from file
+    # 1; only delta=5 from file 2 — the file-2 duplicates 4 and 6 and the
+    # within-batch duplicate 3 are all dropped)
     batch_keys = sorted(
         r["doc_hash"]
         for r in spark.read.parquet(src)
@@ -177,6 +180,7 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
         .collect()
     )
     assert sorted(got["doc_hash"]) == batch_keys
+    assert sorted(got["doc_id"]) == [0, 1, 2, 5]
 
 
 def test_stateful_running_counts_across_microbatches(spark, tmp_path):
