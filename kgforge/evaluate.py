@@ -168,10 +168,15 @@ def _mat_to_vec_df(spark: SparkSession, mat: np.ndarray, col: str = "vec") -> Da
     straight from a Parquet checkpoint (:func:`kgforge.io_openke.
     read_embedding_df`), never through the driver."""
     mat = np.asarray(mat, dtype="float64")
+    # ndarray.tolist() (NOT list(map(list, ...))) — native Python floats,
+    # plus an explicit schema: non-Arrow createDataFrame (Spark defaults;
+    # the driver's harness) rejects np.float64 scalars and cannot infer
+    # array<double> from object cells. The repo's own session enables
+    # Arrow, which masked this — see tests/test_arrow_off.py.
     pdf = pd.DataFrame(
-        {"id": np.arange(mat.shape[0], dtype="int64"), col: list(map(list, mat))}
+        {"id": np.arange(mat.shape[0], dtype="int64").tolist(), col: mat.tolist()}
     )
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, schema=f"id long, {col} array<double>")
 
 
 def _emb_dfs(spark: SparkSession, emb) -> dict[str, DataFrame]:

@@ -146,7 +146,10 @@ def write_embeddings_parquet(spark: SparkSession, emb: dict, out_dir: str) -> No
                 {
                     "component": key,
                     "id": np.arange(flat.shape[0], dtype="int64"),
-                    "vec": list(map(list, flat)),
+                    # .tolist() → native Python floats: the non-Arrow
+                    # createDataFrame verifier (driver sessions run Spark
+                    # defaults, Arrow off) rejects np.float32 elements.
+                    "vec": flat.tolist(),
                 }
             )
         )

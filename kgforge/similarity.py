@@ -290,8 +290,10 @@ def ivf_index_write(
     import os
 
     C = ivf_centroids(embeddings, n_clusters, dim, seed, id_col=id_col, vec_col=vec_col)
+    # .tolist() → native floats: non-Arrow createDataFrame rejects
+    # np.float64 array elements (driver sessions run with Arrow off).
     cpdf = pd.DataFrame(
-        {"cluster": np.arange(len(C), dtype="int32"), "vec": list(map(list, C.astype("float64")))}
+        {"cluster": np.arange(len(C), dtype="int32"), "vec": C.astype("float64").tolist()}
     )
     spark.createDataFrame(cpdf, "cluster int, vec array<double>").repartition(1).write.mode(
         "overwrite"
