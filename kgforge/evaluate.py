@@ -469,11 +469,13 @@ def link_prediction_ranks_relfilter(
 
     # true scores once (|test| rows — checkpoint so the two downstream
     # references don't re-run the scoring UDF)
+    # rounding happens INSIDE score_triples with np.round — the identical
+    # half-even rule the raw-rank kernel uses; F.round here (HALF_UP)
+    # would break the decomposition identity on exact .5 boundaries
     s_true = score_triples(
-        spark, test.select("h", "t", "r").dropDuplicates(), emb, model=model, norm=norm
+        spark, test.select("h", "t", "r").dropDuplicates(), emb,
+        model=model, norm=norm, decimals=score_decimals,
     ).withColumnRenamed("score", "s_true")
-    if score_decimals is not None:
-        s_true = s_true.withColumn("s_true", F.round("s_true", score_decimals))
     s_true = s_true.localCheckpoint()
     known = known.select("h", "t", "r")
 
@@ -498,9 +500,9 @@ def link_prediction_ranks_relfilter(
         )
 
     cands = _cand("head").unionByName(_cand("tail"))
-    scored = score_triples(spark, cands, emb, model=model, norm=norm)
-    if score_decimals is not None:
-        scored = scored.withColumn("score", F.round("score", score_decimals))
+    scored = score_triples(
+        spark, cands, emb, model=model, norm=norm, decimals=score_decimals
+    )
     corr = (
         scored.where(F.col("score") < F.col("s_true"))
         .groupBy(
@@ -655,11 +657,17 @@ def score_triples(
     emb: dict[str, np.ndarray],
     model: str = "transe",
     norm: int = 1,
+    decimals: int | None = None,
 ) -> DataFrame:
     """Add a ``score`` column (kernel distance) to any (h, t, r[, ...]) DF.
 
     Broadcast embeddings + vectorized NumPy per Arrow batch — the
     shared scoring primitive for classification/calibration paths.
+    ``decimals`` rounds inside the NumPy kernel with ``np.round``
+    (half-even) — the SAME rule ``link_prediction_ranks`` applies to its
+    candidate scores, so rank decompositions built on these scores use
+    one consistent rounding (Spark's ``F.round`` is HALF_UP and would
+    disagree on exact .5 boundaries).
     """
     b_emb = spark.sparkContext.broadcast(emb)
     _PINNED.append(b_emb)
@@ -672,13 +680,14 @@ def score_triples(
         for pdf in batches:
             if len(pdf):
                 pdf = pdf.copy()
-                pdf["score"] = kernels.score_batch(
+                s = kernels.score_batch(
                     model, E,
                     pdf["h"].to_numpy(np.int64),
                     pdf["r"].to_numpy(np.int64),
                     pdf["t"].to_numpy(np.int64),
                     norm,
                 ).astype("float64")
+                pdf["score"] = np.round(s, decimals) if decimals is not None else s
                 yield pdf
 
     return triples.mapInPandas(fn, schema)

@@ -40,18 +40,35 @@ def asof_join(
     key partition — the same shape a windowed lag/lead pays, and skew
     on ``key`` is AQE's standard case.
     """
-    rsel = [F.col(key), F.col(ts), F.col(ts).alias(ts + suffix)]
-    rsel += [F.col(c).alias(c + suffix) for c in value_cols]
-    r = right.select(*rsel).withColumn("_side", F.lit(0))
+    # All right-side fields ride in ONE struct carried by a single
+    # last(ignorenulls=True): the struct is non-null for every right row
+    # even when individual value_cols are null, so the output is always
+    # the matched row wholesale — never a column-wise mix of different
+    # right rows (carrying each suffixed column independently would pull
+    # a non-null value from an OLDER row past a newer row's null,
+    # diverging from DuckDB ASOF semantics, which returns the matched
+    # row's null).
+    rv = F.struct(
+        F.col(ts).alias(ts + suffix),
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+    )
+    r = right.select(F.col(key), F.col(ts), rv.alias("_rv")).withColumn(
+        "_side", F.lit(0)
+    )
     lf = left.withColumn("_side", F.lit(1))
     u = lf.unionByName(r, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
-    # exactly-simultaneous right row is matched (inclusive <=)
+    # exactly-simultaneous right row is matched (inclusive <=); "_rv" as
+    # the final sort key makes the pick deterministic (max struct) even
+    # if the (key, ts)-uniqueness precondition is violated
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", "_rv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [ts + suffix] + [c + suffix for c in value_cols]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_side")
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out_cols = [ts + suffix] + [c + suffix for c in value_cols]
+    u = u.where(F.col("_side") == 1)
+    for c in out_cols:
+        u = u.withColumn(c, F.col("_rv")[c])
+    return u.drop("_side", "_rv")

@@ -162,7 +162,7 @@ def detect_mentions(transcripts: DataFrame, gazetteer: pd.DataFrame) -> DataFram
             row_list: list[int] = []
             surf_list: list[str] = []
             start_list: list[int] = []
-            for i, t in enumerate(pdf["text"].to_numpy()):
+            for i, t in enumerate(pdf["text"].fillna("").to_numpy()):
                 for m in rx.finditer(t):
                     row_list.append(i)
                     surf_list.append(m.group(1))
@@ -211,7 +211,10 @@ def extract_triples(
         for pdf in batches:
             if pdf.empty:
                 continue
-            texts = pdf["text"].to_numpy()
+            # null/NaN text rows must skip silently (the replaced
+            # str.contains/extractall path did); fillna keeps the raw
+            # `mid in txt` / finditer fast path type-safe
+            texts = pdf["text"].fillna("").to_numpy()
             outs = []
             for pred, rx, swapped, mid in regexes:
                 # The fixed middle phrase gates the (expensive) entity

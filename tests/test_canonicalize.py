@@ -206,6 +206,27 @@ def test_asof_join_manual_case(spark):
     assert pd.isna(got.loc[3, "value_right"])
 
 
+def test_asof_join_null_in_matched_row(spark):
+    """DuckDB ASOF parity: when the MATCHED right row carries a null
+    value column, the output keeps that null — it must not mix in the
+    value of an older right row (regression for the per-column
+    carry-forward bug: struct-packed carry)."""
+    from kgforge.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 400)], "user_id long, event_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 9.0, "a"), (1, 300, None, "b")],
+        "user_id long, ts long, value double, tag string",
+    )
+    got = asof_join(left, right, "user_id", "ts", ["value", "tag"]).toPandas()
+    # matched row is ts=300 whose value is NULL; tag comes from the same row
+    assert got.loc[0, "ts_right"] == 300
+    assert pd.isna(got.loc[0, "value_right"])
+    assert got.loc[0, "tag_right"] == "b"
+
+
 def test_connected_components_empty_edges(spark):
     """Empty edge set converges immediately to an empty label table
     (the observe-fused convergence sum is NULL over an empty set —

@@ -122,3 +122,22 @@ def test_trie_alternation_property_random():
         assert a == b, (surfaces, text, a, b)
 
     check()
+
+
+def test_null_text_rows_skip_silently(spark):
+    """Null/NaN text rows must be skipped, not raise TypeError in the
+    finditer fast path (parity with the old str.contains behavior)."""
+    t, _g, _m = gen_transcripts(4)
+    df = spark.createDataFrame(t)
+    nulled = df.limit(0).unionByName(
+        spark.createDataFrame(
+            [("cnull", 0, None), ("cempty", 0, "")],
+            df.select("conv_id", "turn_idx", "text").schema,
+        ),
+        allowMissingColumns=True,
+    )
+    both = df.unionByName(nulled, allowMissingColumns=True)
+    base_m = detect_mentions(df, gazetteer()).count()
+    base_t = extract_triples(df, gazetteer(), patterns_df()).count()
+    assert detect_mentions(both, gazetteer()).count() == base_m
+    assert extract_triples(both, gazetteer(), patterns_df()).count() == base_t
