@@ -578,6 +578,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         num = [c for c in m.columns if c not in ("category", "n_triples")]
         return m.select("category", "n_triples", *[F.round(F.col(c), 9).alias(c) for c in num])
 
+    def a17_category_relfilter(spark, sf):
+        """Per-category (1-1/1-N/N-1/N-N) metrics composed with the
+        RELATIONAL filter path — the B12 gate's shape at data-sized
+        known sets: ranks from link_prediction_ranks_relfilter (known
+        stays a DataFrame end to end), categories from train tph/hpt,
+        one aggregation. Output — and oracle — identical to the
+        broadcast-path category metrics (the decomposition is exact)."""
+        split, emb, known = _openke_emb()
+        ranks = ev.link_prediction_ranks_relfilter(
+            spark, spark.createDataFrame(split["test2id"]), emb,
+            spark.createDataFrame(known[["h", "t", "r"]]),
+        )
+        cats = ev.relation_categories(spark.createDataFrame(split["train2id"]))
+        m = ev.link_prediction_metrics_by_category(ranks, cats)
+        num = [c for c in m.columns if c not in ("category", "n_triples")]
+        return m.select("category", "n_triples", *[F.round(F.col(c), 9).alias(c) for c in num])
+
     def a15_constrained_ranks(spark, sf):
         split, emb, known = _openke_emb()
         # domains/ranges from all splits (guarantees the true entity is
@@ -589,6 +606,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             int(r): np.unique(g["t"].to_numpy()) for r, g in known.groupby("r")
         }
         return ev.link_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            constraints=(domains, ranges),
+        )
+
+    def a15_constrained_ranks_blocked(spark, sf):
+        """Type-constrained eval on the BLOCKED (beyond-broadcast) path:
+        domain/range applied as broadcast semi-joins on the relational
+        candidate table — same protocol, same oracle as the broadcast
+        constrained query."""
+        split, emb, known = _openke_emb()
+        domains = {
+            int(r): np.unique(g["h"].to_numpy()) for r, g in known.groupby("r")
+        }
+        ranges = {
+            int(r): np.unique(g["t"].to_numpy()) for r, g in known.groupby("r")
+        }
+        return ev.link_prediction_ranks_blocked(
             spark, spark.createDataFrame(split["test2id"]), emb, known,
             constraints=(domains, ranges),
         )
@@ -750,6 +784,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact continuous quantiles (Spark percentile == DuckDB
         # quantile_cont, bit-equal interpolation)
         return textops.length_quantiles(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def txt_length_quantiles_approx(spark, sf):
+        """Property query for the 100 TB quantile path: percentile_approx
+        (Greenwald-Khanna sketch, single pass, mergeable — no global
+        sort) must return, for every requested prob p, an actual column
+        element whose RANK is within n/accuracy (+1 slack) of p*n. The
+        check computes each approx value's true rank interval
+        [count(<v)+1, count(<=v)] against the target rank p*n — all 4
+        probs must be in bound (oracle asserts the constant)."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("n_chars")
+        probs = (0.25, 0.5, 0.75, 0.99)
+        acc = 10_000
+        approx = textops.length_quantiles(docs, exact=False, probs=probs, accuracy=acc)
+        vals = approx.selectExpr(
+            "stack(4, 0.25D, q25, 0.5D, q50, 0.75D, q75, 0.99D, q99) as (p, v)"
+        )
+        ranked = (
+            docs.crossJoin(F.broadcast(vals))
+            .groupBy("p", "v")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("n_chars") < F.col("v")).cast("long")).alias("n_lt"),
+                F.sum((F.col("n_chars") <= F.col("v")).cast("long")).alias("n_le"),
+            )
+        )
+        tol = F.col("n") / acc + F.lit(1.0)
+        target = F.col("p") * F.col("n")
+        ok = (F.col("n_lt") <= target + tol) & (F.col("n_le") >= target - tol)
+        return ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probs"),
+            F.sum(ok.cast("long")).alias("n_within_bound"),
+        )
 
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
@@ -1336,9 +1402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_blocked_from_parquet": a15_ranks_blocked_from_parquet,
         "a15_ranks_relfilter_transr": a15_ranks_relfilter_transr,
         "a15_constrained_ranks": a15_constrained_ranks,
+        "a15_constrained_ranks_blocked": a15_constrained_ranks_blocked,
         "a17_metrics_by_category": a17_metrics_by_category,
+        "a17_category_relfilter": a17_category_relfilter,
         "a18_thresholds": a18_thresholds,
         "txt_length_quantiles": txt_length_quantiles,
+        "txt_length_quantiles_approx": txt_length_quantiles_approx,
         "ann_cosine_neardup": ann_cosine_neardup,
         "ann_cosine_neardup_exact": ann_cosine_neardup_exact,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1978,7 +2047,31 @@ def oracle_sql() -> dict[str, str]:
             WITH {_RANK_CTES_CONSTRAINED}
             SELECT * FROM ranks
         """,
+        "a15_constrained_ranks_blocked": f"""
+            WITH {_RANK_CTES_CONSTRAINED}
+            SELECT * FROM ranks
+        """,
         "a17_metrics_by_category": f"""
+            WITH {_RANK_CTES},
+            {_CAT_CTE},
+            bothc AS (
+                SELECT c.category, rank_head_raw AS raw, rank_head_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+                UNION ALL
+                SELECT c.category, rank_tail_raw AS raw, rank_tail_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+            )
+            SELECT category,
+              CAST(count(*)/2 AS BIGINT) AS n_triples,
+              round(avg(raw), 9) AS mr_raw,
+              round(avg(1.0/raw), 9) AS mrr_raw,
+              round(avg(CASE WHEN raw <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_raw,
+              round(avg(filt), 9) AS mr_filt,
+              round(avg(1.0/filt), 9) AS mrr_filt,
+              round(avg(CASE WHEN filt <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_filt
+            FROM bothc GROUP BY category
+        """,
+        "a17_category_relfilter": f"""
             WITH {_RANK_CTES},
             {_CAT_CTE},
             bothc AS (
@@ -2362,6 +2455,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.75) AS q75,
                    quantile_cont(n_chars, 0.99) AS q99
             FROM documents
+        """,
+        "txt_length_quantiles_approx": """
+            -- GK sketch guarantee at accuracy=10000: every reported
+            -- quantile's rank is within n/accuracy (+1) of the target
+            SELECT CAST(4 AS BIGINT) AS n_probs, CAST(4 AS BIGINT) AS n_within_bound
         """,
         "docs_corpus_filter": r"""
             WITH q AS (

@@ -290,6 +290,40 @@ def _transr_proj(test: DataFrame, dfs: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _constraint_df(spark: SparkSession, c) -> DataFrame | None:
+    """One constraint side → ``(r, cand)`` DataFrame. Accepts a DataFrame
+    (scale path — any two columns named r/cand) or an ``r → entity ids``
+    dict (the broadcast path's ``type_constrain`` shape)."""
+    if c is None:
+        return None
+    if isinstance(c, DataFrame):
+        return c.select(F.col("r").cast("long"), F.col("cand").cast("long"))
+    rows = [
+        (int(r), int(e)) for r, ents in c.items() for e in np.asarray(ents).tolist()
+    ]
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "r long, cand long")
+
+
+def _apply_constraint(cand: DataFrame, cdf: DataFrame | None) -> DataFrame:
+    """Restrict the candidate table to the relation's constraint list;
+    relations ABSENT from the list stay unconstrained (the reference's
+    ``type_constrain`` rule — recalled, SURVEY.md §0). Constraint tables
+    are dictionary-sized (per-relation entity lists), so both joins ride
+    broadcast — no extra shuffle on the corpus-sized candidate table."""
+    if cdf is None:
+        return cand
+    marked = cdf.withColumn("_in", F.lit(1))
+    rels = cdf.select("r").dropDuplicates().withColumn("_has", F.lit(1))
+    return (
+        cand.join(F.broadcast(marked), ["r", "cand"], "left")
+        .join(F.broadcast(rels), "r", "left")
+        .where(F.col("_has").isNull() | (F.col("_in") == 1))
+        .drop("_in", "_has")
+    )
+
+
 def link_prediction_ranks_blocked(
     spark: SparkSession,
     test: DataFrame,
@@ -297,6 +331,7 @@ def link_prediction_ranks_blocked(
     known,
     norm: int = 1,
     model: str = "transe",
+    constraints: tuple | None = None,
     score_decimals: int | None = None,
 ) -> DataFrame:
     """A15/A16 scale path: block-nested-loop ranks, fully relational.
@@ -409,8 +444,20 @@ def link_prediction_ranks_blocked(
         cand = t.crossJoin(cand_ent)
         if cand_extra_join is not None:
             cand = cand.join(cand_extra_join, ["cand", "r"])
+    # type-constrained protocol (`type_constrain.txt` semantics, mirroring
+    # the broadcast path's `constraints`): head candidates restricted to
+    # the relation's domain, tail candidates to its range, via broadcast
+    # semi-joins on the candidate table. The true score is computed on the
+    # test row itself, so it ranks against the constrained set exactly as
+    # the broadcast kernel does; the known-filter correction joins run on
+    # the already-constrained rows (== np.intersect1d(known, cand) there).
+    if constraints is not None:
+        cand_head = _apply_constraint(cand, _constraint_df(spark, constraints[0]))
+        cand_tail = _apply_constraint(cand, _constraint_df(spark, constraints[1]))
+    else:
+        cand_head = cand_tail = cand
     head_scored = (
-        _with_score(cand, score_model, norm, score_decimals, "cvec", "tvec", "s_cand")
+        _with_score(cand_head, score_model, norm, score_decimals, "cvec", "tvec", "s_cand")
         .join(kn_heads, ["cand", "t", "r"], "left")
         .withColumn("skip", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
     )
@@ -421,7 +468,7 @@ def link_prediction_ranks_blocked(
         )).alias("rank_head_filt"),
     )
     tail_scored = (
-        _with_score(cand, score_model, norm, score_decimals, "hvec", "cvec", "s_cand")
+        _with_score(cand_tail, score_model, norm, score_decimals, "hvec", "cvec", "s_cand")
         .join(kn_tails, ["cand", "h", "r"], "left")
         .withColumn("skip", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
     )

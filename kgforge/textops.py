@@ -569,20 +569,37 @@ def tfidf_top_terms(
 
 
 def length_quantiles(
-    docs: DataFrame, col: str = "n_chars", probs: tuple = (0.25, 0.5, 0.75, 0.99)
+    docs: DataFrame,
+    col: str = "n_chars",
+    probs: tuple = (0.25, 0.5, 0.75, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact linear-interpolated quantiles of a numeric column (one row).
+    """Quantiles of a numeric column (one row).
 
-    Uses Spark's exact ``percentile`` (sort-based, SQL-standard
-    continuous interpolation — matches DuckDB ``quantile_cont`` to the
-    bit). For 100 TB profiling jobs swap in ``percentile_approx``
-    (t-digest, single pass, no sort) — the exact version is the oracle
-    anchor.
+    ``exact=True`` (default): Spark's exact ``percentile`` (sort-based,
+    SQL-standard continuous interpolation — matches DuckDB
+    ``quantile_cont`` to the bit); the oracle anchor.
+
+    ``exact=False``: ``percentile_approx`` (Greenwald-Khanna sketch,
+    single pass, no global sort, mergeable across partitions) — the
+    100 TB profiling path. Guarantee: each result is a REAL element of
+    the column whose rank error is ≤ num_rows/``accuracy``, so at the
+    default accuracy the reported quantile's rank is within 0.01 % of
+    the requested one.
     """
     arr = ", ".join(str(p) for p in probs)
-    q = docs.select(F.expr(f"percentile({col}, array({arr}))").alias("q"))
+    fn_expr = (
+        f"percentile({col}, array({arr}))"
+        if exact
+        else f"percentile_approx({col}, array({arr}), {accuracy})"
+    )
+    q = docs.select(F.expr(fn_expr).alias("q"))
     return q.select(
-        *[F.col("q")[i].alias(f"q{int(p * 100)}") for i, p in enumerate(probs)]
+        *[
+            F.col("q")[i].cast("double").alias(f"q{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ]
     )
 
 

@@ -242,3 +242,34 @@ def test_triple_classification_reasonable(spark):
     assert 0.0 <= acc <= 1.0
     # with random embeddings accuracy hovers near chance; just sanity-band it
     assert acc >= 0.3
+
+
+def test_blocked_constrained_equals_broadcast_constrained(spark):
+    """Type-constrained protocol on the blocked path: domain/range
+    semi-joins on the candidate table must reproduce the broadcast
+    kernel's constrained ranks exactly (incl. relations ABSENT from the
+    constraint maps staying unconstrained)."""
+    from kgforge.evaluate import link_prediction_ranks_blocked
+
+    # constraints for relations 0..2 only; 3..4 unconstrained on purpose
+    domains = {
+        int(r): np.unique(g["h"].to_numpy())
+        for r, g in KNOWN.groupby("r") if int(r) < 3
+    }
+    ranges = {
+        int(r): np.unique(g["t"].to_numpy())
+        for r, g in KNOWN.groupby("r") if int(r) < 3
+    }
+    test = spark.createDataFrame(SPLIT["test2id"].head(15))
+    key = ["h", "t", "r"]
+    a = (
+        link_prediction_ranks(
+            spark, test, EMB, KNOWN, constraints=(domains, ranges)
+        ).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        link_prediction_ranks_blocked(
+            spark, test, EMB, KNOWN, constraints=(domains, ranges)
+        ).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

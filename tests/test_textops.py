@@ -229,3 +229,26 @@ def test_new_ops_partitioning_independent(spark):
         a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
         b.sort_values(key).reset_index(drop=True)[sorted(b.columns)],
     )
+
+
+def test_length_quantiles_approx_within_rank_bound(spark):
+    """percentile_approx results must be actual column elements whose
+    rank error vs the requested quantile is <= n/accuracy (+1 slack)."""
+    import numpy as np
+
+    from kgforge.textops import length_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 10_000, 5000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "n_chars long")
+    probs = (0.25, 0.5, 0.75, 0.99)
+    row = length_quantiles(df, probs=probs, exact=False, accuracy=1000).collect()[0]
+    arr = np.sort(np.asarray(vals))
+    n = len(arr)
+    for p, col in zip(probs, ["q25", "q50", "q75", "q99"]):
+        v = row[col]
+        assert v in vals, f"{col}={v} not an element"
+        n_lt = int((arr < v).sum())
+        n_le = int((arr <= v).sum())
+        target, tol = p * n, n / 1000 + 1
+        assert n_lt <= target + tol and n_le >= target - tol, (col, v)
