@@ -306,20 +306,22 @@ def _constraint_df(spark: SparkSession, c) -> DataFrame | None:
     return spark.createDataFrame(rows, "r long, cand long")
 
 
-def _apply_constraint(cand: DataFrame, cdf: DataFrame | None) -> DataFrame:
-    """Restrict the candidate table to the relation's constraint list;
+def _flag_constraint(cand: DataFrame, cdf: DataFrame | None, flag: str) -> DataFrame:
+    """Mark candidate rows allowed by the relation's constraint list;
     relations ABSENT from the list stay unconstrained (the reference's
     ``type_constrain`` rule — recalled, SURVEY.md §0). Constraint tables
     are dictionary-sized (per-relation entity lists), so both joins ride
-    broadcast — no extra shuffle on the corpus-sized candidate table."""
+    broadcast — no extra shuffle on the corpus-sized candidate table. A
+    boolean flag (not a filter) lets ONE candidate scan serve both the
+    domain-gated head counts and the range-gated tail counts."""
     if cdf is None:
-        return cand
+        return cand.withColumn(flag, F.lit(True))
     marked = cdf.withColumn("_in", F.lit(1))
     rels = cdf.select("r").dropDuplicates().withColumn("_has", F.lit(1))
     return (
         cand.join(F.broadcast(marked), ["r", "cand"], "left")
         .join(F.broadcast(rels), "r", "left")
-        .where(F.col("_has").isNull() | (F.col("_in") == 1))
+        .withColumn(flag, F.col("_has").isNull() | (F.col("_in") == 1))
         .drop("_in", "_has")
     )
 
@@ -452,34 +454,37 @@ def link_prediction_ranks_blocked(
     # the broadcast kernel does; the known-filter correction joins run on
     # the already-constrained rows (== np.intersect1d(known, cand) there).
     if constraints is not None:
-        cand_head = _apply_constraint(cand, _constraint_df(spark, constraints[0]))
-        cand_tail = _apply_constraint(cand, _constraint_df(spark, constraints[1]))
+        cand = _flag_constraint(cand, _constraint_df(spark, constraints[0]), "in_dom")
+        cand = _flag_constraint(cand, _constraint_df(spark, constraints[1]), "in_rng")
     else:
-        cand_head = cand_tail = cand
-    head_scored = (
-        _with_score(cand_head, score_model, norm, score_decimals, "cvec", "tvec", "s_cand")
-        .join(kn_heads, ["cand", "t", "r"], "left")
-        .withColumn("skip", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
-    )
-    head_ranks = head_scored.groupBy("h", "t", "r").agg(
-        (1 + F.sum((F.col("s_cand") < F.col("s_head_true")).cast("long"))).alias("rank_head_raw"),
-        (1 + F.sum(
-            ((F.col("s_cand") < F.col("s_head_true")) & ~F.coalesce("skip", F.lit(False))).cast("long")
-        )).alias("rank_head_filt"),
-    )
-    tail_scored = (
-        _with_score(cand_tail, score_model, norm, score_decimals, "hvec", "cvec", "s_cand")
+        cand = cand.withColumn("in_dom", F.lit(True)).withColumn("in_rng", F.lit(True))
+
+    # ONE pass over the candidate product: both direction scores per row,
+    # both known-filter markers, a single groupBy with four conditional
+    # aggregates. The candidate table is the job's dominant cost (|test|
+    # × |E| rows) and a DataFrame referenced twice executes twice (no
+    # ReusedExchange for this shape — docs/PLANS.md round-3 audit), so
+    # the earlier two-branch formulation built and scored it twice and
+    # paid a third shuffle re-joining head ranks to tail ranks.
+    scored = _with_score(cand, score_model, norm, score_decimals, "cvec", "tvec", "s_head_cand")
+    scored = _with_score(scored, score_model, norm, score_decimals, "hvec", "cvec", "s_tail_cand")
+    scored = (
+        scored.join(kn_heads, ["cand", "t", "r"], "left")
         .join(kn_tails, ["cand", "h", "r"], "left")
-        .withColumn("skip", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
+        .withColumn("skip_h", (F.col("_kh") == 1) & (F.col("cand") != F.col("h")))
+        .withColumn("skip_t", (F.col("_kt") == 1) & (F.col("cand") != F.col("t")))
     )
-    tail_ranks = tail_scored.groupBy("h", "t", "r").agg(
-        (1 + F.sum((F.col("s_cand") < F.col("s_tail_true")).cast("long"))).alias("rank_tail_raw"),
+    lt_head = F.col("in_dom") & (F.col("s_head_cand") < F.col("s_head_true"))
+    lt_tail = F.col("in_rng") & (F.col("s_tail_cand") < F.col("s_tail_true"))
+    return scored.groupBy("h", "t", "r").agg(
+        (1 + F.sum(lt_head.cast("long"))).alias("rank_head_raw"),
         (1 + F.sum(
-            ((F.col("s_cand") < F.col("s_tail_true")) & ~F.coalesce("skip", F.lit(False))).cast("long")
+            (lt_head & ~F.coalesce("skip_h", F.lit(False))).cast("long")
+        )).alias("rank_head_filt"),
+        (1 + F.sum(lt_tail.cast("long"))).alias("rank_tail_raw"),
+        (1 + F.sum(
+            (lt_tail & ~F.coalesce("skip_t", F.lit(False))).cast("long")
         )).alias("rank_tail_filt"),
-    )
-    return head_ranks.join(tail_ranks, ["h", "t", "r"]).select(
-        "h", "t", "r", "rank_head_raw", "rank_head_filt", "rank_tail_raw", "rank_tail_filt"
     )
 
 
