@@ -1098,6 +1098,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
+    def str_view_purchase_join(spark, sf):
+        # stream-stream interval join: every view event pairs with the
+        # same user's purchase events that follow within 30 minutes.
+        # Both sides are watermarked streams; the time-bound condition is
+        # what lets Spark expire join state (rows-per-horizon, not
+        # rows-ever). availableNow drain == the batch join (oracle: the
+        # same join in SQL).
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+
+        src = f"{sf}/events.parquet"
+        d = tempfile.mkdtemp(prefix="kgforge_ssj_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        schema = spark.read.parquet(src).schema
+        st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(sdir)
+        views = st.where(F.col("event_type") == "view").select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        purchases = st.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        joined = streaming.stream_stream_join(
+            views, purchases,
+            left_key="user_id", right_key="p_user_id",
+            left_ts="view_ts", right_ts="purchase_ts",
+            within="30 minutes",
+        ).select(
+            "user_id", "view_id", "purchase_id",
+            F.round("amount", 2).alias("amount"),
+        )
+        name = "ssj_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(joined, name, mode="append")
+        shutil.rmtree(d, ignore_errors=True)
+        return spark.table(name)
+
     def cat_time_travel(spark, sf):
         # Iceberg-lite catalog semantics under oracle check: snapshot 1
         # commits the short documents, snapshot 2 OVERWRITES with all of
@@ -1390,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_dedup_docs": str_dedup_docs,
         "str_stateful_counts": str_stateful_counts,
         "str_enriched_segments": str_enriched_segments,
+        "str_view_purchase_join": str_view_purchase_join,
         "cat_time_travel": cat_time_travel,
         "mm_features": mm_features,
         "asof_purchases": asof_purchases,
@@ -2259,6 +2310,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, count(*) AS n_events
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "str_view_purchase_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   round(p.value, 2) AS amount
+            FROM events v
+            JOIN events p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         """,
         "str_stateful_counts": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

@@ -15,6 +15,8 @@ continuously.
   (``F.session_window``), identical on batch and streaming input.
 * :func:`stream_dedup` — stateful in-stream exact dedup (first arrival
   of each key wins; state expires with the watermark).
+* :func:`stream_stream_join` — watermarked interval join of two streams
+  (state bounded by the time window on both sides).
 * :func:`run_to_parquet` — append sink + ``availableNow`` trigger (drain
   what exists, then stop — the batch-parity execution mode).
 
@@ -171,6 +173,42 @@ def stateful_running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left row with the right
+    rows of the same key whose event time falls in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks and the join condition is time-bounded —
+    the two requirements that let Spark expire join state: a right row
+    can stop waiting for matches once the left watermark passes
+    ``right_ts``, and vice versa once ``left_ts + within`` is behind the
+    right watermark. Without the time bound the engine would have to
+    buffer both streams forever. State ≈ rows-per-horizon on each side,
+    the same cost envelope as the windowed aggregations above.
+
+    Column names must be disjoint across sides (rename before calling);
+    semantics are identical to the equivalent batch join (parity
+    tested + ``str_view_purchase_join`` oracle).
+    """
+    ljoin = left.withWatermark(left_ts, left_watermark)
+    rjoin = right.withWatermark(right_ts, right_watermark)
+    cond = (F.col(left_key) == F.col(right_key)) & F.expr(
+        f"{right_ts} >= {left_ts} AND {right_ts} <= {left_ts} + INTERVAL {within}"
+    )
+    return ljoin.join(rjoin, cond, how)
 
 
 def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"):

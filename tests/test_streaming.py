@@ -206,3 +206,88 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     assert final.to_dict() == {1: 3, 2: 2, 3: 1}
     # running (not per-batch) totals: user 1's emissions are 2 then 3
     assert sorted(got[got["user_id"] == 1]["n_events"]) == [2, 3]
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join == the equivalent batch join, with
+    matching rows forced into SEPARATE micro-batches (view file first,
+    purchase file later; maxFilesPerTrigger=1) so the buffered-state
+    path is actually exercised."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    views = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "event_id": [10, 11, 20, 30],
+            "ts": [base, base + dt.timedelta(minutes=50),
+                   base + dt.timedelta(minutes=5), base],
+        }
+    )
+    purchases = pd.DataFrame(
+        {
+            "user_id": [1, 2, 2, 3],
+            "event_id": [100, 200, 201, 300],
+            # 100 matches view 10 (+20m) and NOT view 11 (before it);
+            # 200 matches view 20 (+25m); 201 outside the 30m bound;
+            # 300 exactly on the bound (inclusive)
+            "ts": [base + dt.timedelta(minutes=20),
+                   base + dt.timedelta(minutes=30),
+                   base + dt.timedelta(minutes=40),
+                   base + dt.timedelta(minutes=30)],
+            "value": [5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    d = tmp_path / "ssj"
+    d.mkdir()
+    # us-precision timestamps: Spark's TIMESTAMP reader rejects pandas'
+    # default ns-INT64 parquet encoding under an explicit schema
+    views.to_parquet(d / "part-0.parquet", index=False, coerce_timestamps="us")
+    purchases.to_parquet(d / "part-1.parquet", index=False, coerce_timestamps="us")
+    # views carry no value column in part-0: make schemas identical
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+
+    def split(df):
+        v = df.where(F.col("event_id") < 100).select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        p = df.where(F.col("event_id") >= 100).select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        return v, p
+
+    sv, sp = split(st)
+    joined = streaming.stream_stream_join(
+        sv, sp, left_key="user_id", right_key="p_user_id",
+        left_ts="view_ts", right_ts="purchase_ts", within="30 minutes",
+    ).select("user_id", "view_id", "purchase_id", "amount")
+    streaming.run_to_memory(joined, "ssj_out")
+    got = spark.sql("select * from ssj_out").toPandas()
+
+    batch = spark.read.schema(schema).parquet(str(d))
+    bv, bp = split(batch)
+    want = (
+        bv.join(
+            bp,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.expr("view_ts + INTERVAL 30 minutes")),
+        )
+        .select("user_id", "view_id", "purchase_id", "amount")
+        .toPandas()
+    )
+    key = ["view_id", "purchase_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # hand-checked expectations: inclusive bound kept, out-of-window dropped
+    pairs = set(map(tuple, got[["view_id", "purchase_id"]].itertuples(index=False)))
+    assert (10, 100) in pairs and (20, 200) in pairs and (30, 300) in pairs
+    assert (11, 100) not in pairs and (20, 201) not in pairs
