@@ -1299,6 +1299,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
+    def docs_stratified_sample(spark, sf):
+        """Deterministic corpus balancing: md5-gated per-language
+        downsampling (keep all zh/de, half of es/fr, 30% of en). The
+        md5-threshold gate replays EXACTLY in SQL — the oracle selects
+        the identical rows, so determinism AND partitioning-independence
+        are hash-checked, not sampled."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.stratified_sample(
+            docs,
+            fractions={"en": 0.3, "es": 0.5, "fr": 0.5, "de": 1.0, "zh": 1.0},
+        ).select("doc_id", "lang")
+
+    def kg_degree_histogram(spark, sf):
+        """Degree distribution of the constructed KG (b10's canonical id
+        triples): endpoint union -> per-entity degree -> histogram.
+        Oracle replays the same two aggregations over the golden-triple
+        dense-id mapping."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.degree_histogram(tri)
+
+    def kg_top_hubs(spark, sf):
+        """Top-10 hub entities by total degree (TakeOrdered, not a
+        global window)."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.top_hubs(tri, k=10)
+
+    def cat_compaction(spark, sf):
+        """Catalog maintenance: two append commits fragment the table
+        (4 files each), compact() rewrites the current snapshot into one
+        file per partition as a NEW snapshot. The returned rows are the
+        post-compaction read — hash-equal to the source selection
+        (row-set invariance); the file-count reduction and pre-compaction
+        time travel are asserted in-query (raise = driver ERR)."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_compact_"))
+        t.append(docs.where(F.col("n_chars") < 300).repartition(4))
+        t.append(docs.where(F.col("n_chars") >= 300).repartition(4))
+        frag_id = t.current_snapshot_id()
+        files_before = t.file_count()
+        t.compact(spark, target_files=1)
+        files_after = t.file_count()
+        if not (files_after < files_before):
+            raise AssertionError(f"compaction grew files: {files_before} -> {files_after}")
+        if t.read(spark, frag_id).count() != t.read(spark).count():
+            raise AssertionError("pre-compaction time travel lost rows")
+        return t.read(spark).select("doc_id", "lang", "n_chars")
+
     def cat_time_travel(spark, sf):
         # Iceberg-lite catalog semantics under oracle check: snapshot 1
         # commits the short documents, snapshot 2 OVERWRITES with all of
@@ -1598,6 +1659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_lineitem": q_rollup_lineitem,
         # -- variants / property companions (beyond the driver's window) --
         "str_view_purchase_join": str_view_purchase_join,
+        "docs_stratified_sample": docs_stratified_sample,
+        "kg_degree_histogram": kg_degree_histogram,
+        "kg_top_hubs": kg_top_hubs,
+        "cat_compaction": cat_compaction,
         "txt_fingerprint": txt_fingerprint,
         "docs_corpus_filter": docs_corpus_filter,
         "a15_ranks_relfilter": a15_ranks_relfilter,
@@ -2499,6 +2564,49 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
             WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang WHEN 'en' THEN '4ccccccccccccc000000000000000000' WHEN 'es' THEN '80000000000000000000000000000000' WHEN 'fr' THEN '80000000000000000000000000000000' WHEN 'de' THEN 'ffffffffffffffffffffffffffffffff' WHEN 'zh' THEN 'ffffffffffffffffffffffffffffffff' ELSE '00000000000000000000000000000000' END
+        """,
+        "kg_degree_histogram": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN e es ON g.subj_canon = es.name
+                JOIN e eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            deg AS (
+                SELECT e, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT h AS e FROM tri UNION ALL SELECT t AS e FROM tri
+                ) GROUP BY e
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+            FROM deg GROUP BY degree
+        """,
+        "kg_top_hubs": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN e es ON g.subj_canon = es.name
+                JOIN e eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            ends AS (
+                SELECT h AS e, 1 AS o, 0 AS i FROM tri
+                UNION ALL SELECT t AS e, 0 AS o, 1 AS i FROM tri
+            )
+            SELECT e, CAST(sum(o) AS BIGINT) AS out_degree,
+                   CAST(sum(i) AS BIGINT) AS in_degree,
+                   CAST(count(*) AS BIGINT) AS degree
+            FROM ends GROUP BY e
+            ORDER BY degree DESC, e LIMIT 10
+        """,
+        "cat_compaction": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         "str_stateful_counts": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

@@ -109,6 +109,65 @@ class IcebergLiteTable:
         os.replace(tmp, self._hint_path())  # the atomic commit
         return manifest
 
+    def append(
+        self, df: DataFrame, partition_by: tuple[str, ...] = (), row_count: int | None = None
+    ) -> dict:
+        """Append commit: new data files land in their own ``data/v<n>/``
+        dir; the snapshot references the parent's dirs PLUS the new one
+        (Iceberg's fast-append shape — no rewrite of existing files).
+        Readers of the previous snapshot are untouched."""
+        prev = self.snapshot()
+        prev_dirs = (prev.get("data_dirs") or [prev["data_dir"]]) if prev else []
+        prev_id = prev["snapshot_id"] if prev else 0
+        snap_id = prev_id + 1
+        data_dir = os.path.join(self.root, "data", f"v{snap_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        dirs = prev_dirs + [os.path.relpath(data_dir, self.root)]
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": prev_id or None,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_spec": list(partition_by),
+            "data_dir": dirs[0],
+            "data_dirs": dirs,
+            "files": [f for d in dirs for f in self._list_data_files(os.path.join(self.root, d))],
+            "summary": {"row_count": row_count, "operation": "append"},
+        }
+        with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, self._hint_path())
+        return manifest
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
+        """Maintenance: rewrite the current snapshot's data into
+        ``target_files`` files per partition (the small-files problem —
+        Iceberg's ``rewrite_data_files``). Commits a NEW snapshot, so
+        time travel to the pre-compaction state keeps working; the row
+        set is unchanged by construction (read → repartition → write,
+        no filters)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        df = self.read(spark).repartition(target_files)
+        m = self.overwrite(
+            df, partition_by=tuple(snap.get("partition_spec") or ()),
+            row_count=(snap.get("summary") or {}).get("row_count"),
+        )
+        m["summary"]["operation"] = "compact"
+        with open(os.path.join(self.meta, f"snap-{m['snapshot_id']}.json"), "w") as f:
+            json.dump(m, f, indent=1)
+        return m
+
+    def file_count(self, snapshot_id: int | None = None) -> int:
+        snap = self.snapshot(snapshot_id)
+        return len(snap["files"]) if snap else 0
+
     # -- read (current or time-travel) ----------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -116,6 +175,14 @@ class IcebergLiteTable:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         # hive-style partition dirs → Catalyst partition pruning on the
-        # partition columns; basePath keeps them as columns
-        data_dir = os.path.join(self.root, snap["data_dir"])
-        return spark.read.option("basePath", data_dir).parquet(data_dir)
+        # partition columns; basePath keeps them as columns. Append
+        # snapshots span several data dirs (one per commit); each dir is
+        # its own hive tree, so read per dir and union — Catalyst still
+        # prunes partitions inside every dir.
+        dirs = snap.get("data_dirs") or [snap["data_dir"]]
+        out = None
+        for d in dirs:
+            data_dir = os.path.join(self.root, d)
+            part = spark.read.option("basePath", data_dir).parquet(data_dir)
+            out = part if out is None else out.unionByName(part)
+        return out

@@ -603,6 +603,47 @@ def length_quantiles(
     )
 
 
+def _md5_threshold(frac: float) -> str:
+    """Fraction of the md5 space as a 32-hex-char threshold string:
+    ``md5(key) < threshold`` keeps ~``frac`` of keys. Lexicographic
+    comparison of fixed-width lowercase hex is monotone in value, so the
+    gate replays EXACTLY in any engine with a standard md5() — no
+    engine-specific hash or hex-to-int conversion involved."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction {frac} outside [0, 1]")
+    v = min(int(round(frac * (1 << 128))), (1 << 128) - 1)
+    return format(v, "032x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-balancing
+    step of a training-data pipeline (e.g. keep 100 % of a rare
+    language, 5 % of an over-represented one).
+
+    A row survives iff ``md5(cast(key))`` falls below its stratum's
+    share of the hash space. Properties that matter at 100 TB: no RNG
+    state, no shuffle (a narrow filter the scanner can pipeline),
+    partitioning-independent, stable under re-runs and retries, and the
+    SAME rows are selected by any engine (the contract oracle replays
+    the gate in SQL). Strata thresholds ride in a literal map —
+    dictionary-sized by definition.
+    """
+    pairs = []
+    for k, f in fractions.items():
+        pairs += [F.lit(k), F.lit(_md5_threshold(f))]
+    gate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None),
+        F.lit(_md5_threshold(default_frac)),
+    )
+    return docs.where(F.md5(F.col(key_col).cast("string").cast("binary")) < gate)
+
+
 def training_corpus_filter(docs: DataFrame, lang: str = "en") -> DataFrame:
     """Composite training-data pipeline: quality gate ∧ language gate →
     exact dedup of the survivors — the canonical pre-training corpus

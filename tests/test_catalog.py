@@ -51,3 +51,32 @@ def test_crash_before_swap_keeps_previous_snapshot(spark, tmp_path):
     # reader still sees snapshot 1
     assert t.current_snapshot_id() == 1
     assert t.read(spark).count() == 3
+
+
+def test_append_accumulates_and_preserves_history(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    t.append(df1)
+    t.append(df2)
+    assert t.read(spark).count() == 3
+    # snapshot 1 still reads only the first commit's rows
+    assert sorted(r["id"] for r in t.read(spark, 1).collect()) == [1, 2]
+    assert t.snapshot()["summary"]["operation"] == "append"
+
+
+def test_compact_reduces_files_keeps_rows_and_history(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    rows = [(i, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    t.append(df.limit(20).repartition(4))
+    t.append(df.subtract(df.limit(20)).repartition(4))
+    frag_id = t.current_snapshot_id()
+    files_before = t.file_count()
+    m = t.compact(spark, target_files=1)
+    assert m["summary"]["operation"] == "compact"
+    assert t.file_count() < files_before
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == list(range(40))
+    # pre-compaction snapshot still fully readable (time travel intact)
+    assert t.read(spark, frag_id).count() == 40

@@ -252,3 +252,49 @@ def test_length_quantiles_approx_within_rank_bound(spark):
         n_le = int((arr <= v).sum())
         target, tol = p * n, n / 1000 + 1
         assert n_lt <= target + tol and n_le >= target - tol, (col, v)
+
+
+def test_stratified_sample_deterministic_and_partition_independent(spark):
+    from kgforge.textops import _md5_threshold, stratified_sample
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.25, "de": 1.0}  # zh absent -> default_frac=0 drops it
+    a = stratified_sample(df, fr).toPandas()
+    b = stratified_sample(df.repartition(13), fr).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    by_lang = a.groupby("lang")["doc_id"].count().to_dict()
+    assert by_lang.get("de") == 200          # frac 1.0 keeps all
+    assert "zh" not in by_lang               # default 0 drops all
+    n_en = by_lang.get("en", 0)
+    assert 20 <= n_en <= 80, n_en            # ~50 of 200 at frac 0.25
+    # threshold formatting: exact halves of the hex space
+    assert _md5_threshold(0.5) == "8" + "0" * 31
+    assert _md5_threshold(1.0) == "f" * 32
+
+
+def test_graphstats_match_pandas(spark):
+    import numpy as np
+
+    from kgforge.graphstats import degree_histogram, entity_degrees, top_hubs
+
+    rng = np.random.default_rng(23)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 30, 300),
+            "t": rng.integers(0, 30, 300),
+            "r": rng.integers(0, 4, 300),
+        }
+    )
+    df = spark.createDataFrame(tri)
+    deg = entity_degrees(df).toPandas().set_index("e").sort_index()
+    out_want = tri.groupby("h").size()
+    in_want = tri.groupby("t").size()
+    for e in deg.index:
+        assert deg.loc[e, "out_degree"] == out_want.get(e, 0)
+        assert deg.loc[e, "in_degree"] == in_want.get(e, 0)
+        assert deg.loc[e, "degree"] == out_want.get(e, 0) + in_want.get(e, 0)
+    hist = degree_histogram(df).toPandas()
+    assert hist["n_entities"].sum() == len(deg)
+    hubs = top_hubs(df, k=5).toPandas()
+    assert list(hubs["degree"]) == sorted(deg["degree"], reverse=True)[:5]
