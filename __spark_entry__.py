@@ -794,6 +794,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             constraints=(domains, ranges),
         )
 
+    def a19_topk_constrained(spark, sf):
+        """A19 under type constraints: tail completion draws candidates
+        from the relation's known range only (type_constrain semantics),
+        which also shrinks the scoring work per query — the serving-time
+        fast path. Oracle replays the range-restricted top-k in SQL."""
+        split, emb, known = _openke_emb()
+        domains = {
+            int(r): np.unique(g["h"].to_numpy()) for r, g in known.groupby("r")
+        }
+        ranges = {
+            int(r): np.unique(g["t"].to_numpy()) for r, g in known.groupby("r")
+        }
+        q = spark.createDataFrame(split["test2id"].head(20)[["h", "r"]])
+        return ev.top_k_completions(
+            spark, q, emb, k=10, constraints=(domains, ranges)
+        ).select("h", "r", "candidate", "rk")
+
     def a19_topk_completions(spark, sf):
         split, emb, _ = _openke_emb()
         q = spark.createDataFrame(split["test2id"].head(20)[["h", "r"]])
@@ -1360,6 +1377,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise AssertionError("pre-compaction time travel lost rows")
         return t.read(spark).select("doc_id", "lang", "n_chars")
 
+    def q_cheapest_part_order(spark, sf):
+        """Deterministic argmin-per-group in ONE shuffle: the lexicographic
+        struct-min (price, orderkey) picks the min-price row per part with
+        a deterministic tie rule (lowest orderkey) — no join-back, no
+        window. The oracle computes the same thing the classic way
+        (min-price CTE + join + min orderkey), pinning the tie semantics
+        cross-engine."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        m = li.groupBy("l_partkey").agg(
+            F.min(F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))).alias("m")
+        )
+        return m.select(
+            "l_partkey",
+            F.col("m.l_extendedprice").alias("min_price"),
+            F.col("m.l_orderkey").alias("orderkey"),
+        )
+
+    def q_running_revenue(spark, sf):
+        """Per-customer cumulative revenue over order history (window
+        running sum). Money is cast to DECIMAL(14,2) BEFORE summing —
+        the inputs are exact 2-decimal values, so the cast is exact and
+        the cumulative decimal sum is associative ⇒ identical under any
+        partitioning and in any engine (a double running sum would drift
+        in the last ulp and hash-mismatch)."""
+        from pyspark.sql import Window
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            # summed in decimal (associative, partitioning-independent),
+            # surfaced as double — DuckDB's windowed decimal sum yields
+            # DOUBLE, and the exact decimal -> double conversion is
+            # identical in both engines
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w)
+            .cast("double").alias("cum_revenue"),
+        )
+
     def cat_time_travel(spark, sf):
         # Iceberg-lite catalog semantics under oracle check: snapshot 1
         # commits the short documents, snapshot 2 OVERWRITES with all of
@@ -1632,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
         "a18_accuracy": a18_accuracy,
         "a19_topk_completions": a19_topk_completions,
+        "a19_topk_constrained": a19_topk_constrained,
         "a20_checkpoint_scores": a20_checkpoint_scores,
         "a21_incremental_training": a21_incremental_training,
         "dedup_exact": dedup_exact,
@@ -1663,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_histogram": kg_degree_histogram,
         "kg_top_hubs": kg_top_hubs,
         "cat_compaction": cat_compaction,
+        "q_cheapest_part_order": q_cheapest_part_order,
+        "q_running_revenue": q_running_revenue,
         "txt_fingerprint": txt_fingerprint,
         "docs_corpus_filter": docs_corpus_filter,
         "a15_ranks_relfilter": a15_ranks_relfilter,
@@ -2608,6 +2671,25 @@ def oracle_sql() -> dict[str, str]:
         "cat_compaction": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
+        "q_cheapest_part_order": """
+            WITH mp AS (
+                SELECT l_partkey, min(l_extendedprice) AS min_price
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT mp.l_partkey, mp.min_price,
+                   min(l.l_orderkey) AS orderkey
+            FROM mp JOIN lineitem l
+              ON l.l_partkey = mp.l_partkey AND l.l_extendedprice = mp.min_price
+            GROUP BY mp.l_partkey, mp.min_price
+        """,
+        "q_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS cum_revenue
+            FROM orders
+        """,
         "str_stateful_counts": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         """,
@@ -2730,6 +2812,30 @@ def oracle_sql() -> dict[str, str]:
                 JOIN rel re ON re.id = q.r
                 JOIN ent he ON he.id = q.h AND he.k = re.k
                 JOIN ent ce ON ce.k = re.k
+                GROUP BY q.h, q.r, ce.id
+            )
+            SELECT h, r, candidate, rk FROM (
+                SELECT h, r, candidate,
+                       row_number() OVER (PARTITION BY h, r ORDER BY score, candidate) AS rk
+                FROM sc) WHERE rk <= 10
+        """,
+"a19_topk_constrained": f"""
+            WITH known AS ({_KNOWN}),
+            q AS (
+                SELECT DISTINCT h, r FROM (
+                    SELECT h, r FROM read_parquet('{OKE}/test2id.parquet') LIMIT 20)
+            ),
+            ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+            rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+            sc AS (
+                SELECT q.h, q.r, ce.id AS candidate,
+                       sum(abs(he.val + re.val - ce.val)) AS score
+                FROM q
+                JOIN rel re ON re.id = q.r
+                JOIN ent he ON he.id = q.h AND he.k = re.k
+                JOIN ent ce ON ce.k = re.k
+                JOIN (SELECT DISTINCT r, t AS e FROM known) rng
+                  ON rng.r = q.r AND rng.e = ce.id
                 GROUP BY q.h, q.r, ce.id
             )
             SELECT h, r, candidate, rk FROM (

@@ -660,39 +660,59 @@ def top_k_completions(
     model: str = "transe",
     norm: int = 1,
     mode: str = "tail",
+    constraints: tuple | None = None,
 ) -> DataFrame:
     """A19: best-k completions for ``(h, r)`` (mode='tail') or ``(r, t)``.
 
     Scores all entities per query inside the UDF and emits only the top-k
     (partial top-k inside the batch — nothing |E|-sized ever shuffles).
+
+    ``constraints``: optional ``(domains, ranges)`` maps ``r → entity
+    ids`` (``type_constrain.txt`` semantics). Tail completion draws
+    candidates from the relation's range, head completion from its
+    domain; relations absent from the map stay unconstrained. The
+    constrained candidate set also SHRINKS the per-query scoring work —
+    at serving time this is the fast path, not just a filter.
     """
     n_ent = emb["ent"].shape[0]
     b_emb = spark.sparkContext.broadcast(emb)
-    _PINNED.append(b_emb)
+    b_constr = spark.sparkContext.broadcast(constraints)
+    _PINNED.extend([b_emb, b_constr])
     in_cols = ["h", "r"] if mode == "tail" else ["t", "r"]
     out_schema = f"{in_cols[0]} long, r long, candidate long, score double, rk long"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E = b_emb.value
+        constr = b_constr.value
+        cand_of = None
+        if constr is not None:
+            cand_of = constr[1] if mode == "tail" else constr[0]
         all_ents = np.arange(n_ent, dtype=np.int64)
         for pdf in batches:
             rows = []
             for a, r in pdf[in_cols].itertuples(index=False):
-                r_ids = np.full(n_ent, int(r), dtype=np.int64)
-                fixed = np.full(n_ent, int(a), dtype=np.int64)
+                cand = all_ents
+                if cand_of is not None:
+                    c = cand_of.get(int(r))
+                    if c is not None:
+                        cand = np.asarray(c, dtype=np.int64)
+                r_ids = np.full(len(cand), int(r), dtype=np.int64)
+                fixed = np.full(len(cand), int(a), dtype=np.int64)
                 s = (
-                    kernels.score_batch(model, E, fixed, r_ids, all_ents, norm)
+                    kernels.score_batch(model, E, fixed, r_ids, cand, norm)
                     if mode == "tail"
-                    else kernels.score_batch(model, E, all_ents, r_ids, fixed, norm)
+                    else kernels.score_batch(model, E, cand, r_ids, fixed, norm)
                 )
-                top = np.argsort(s, kind="stable")[:k]
+                order = np.argsort(s, kind="stable")[:k]
+                top = cand[order]
+                s = s[order]
                 rows.append(
                     pd.DataFrame(
                         {
                             in_cols[0]: int(a),
                             "r": int(r),
                             "candidate": top.astype(np.int64),
-                            "score": s[top].astype(np.float64),
+                            "score": s.astype(np.float64),
                             "rk": np.arange(1, len(top) + 1, dtype=np.int64),
                         }
                     )
