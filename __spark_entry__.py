@@ -1692,7 +1692,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_link_prediction_metrics": a17_link_prediction_metrics,
         "a18_accuracy": a18_accuracy,
         "a19_topk_completions": a19_topk_completions,
-        "a19_topk_constrained": a19_topk_constrained,
         "a20_checkpoint_scores": a20_checkpoint_scores,
         "a21_incremental_training": a21_incremental_training,
         "dedup_exact": dedup_exact,
@@ -1719,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_rollup_lineitem": q_rollup_lineitem,
         # -- variants / property companions (beyond the driver's window) --
+        "a19_topk_constrained": a19_topk_constrained,
         "str_view_purchase_join": str_view_purchase_join,
         "docs_stratified_sample": docs_stratified_sample,
         "kg_degree_histogram": kg_degree_histogram,
