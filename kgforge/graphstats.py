@@ -16,13 +16,18 @@ from pyspark.sql import functions as F
 
 def entity_degrees(triples: DataFrame) -> DataFrame:
     """``(e, out_degree, in_degree, degree)`` per entity: out = rows as
-    head, in = rows as tail. One union + one hash aggregation."""
-    ends = triples.select(
-        F.col("h").alias("e"), F.lit(1).alias("_out"), F.lit(0).alias("_in")
-    ).unionByName(
-        triples.select(F.col("t").alias("e"), F.lit(0).alias("_out"), F.lit(1).alias("_in"))
+    head, in = rows as tail.
+
+    ONE scan: each triple row inlines into its two endpoint rows
+    (``inline`` of a 2-struct array) — a union of two selects over the
+    same input would reference it twice, and a twice-referenced
+    DataFrame executes twice (no ReusedExchange for this shape;
+    docs/PLANS.md round-3 audit). Then one hash aggregation."""
+    pairs = F.array(
+        F.struct(F.col("h").alias("e"), F.lit(1).alias("_out"), F.lit(0).alias("_in")),
+        F.struct(F.col("t").alias("e"), F.lit(0).alias("_out"), F.lit(1).alias("_in")),
     )
-    return ends.groupBy("e").agg(
+    return triples.select(F.inline(pairs)).groupBy("e").agg(
         F.sum("_out").cast("long").alias("out_degree"),
         F.sum("_in").cast("long").alias("in_degree"),
         F.count(F.lit(1)).cast("long").alias("degree"),
