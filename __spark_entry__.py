@@ -2412,6 +2412,9 @@ def oracle_sql() -> dict[str, str]:
                          ('link'), ('materialize'), ('reassemble')) AS t(stage)
         """,
         "b12_eval_gate": """
+            -- 15 = deterministic content-hash bucket size of the unit-
+            -- fixture KG (pmod(xxhash64(h,t,r),10)=9 of 140 triples);
+            -- regenerate this constant if fixtures/unit changes
             SELECT CAST(15 AS BIGINT) AS n_gate_triples, TRUE AS nonempty,
                    TRUE AS mr_improves, TRUE AS mrr_improves,
                    TRUE AS mrr_in_range, TRUE AS hits_monotone

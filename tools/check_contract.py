@@ -48,6 +48,11 @@ def main() -> int:
     from kgforge.session import get_spark
 
     spark = get_spark(master=os.environ.get("KGFORGE_MASTER", "local[8]"), app_name="check-contract")
+    if os.environ.get("KGFORGE_ARROW_OFF"):
+        # driver-faithful mode: the driver's harness runs Spark defaults,
+        # where Arrow conversion is OFF and createDataFrame uses the
+        # strict non-Arrow type verifier (round-3 incident class)
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
