@@ -1352,6 +1352,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.top_hubs(tri, k=10)
 
+    def kg_triangles(spark, sf):
+        """Triangle count of the constructed KG's entity adjacency —
+        degree-oriented wedge join (apex out-degree bounded O(sqrt m),
+        survives power-law hubs). Count is orientation-invariant, so the
+        oracle uses the simple a<b<c three-way join."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.triangle_count(tri)
+
+    def kg_two_hop(spark, sf):
+        """2-hop neighborhood expansion from 5 seed entities (entity-
+        context retrieval shape): unrolled BFS as two frontier joins +
+        min-hop aggregation. Oracle replays the same two joins in SQL."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
+        return graphstats.k_hop_neighbors(tri, seeds, k=2)
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -1723,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": docs_stratified_sample,
         "kg_degree_histogram": kg_degree_histogram,
         "kg_top_hubs": kg_top_hubs,
+        "kg_triangles": kg_triangles,
+        "kg_two_hop": kg_two_hop,
         "cat_compaction": cat_compaction,
         "q_cheapest_part_order": q_cheapest_part_order,
         "q_running_revenue": q_running_revenue,
@@ -2670,6 +2698,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS degree
             FROM ends GROUP BY e
             ORDER BY degree DESC, e LIMIT 10
+        """,
+        "kg_triangles": f"""
+            WITH eids AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN eids es ON g.subj_canon = es.name
+                JOIN eids eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            e AS (
+                SELECT DISTINCT least(h, t) AS a, greatest(h, t) AS b
+                FROM tri WHERE h <> t
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "kg_two_hop": f"""
+            WITH eids AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN eids es ON g.subj_canon = es.name
+                JOIN eids eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            e AS (
+                SELECT DISTINCT least(h, t) AS a, greatest(h, t) AS b
+                FROM tri WHERE h <> t
+            ),
+            adj AS (
+                SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+            ),
+            s AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS t(seed)),
+            h1 AS (
+                SELECT DISTINCT s.seed, adj.v AS e FROM s JOIN adj ON adj.u = s.seed
+            ),
+            h2 AS (
+                SELECT DISTINCT h1.seed, adj.v AS e FROM h1 JOIN adj ON adj.u = h1.e
+            ),
+            allh AS (
+                SELECT seed, e, 1 AS hops FROM h1
+                UNION ALL SELECT seed, e, 2 FROM h2
+            )
+            SELECT CAST(seed AS BIGINT) AS seed, e, CAST(min(hops) AS BIGINT) AS min_hops
+            FROM allh WHERE e <> seed GROUP BY seed, e
         """,
         "cat_compaction": """
             SELECT doc_id, lang, n_chars FROM documents

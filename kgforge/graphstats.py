@@ -47,6 +47,94 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
     )
 
 
+def undirected_edges(triples: DataFrame) -> DataFrame:
+    """Distinct undirected entity-adjacency ``(a, b)`` with ``a < b``
+    (relation labels and direction dropped, self-loops removed)."""
+    return (
+        triples.select(
+            F.least("h", "t").alias("a"), F.greatest("h", "t").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_count(triples: DataFrame) -> DataFrame:
+    """Global triangle count of the entity adjacency graph (one row,
+    ``n_triangles``) — the standard clustering/community signal.
+
+    Plan: degree-ORIENTED wedge join. Each undirected edge is directed
+    from its lower-(degree, id) endpoint to the higher one; every
+    triangle then has exactly one apex with out-edges to both others, so
+    one self-join of the oriented edge list on the apex + one closing-
+    edge semi-join counts each triangle once. Degree orientation bounds
+    any vertex's out-degree by O(sqrt(m)) — the wedge join stays
+    polynomial on power-law graphs where a naive id-orientation explodes
+    on hub vertices (hubs get IN-edges, producing no wedges). The count
+    is orientation-invariant, so the SQL oracle may use the simple
+    ``a<b<c`` formulation.
+    """
+    e = undirected_edges(triples)
+    deg = (
+        e.select(F.col("a").alias("v")).unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): src = smaller endpoint under that order
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    lower_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("x"))
+    w2 = oriented.select("src", F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        ),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def k_hop_neighbors(triples: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """Entities reachable from each seed within ``k`` undirected hops:
+    ``(seed, e, min_hops)``, seeds themselves excluded.
+
+    Unrolled BFS: ``k`` broadcast-frontier joins against the adjacency
+    list (k is small and fixed — 2 or 3 in entity-context expansion),
+    then one min-aggregation. The frontier table is seeds×neighborhood-
+    sized; the adjacency list is the corpus-sized side and is only ever
+    JOINED, never collected or iterated on the driver.
+    """
+    e = undirected_edges(triples)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("u"))
+    reached = None
+    for hop in range(1, k + 1):
+        frontier = (
+            frontier.join(adj, "u")
+            .select("seed", F.col("v").alias("e"))
+            .dropDuplicates(["seed", "e"])
+        )
+        step = frontier.withColumn("hops", F.lit(hop).cast("long"))
+        reached = step if reached is None else reached.unionByName(step)
+        frontier = frontier.select("seed", F.col("e").alias("u"))
+    return (
+        reached.where(F.col("e") != F.col("seed"))
+        .groupBy("seed", "e")
+        .agg(F.min("hops").alias("min_hops"))
+    )
+
+
 def top_hubs(triples: DataFrame, k: int = 10) -> DataFrame:
     """Top-``k`` entities by total degree — ``orderBy + limit`` compiles
     to TakeOrdered (per-partition top-k, k-row driver merge), never a

@@ -298,3 +298,74 @@ def test_graphstats_match_pandas(spark):
     assert hist["n_entities"].sum() == len(deg)
     hubs = top_hubs(df, k=5).toPandas()
     assert list(hubs["degree"]) == sorted(deg["degree"], reverse=True)[:5]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from kgforge.graphstats import triangle_count
+
+    rng = np.random.default_rng(31)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 25, 250),
+            "t": rng.integers(0, 25, 250),
+            "r": rng.integers(0, 3, 250),
+        }
+    )
+    got = triangle_count(spark.createDataFrame(tri)).collect()[0]["n_triangles"]
+    edges = set()
+    for h, t in tri[["h", "t"]].itertuples(index=False):
+        if h != t:
+            edges.add((min(h, t), max(h, t)))
+    nodes = sorted({v for e in edges for v in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    assert got == want and want > 0
+
+
+def test_k_hop_neighbors_matches_bfs(spark):
+    import numpy as np
+
+    from kgforge.graphstats import k_hop_neighbors
+
+    rng = np.random.default_rng(37)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 40, 120),
+            "t": rng.integers(0, 40, 120),
+            "r": 0,
+        }
+    )
+    adj: dict[int, set[int]] = {}
+    for h, t in tri[["h", "t"]].itertuples(index=False):
+        if h != t:
+            adj.setdefault(h, set()).add(t)
+            adj.setdefault(t, set()).add(h)
+    seeds = [0, 1, 2]
+    got = (
+        k_hop_neighbors(
+            spark.createDataFrame(tri),
+            spark.createDataFrame([(s,) for s in seeds], "seed long"),
+            k=2,
+        )
+        .toPandas()
+        .set_index(["seed", "e"])["min_hops"]
+        .to_dict()
+    )
+    want = {}
+    for s in seeds:
+        h1 = adj.get(s, set())
+        h2 = {v for u in h1 for v in adj.get(u, set())}
+        for e in h1:
+            if e != s:
+                want[(s, e)] = 1
+        for e in h2 - h1:
+            if e != s:
+                want[(s, e)] = 2
+    assert got == want
