@@ -286,3 +286,30 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         pd.testing.assert_series_equal(
             got["value_right"], want["value"], check_names=False
         )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the
+    same bucket count join with ZERO Exchange in the physical plan —
+    the write-once-shuffle layout for repeatedly-joined fact tables."""
+    from kgforge.joins import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", "k", buckets=4)
+    write_bucketed(b, "bkt_b", "k", buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+        # same join WITHOUT bucketing does shuffle — the baseline
+        jj = a.join(b, "k")
+        plan2 = jj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
