@@ -369,3 +369,38 @@ def test_k_hop_neighbors_matches_bfs(spark):
             if e != s:
                 want[(s, e)] = 2
     assert got == want
+
+
+def test_round4_ops_handle_empty_inputs(spark):
+    """Empty-input battery: the observe-NULL CC bug class — every new
+    operator must return an empty (or identity) result, not loop, raise,
+    or emit nulls."""
+    from kgforge.graphstats import (
+        degree_histogram,
+        entity_degrees,
+        k_hop_neighbors,
+        top_hubs,
+        triangle_count,
+    )
+    from kgforge.joins import asof_join
+    from kgforge.textops import length_quantiles, stratified_sample
+
+    empty_tri = spark.createDataFrame([], "h long, t long, r long")
+    assert entity_degrees(empty_tri).count() == 0
+    assert degree_histogram(empty_tri).count() == 0
+    assert top_hubs(empty_tri).count() == 0
+    assert triangle_count(empty_tri).collect()[0]["n_triangles"] == 0
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    assert k_hop_neighbors(empty_tri, seeds, k=2).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, lang string, n_chars long")
+    assert stratified_sample(empty_docs, {"en": 0.5}).count() == 0
+    q = length_quantiles(empty_docs, exact=True).collect()[0]
+    assert q["q50"] is None  # SQL percentile of empty = NULL, not error
+    qa = length_quantiles(empty_docs, exact=False).collect()[0]
+    assert qa["q50"] is None
+
+    left = spark.createDataFrame([(1, 10, 100)], "user_id long, event_id long, ts long")
+    empty_right = spark.createDataFrame([], "user_id long, ts long, value double")
+    got = asof_join(left, empty_right, "user_id", "ts", ["value"]).toPandas()
+    assert len(got) == 1 and pd.isna(got.loc[0, "value_right"])
