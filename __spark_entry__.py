@@ -1266,6 +1266,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(d, ignore_errors=True)
         return spark.table(name)
 
+    def str_continuous_kg(spark, sf):
+        """Continuous KG construction composed end-to-end: transcript
+        stream -> streaming extraction -> broadcast gazetteer link
+        (surface -> canonical, stream-static) -> dense-id triples,
+        drained availableNow, distinct canonical (s, p, o) at the sink.
+        Every stage is stateless so the stream plan is the batch plan
+        under a file source; oracle replays golden surface triples
+        through the same gazetteer + dense-id joins in SQL. (Dictionary-
+        only linking here: corrupted alias variants need the B7/B8 alias
+        map, which is the batch pipeline's job — this is the low-latency
+        ingest path.)"""
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge import streaming
+        from kgforge.fixtures import patterns_df
+
+        src = os.path.join(_fixture_dir(sf), "transcripts.parquet")
+        d = tempfile.mkdtemp(prefix="kgforge_ckg_")
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f), os.path.join(sdir, f))
+        else:
+            shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
+        st = streaming.stream_transcripts(spark, sdir)
+        tri = streaming.stream_triples(st, _gaz_pdf(), patterns_df())
+        gaz, _, e2id, r2id = _dicts(spark)
+        surf2canon = gaz.select("surface", "canonical")
+        linked = (
+            tri.join(
+                F.broadcast(surf2canon.withColumnRenamed("surface", "subj")
+                            .withColumnRenamed("canonical", "_sc")), "subj"
+            )
+            .join(
+                F.broadcast(surf2canon.withColumnRenamed("surface", "obj")
+                            .withColumnRenamed("canonical", "_oc")), "obj"
+            )
+            .join(F.broadcast(e2id.withColumnRenamed("name", "_sc")
+                              .withColumnRenamed("id", "s")), "_sc")
+            .join(F.broadcast(e2id.withColumnRenamed("name", "_oc")
+                              .withColumnRenamed("id", "o")), "_oc")
+            .join(F.broadcast(r2id.withColumnRenamed("name", "pred")
+                              .withColumnRenamed("id", "p")), "pred")
+            .select("s", "p", "o")
+        )
+        name = "ckg_" + uuid.uuid4().hex[:8]
+        streaming.run_to_memory(linked, name)
+        shutil.rmtree(d, ignore_errors=True)
+        return spark.table(name).dropDuplicates(["s", "p", "o"])
+
     def str_view_purchase_join(spark, sf):
         # stream-stream interval join: every view event pairs with the
         # same user's purchase events that follow within 30 minutes.
@@ -1746,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- variants / property companions (beyond the driver's window) --
         "a19_topk_constrained": a19_topk_constrained,
         "str_view_purchase_join": str_view_purchase_join,
+        "str_continuous_kg": str_continuous_kg,
         "docs_stratified_sample": docs_stratified_sample,
         "kg_degree_histogram": kg_degree_histogram,
         "kg_top_hubs": kg_top_hubs,
@@ -2658,6 +2713,17 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
             WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        """,
+        "str_continuous_kg": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            ext AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD})
+            SELECT DISTINCT es.id AS s, rr.id AS p, eo.id AS o
+            FROM ext
+            JOIN {_GAZ} gs ON ext.subj = gs.surface
+            JOIN {_GAZ} go ON ext.obj = go.surface
+            JOIN e es ON gs.canonical = es.name
+            JOIN e eo ON go.canonical = eo.name
+            JOIN r rr ON ext.pred = rr.name
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
