@@ -660,6 +660,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = io.read_dict_txt(p)
         return spark.createDataFrame(back[["name", "id"]])
 
+    def a1_type_constrain_roundtrip(spark, sf):
+        """type_constrain.txt codec under oracle check: domains/ranges
+        derived from the known split -> write (upstream OpenKE layout:
+        count header, per-relation domain line + range line) -> read
+        back -> (r, position, e) rows. Oracle re-derives the same sets
+        with DISTINCT projections."""
+        import tempfile
+
+        from kgforge import io_openke as io
+
+        _, _, known = _openke_emb()
+        domains = {int(r): sorted(set(g["h"])) for r, g in known.groupby("r")}
+        ranges = {int(r): sorted(set(g["t"])) for r, g in known.groupby("r")}
+        p = os.path.join(tempfile.mkdtemp(prefix="kgforge_tc_"), "type_constrain.txt")
+        io.write_type_constraint(domains, ranges, p)
+        dback, rback = io.read_type_constraint(p)
+        rows = [(r, "domain", int(e)) for r, es in dback.items() for e in es]
+        rows += [(r, "range", int(e)) for r, es in rback.items() for e in es]
+        return spark.createDataFrame(rows, "r long, position string, e long")
+
     def a12_optimizer_grid(spark, sf):
         """A12: every optimizer (sgd/adagrad/adam/adadelta) trains the
         fixture KG and must REDUCE the deterministic-corruption margin
@@ -1798,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q_rollup_lineitem": q_rollup_lineitem,
         # -- variants / property companions (beyond the driver's window) --
+        "a1_type_constrain_roundtrip": a1_type_constrain_roundtrip,
         "a19_topk_constrained": a19_topk_constrained,
         "str_view_purchase_join": str_view_purchase_join,
         "str_continuous_kg": str_continuous_kg,
@@ -2400,6 +2421,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b9_dense_ids": _DENSE_E,
         "a1_dict_roundtrip": _DENSE_E,
+        "a1_type_constrain_roundtrip": f"""
+            WITH known AS ({_KNOWN})
+            SELECT r, 'domain' AS position, h AS e FROM (SELECT DISTINCT r, h FROM known)
+            UNION ALL
+            SELECT r, 'range', t FROM (SELECT DISTINCT r, t FROM known)
+        """,
         "b10_id_triples": f"""
             WITH e AS ({_DENSE_E}), r AS ({_DENSE_R})
             SELECT DISTINCT es.id AS s, rr.id AS p, eo.id AS o
