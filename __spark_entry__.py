@@ -1364,7 +1364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         else:
             shutil.copy(src, os.path.join(sdir, "part-0.parquet"))
         schema = spark.read.parquet(src).schema
-        st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(sdir)
+        # single-batch drain (no maxFilesPerTrigger): a chunked drain lets
+        # the watermark advance BETWEEN micro-batches, so event times that
+        # regress across file boundaries by more than the watermark would
+        # drop legitimate matches from join state while the batch-SQL
+        # oracle sees them — parity would hinge on fixture file ordering.
+        # Cross-micro-batch join-state expiry is the production property;
+        # the oracle-checked query pins the join SEMANTICS.
+        st = spark.readStream.schema(schema).parquet(sdir)
         views = st.where(F.col("event_type") == "view").select(
             F.col("user_id"),
             F.col("event_id").alias("view_id"),
@@ -1634,7 +1641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global row_number window would move the whole aggregate to one
         # partition. The rank window then runs over just 10 rows.
         top = j.orderBy(F.col("revenue_d").desc(), "l_orderkey").limit(10)
-        w = Window.orderBy(F.col("revenue_d").desc(), "l_orderkey")
+        # constant partition key: the window runs over the 10-row
+        # TakeOrdered result, so a single partition is the POINT — the key
+        # silences Spark's "No Partition Defined" warning. Must be
+        # NON-foldable (col*0, not lit): Catalyst prunes foldable partition
+        # expressions, which would re-empty the partition spec.
+        w = Window.partitionBy(F.col("l_orderkey") * F.lit(0)).orderBy(
+            F.col("revenue_d").desc(), "l_orderkey"
+        )
         return (
             top.withColumn("rk", F.row_number().over(w).cast("long"))
             .select(
@@ -1843,7 +1857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_negative_sampling": a4_negative_sampling,
         "a6_training_batches": a6_training_batches,
         "b2_mentions_cover_golden": b2_mentions_cover_golden,
-        "dedup_minhash_containment": dedup_minhash_containment,
         "a7_transe_scores_l2": a7_transe_scores_l2,
         "a15_ranks_l2": a15_ranks_l2,
         "a19_topk_heads": a19_topk_heads,
@@ -2754,7 +2767,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
-            WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang WHEN 'en' THEN '4ccccccccccccc000000000000000000' WHEN 'es' THEN '80000000000000000000000000000000' WHEN 'fr' THEN '80000000000000000000000000000000' WHEN 'de' THEN 'ffffffffffffffffffffffffffffffff' WHEN 'zh' THEN 'ffffffffffffffffffffffffffffffff' ELSE '00000000000000000000000000000000' END
+            WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang WHEN 'en' THEN '4ccccccccccccc000000000000000000' WHEN 'es' THEN '80000000000000000000000000000000' WHEN 'fr' THEN '80000000000000000000000000000000' WHEN 'de' THEN 'g' WHEN 'zh' THEN 'g' ELSE '00000000000000000000000000000000' END
         """,
         "kg_degree_histogram": f"""
             WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),

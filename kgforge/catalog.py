@@ -117,6 +117,15 @@ class IcebergLiteTable:
         (Iceberg's fast-append shape — no rewrite of existing files).
         Readers of the previous snapshot are untouched."""
         prev = self.snapshot()
+        # invariant: one partition spec per table lineage. read() unions
+        # every commit's hive tree with unionByName and compact() reapplies
+        # only the latest spec — mixing specs across appends would make the
+        # union fail (or compaction silently relayout) later, so fail HERE.
+        if prev is not None and list(partition_by) != list(prev.get("partition_spec") or []):
+            raise ValueError(
+                f"append partition_by {list(partition_by)} != table spec "
+                f"{prev.get('partition_spec')} (use overwrite() to change the spec)"
+            )
         prev_dirs = (prev.get("data_dirs") or [prev["data_dir"]]) if prev else []
         prev_id = prev["snapshot_id"] if prev else 0
         snap_id = prev_id + 1

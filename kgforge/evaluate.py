@@ -296,11 +296,16 @@ def _constraint_df(spark: SparkSession, c) -> DataFrame | None:
     dict (the broadcast path's ``type_constrain`` shape)."""
     if c is None:
         return None
+    # dedupe BOTH paths: a duplicate (r, cand) pair would multiply
+    # candidate rows through _flag_constraint's left join and silently
+    # inflate rank counts
     if isinstance(c, DataFrame):
-        return c.select(F.col("r").cast("long"), F.col("cand").cast("long"))
-    rows = [
-        (int(r), int(e)) for r, ents in c.items() for e in np.asarray(ents).tolist()
-    ]
+        return c.select(
+            F.col("r").cast("long"), F.col("cand").cast("long")
+        ).dropDuplicates(["r", "cand"])
+    rows = sorted(
+        {(int(r), int(e)) for r, ents in c.items() for e in np.asarray(ents).tolist()}
+    )
     if not rows:
         return None
     return spark.createDataFrame(rows, "r long, cand long")
@@ -321,7 +326,13 @@ def _flag_constraint(cand: DataFrame, cdf: DataFrame | None, flag: str) -> DataF
     return (
         cand.join(F.broadcast(marked), ["r", "cand"], "left")
         .join(F.broadcast(rels), "r", "left")
-        .withColumn(flag, F.col("_has").isNull() | (F.col("_in") == 1))
+        # coalesce: a disallowed candidate's flag must be a real False,
+        # not NULL (downstream sum() happens to drop NULLs, but any other
+        # consumer of the flag would mis-handle three-valued logic)
+        .withColumn(
+            flag,
+            F.coalesce(F.col("_has").isNull() | (F.col("_in") == 1), F.lit(False)),
+        )
         .drop("_in", "_has")
     )
 

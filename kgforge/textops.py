@@ -608,9 +608,16 @@ def _md5_threshold(frac: float) -> str:
     ``md5(key) < threshold`` keeps ~``frac`` of keys. Lexicographic
     comparison of fixed-width lowercase hex is monotone in value, so the
     gate replays EXACTLY in any engine with a standard md5() — no
-    engine-specific hash or hex-to-int conversion involved."""
+    engine-specific hash or hex-to-int conversion involved.
+
+    ``frac >= 1.0`` returns ``"g"``: every hex digest compares below it
+    ('f' < 'g'), so a keep-everything stratum truly keeps everything —
+    clamping to ff..ff with a strict ``<`` would exclude a key whose
+    digest is exactly ff..ff (probability 2^-128, but zero is better)."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"fraction {frac} outside [0, 1]")
+    if frac >= 1.0:
+        return "g"
     v = min(int(round(frac * (1 << 128))), (1 << 128) - 1)
     return format(v, "032x")
 

@@ -268,9 +268,10 @@ def test_stratified_sample_deterministic_and_partition_independent(spark):
     assert "zh" not in by_lang               # default 0 drops all
     n_en = by_lang.get("en", 0)
     assert 20 <= n_en <= 80, n_en            # ~50 of 200 at frac 0.25
-    # threshold formatting: exact halves of the hex space
+    # threshold formatting: exact halves of the hex space; frac 1.0 is
+    # the above-all-hex sentinel so keep-everything truly keeps everything
     assert _md5_threshold(0.5) == "8" + "0" * 31
-    assert _md5_threshold(1.0) == "f" * 32
+    assert _md5_threshold(1.0) == "g"
 
 
 def test_graphstats_match_pandas(spark):
