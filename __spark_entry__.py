@@ -1459,6 +1459,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
         return graphstats.k_hop_neighbors(tri, seeds, k=2)
 
+    def kg_pagerank(spark, sf):
+        """Entity importance over the constructed KG: 5 iterations of
+        damped PageRank (d=0.85, dangling mass redistributed). Per-
+        iteration 1e-9 rounding makes the power method engine-exact, so
+        the oracle is the SAME 5 iterations as unrolled materialized
+        CTEs in DuckDB — hash-checked, not approximate."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.pagerank(tri, n_iter=5)
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_hubs": kg_top_hubs,
         "kg_triangles": kg_triangles,
         "kg_two_hop": kg_two_hop,
+        "kg_pagerank": kg_pagerank,
         "cat_compaction": cat_compaction,
         "q_cheapest_part_order": q_cheapest_part_order,
         "q_running_revenue": q_running_revenue,
@@ -1965,6 +1980,55 @@ _RANK_CTES = f"""
                   AND head_rank.r = tail_rank.r
   )
 """
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled damped power method over the golden-KG dense-id graph —
+    the same ``n_iter`` iterations ``graphstats.pagerank`` runs, with
+    the same per-iteration round(…, 9) (what makes the two engines
+    hash-exact; see the pagerank docstring). CTEs are MATERIALIZED:
+    each ``r{{i}}`` is referenced twice by ``r{{i+1}}`` (contribution +
+    dangling mass), and an inlining planner would re-expand the chain
+    exponentially."""
+    chain = f"""
+        WITH eids AS MATERIALIZED ({_DENSE_E}), r AS MATERIALIZED ({_DENSE_R}),
+        tri AS MATERIALIZED (
+            SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+            FROM {_GOLD} g
+            JOIN eids es ON g.subj_canon = es.name
+            JOIN eids eo ON g.obj_canon = eo.name
+            JOIN r rr ON g.pred = rr.name
+        ),
+        edges AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM tri WHERE h <> t),
+        nodes AS MATERIALIZED (SELECT src AS e FROM edges UNION SELECT dst FROM edges),
+        outdeg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+        ),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT e, round(1.0 / nn.n, 9) AS "rank" FROM nodes, nn)"""
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        r{i} AS MATERIALIZED (
+            SELECT nodes.e,
+                   round((1.0 - {damping}) / nn.n
+                         + {damping} * (coalesce(c.contrib, 0.0) + dg.dang / nn.n),
+                         9) AS "rank"
+            FROM nodes
+            CROSS JOIN nn
+            CROSS JOIN (
+                SELECT coalesce(sum(p."rank"), 0.0) AS dang
+                FROM r{i - 1} p LEFT JOIN outdeg o ON p.e = o.src
+                WHERE o.src IS NULL
+            ) dg
+            LEFT JOIN (
+                SELECT ed.dst AS e, sum(p."rank" / o.od) AS contrib
+                FROM edges ed
+                JOIN r{i - 1} p ON ed.src = p.e
+                JOIN outdeg o ON ed.src = o.src
+                GROUP BY ed.dst
+            ) c ON nodes.e = c.e
+        )"""
+    return chain + f'\n        SELECT e, "rank" FROM r{n_iter}'
 
 
 # L2 variant: same rank protocol, Euclidean scoring — built from the L1
@@ -2853,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(seed AS BIGINT) AS seed, e, CAST(min(hops) AS BIGINT) AS min_hops
             FROM allh WHERE e <> seed GROUP BY seed, e
         """,
+        "kg_pagerank": _pagerank_sql(5),
         "cat_compaction": """
             SELECT doc_id, lang, n_chars FROM documents
         """,

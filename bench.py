@@ -106,6 +106,7 @@ def main() -> int:
         "q1_pricing_summary",
         "asof_purchases",
         "txt_tfidf_top_terms",
+        "kg_pagerank",
     ]
     for name in bench_queries:
         runs = []

@@ -135,6 +135,95 @@ def k_hop_neighbors(triples: DataFrame, seeds: DataFrame, k: int = 2) -> DataFra
     )
 
 
+def pagerank(
+    triples: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Entity importance by damped PageRank over the directed entity
+    graph (distinct ``h -> t`` edges, self-loops dropped): ``(e, rank)``.
+
+    Fixed-iteration power method (no convergence test — N is part of
+    the query contract so any engine replays it exactly). Per iteration:
+
+    * contribution: ``sum(rank/out_degree)`` over in-edges — one join of
+      the edge table with the rank table on ``src`` plus one ``groupBy
+      (dst)`` aggregation (map-side partial);
+    * dangling mass: ranks of out-degree-0 nodes, redistributed
+      uniformly (the standard stochastic-matrix fix) — a one-row
+      aggregate that rides broadcast;
+    * ``rank' = (1-d)/N + d * (contrib + dangling/N)``.
+
+    Every iteration's ranks are rounded to ``round_decimals`` — floating
+    sums are accumulation-order-dependent at the ulp, so without the
+    per-iteration round two engines (or two partitionings) could drift
+    apart across iterations; rounding at 1e-9 re-synchronizes each round
+    (per-round error is ~1e-15, far inside the rounding step). This is
+    what makes the DuckDB unrolled-CTE oracle hash-exact, and makes the
+    result partitioning-independent — same determinism rule as the
+    pipeline's content-hash salting.
+
+    Scale shape: the per-iteration state is the node-cardinality rank
+    table; edges are only ever JOINED (never collected). Each round is
+    one join shuffle + one agg shuffle — the irreducible PageRank
+    communication; on a cluster, pre-bucketing edges by ``src`` (see
+    ``joins.write_bucketed``) removes the join-side Exchange. Rank
+    tables are ``localCheckpoint``-ed per round: each is referenced
+    twice the next round (contribution + dangling), and lineage would
+    otherwise grow linearly with iterations (same trap as B8's CC loop,
+    canonicalize.py).
+    """
+    edges = (
+        triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("od")
+    ).localCheckpoint()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"))
+        .localCheckpoint()
+    )
+    d = F.lit(damping)
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("e", "src"), "src")
+            .join(F.broadcast(outdeg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+            .withColumnRenamed("dst", "e")
+        )
+        dang = ranks.join(
+            outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "e", "left")
+            .select(
+                "e",
+                F.round(
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") / F.col("n")),
+                    round_decimals,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def top_hubs(triples: DataFrame, k: int = 10) -> DataFrame:
     """Top-``k`` entities by total degree — ``orderBy + limit`` compiles
     to TakeOrdered (per-partition top-k, k-row driver merge), never a

@@ -372,6 +372,66 @@ def test_k_hop_neighbors_matches_bfs(spark):
     assert got == want
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank == dense NumPy power method with the SAME
+    per-iteration rounding — exact equality, not allclose: the rounding
+    contract is what makes the operator engine- and partitioning-
+    independent, so the test pins it."""
+    import numpy as np
+
+    from kgforge.graphstats import pagerank
+
+    rng = np.random.default_rng(41)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 30, 150),
+            "t": rng.integers(0, 30, 150),
+            "r": rng.integers(0, 3, 150),
+        }
+    )
+    n_iter, d = 10, 0.85
+    got = (
+        pagerank(spark.createDataFrame(tri), n_iter=n_iter, damping=d)
+        .toPandas()
+        .set_index("e")["rank"]
+        .to_dict()
+    )
+    edges = sorted({(h, t) for h, t in tri[["h", "t"]].itertuples(index=False) if h != t})
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for h, t in edges:
+        a[idx[t], idx[h]] = 1.0
+    od = a.sum(axis=0)
+    r = np.round(np.full(n, 1.0 / n), 9)
+    for _ in range(n_iter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = a @ np.where(od > 0, r / np.where(od > 0, od, 1.0), 0.0)
+        dang = r[od == 0].sum()
+        r = np.round((1 - d) / n + d * (contrib + dang / n), 9)
+    want = {v: r[idx[v]] for v in nodes}
+    assert set(got) == set(want)
+    for v in nodes:
+        assert got[v] == want[v], (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # probability mass conserved
+
+
+def test_pagerank_partitioning_independent(spark):
+    import numpy as np
+
+    from kgforge.graphstats import pagerank
+
+    rng = np.random.default_rng(43)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 20, 80), "t": rng.integers(0, 20, 80), "r": 0}
+    )
+    df = spark.createDataFrame(tri)
+    a = pagerank(df, n_iter=6).toPandas().set_index("e")["rank"].to_dict()
+    b = pagerank(df.repartition(13), n_iter=6).toPandas().set_index("e")["rank"].to_dict()
+    assert a == b
+
+
 def test_round4_ops_handle_empty_inputs(spark):
     """Empty-input battery: the observe-NULL CC bug class — every new
     operator must return an empty (or identity) result, not loop, raise,
