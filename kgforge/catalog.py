@@ -57,11 +57,12 @@ class IcebergLiteTable:
 
     def snapshots(self) -> list[dict]:
         out = []
-        for fn in sorted(os.listdir(self.meta)):
+        for fn in os.listdir(self.meta):
             if fn.startswith("snap-") and fn.endswith(".json"):
                 with open(os.path.join(self.meta, fn)) as f:
                     out.append(json.load(f))
-        return out
+        # numeric order: filename sort would put snap-10 before snap-2
+        return sorted(out, key=lambda s: s["snapshot_id"])
 
     def _list_data_files(self, data_dir: str) -> list[dict]:
         files = []
@@ -110,13 +111,30 @@ class IcebergLiteTable:
         return manifest
 
     def append(
-        self, df: DataFrame, partition_by: tuple[str, ...] = (), row_count: int | None = None
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        row_count: int | None = None,
+        max_data_dirs: int = 64,
     ) -> dict:
         """Append commit: new data files land in their own ``data/v<n>/``
         dir; the snapshot references the parent's dirs PLUS the new one
         (Iceberg's fast-append shape — no rewrite of existing files).
-        Readers of the previous snapshot are untouched."""
+        Readers of the previous snapshot are untouched.
+
+        ``max_data_dirs`` bounds the read plan: every append adds one
+        scan to ``read()``'s union chain, so an unmaintained ingest
+        would degrade the plan linearly forever. Past the bound the
+        append REFUSES with instructions to :meth:`compact` (which
+        folds all dirs back into one) — a loud stop beats a silent
+        slowdown; real Iceberg's equivalent is manifest merging +
+        ``rewrite_data_files`` maintenance."""
         prev = self.snapshot()
+        if prev is not None and len(prev.get("data_dirs") or [prev["data_dir"]]) >= max_data_dirs:
+            raise RuntimeError(
+                f"snapshot already spans {len(prev['data_dirs'])} data dirs "
+                f"(max_data_dirs={max_data_dirs}): run compact() before appending more"
+            )
         # invariant: one partition spec per table lineage. read() unions
         # every commit's hive tree with unionByName and compact() reapplies
         # only the latest spec — mixing specs across appends would make the
@@ -172,6 +190,45 @@ class IcebergLiteTable:
         with open(os.path.join(self.meta, f"snap-{m['snapshot_id']}.json"), "w") as f:
             json.dump(m, f, indent=1)
         return m
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Maintenance: drop all but the newest ``keep_last`` snapshots
+        (the current one is always retained) and DELETE data dirs no
+        retained snapshot references — Iceberg's ``expire_snapshots``.
+        Time travel to retained ids keeps working bit-for-bit; reads of
+        expired ids raise. Without expiry an append-only ingest keeps
+        every commit's files forever (compact() rewrites data but the
+        old snapshots still pin the old dirs)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_snapshot_id()
+        snaps = self.snapshots()
+        ids = [s["snapshot_id"] for s in snaps]
+        keep = set(ids[-keep_last:])
+        if cur is not None:
+            keep.add(cur)
+        retained_dirs = set()
+        for s in snaps:
+            if s["snapshot_id"] in keep:
+                retained_dirs.update(s.get("data_dirs") or [s["data_dir"]])
+        expired = [i for i in ids if i not in keep]
+        for i in expired:
+            os.remove(os.path.join(self.meta, f"snap-{i}.json"))
+        removed_dirs = []
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                rel = os.path.join("data", d)
+                if rel not in retained_dirs:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed_dirs.append(rel)
+        return {
+            "expired_snapshot_ids": expired,
+            "removed_data_dirs": removed_dirs,
+            "retained_snapshot_ids": sorted(keep),
+        }
 
     def file_count(self, snapshot_id: int | None = None) -> int:
         snap = self.snapshot(snapshot_id)

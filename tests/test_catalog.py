@@ -3,6 +3,7 @@
 import os
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from kgforge.catalog import IcebergLiteTable
@@ -80,3 +81,53 @@ def test_compact_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert got == list(range(40))
     # pre-compaction snapshot still fully readable (time travel intact)
     assert t.read(spark, frag_id).count() == 40
+
+
+def test_expire_snapshots_after_compaction_reclaims_dirs(spark, tmp_path):
+    """Long-ingest maintenance cycle: appends fragment, compact folds the
+    data into one dir, expire_snapshots drops the old snapshots AND the
+    data dirs only they referenced. Retained ids stay bit-exact; expired
+    ids raise; >9 snapshots also exercises numeric (not filename)
+    snapshot ordering."""
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    for i in range(8):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    t.compact(spark, target_files=1)                       # snapshot 9, dir v9
+    t.append(spark.createDataFrame([(100,)], "id long"))   # 10
+    t.append(spark.createDataFrame([(101,)], "id long"))   # 11
+    assert [s["snapshot_id"] for s in t.snapshots()] == list(range(1, 12))
+    want_s10 = sorted(r["id"] for r in t.read(spark, 10).collect())
+    res = t.expire_snapshots(keep_last=3)
+    assert res["expired_snapshot_ids"] == list(range(1, 9))
+    assert res["retained_snapshot_ids"] == [9, 10, 11]
+    # the pre-compaction dirs v1..v8 were referenced ONLY by expired
+    # snapshots — reclaimed; v9..v11 back retained snapshots — kept
+    assert res["removed_data_dirs"] == [f"data/v{i}" for i in range(1, 9)]
+    assert sorted(r["id"] for r in t.read(spark, 10).collect()) == want_s10
+    assert t.read(spark).count() == 10  # 8 + 2 post-compaction rows
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, 3)
+
+
+def test_expire_keeps_dirs_still_referenced_by_retained(spark, tmp_path):
+    """Fast-append lineage: snapshot N references every parent dir, so
+    expiring old snapshots without a compaction must delete NOTHING."""
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired_snapshot_ids"] == [1, 2, 3, 4]
+    assert res["removed_data_dirs"] == []
+    assert t.read(spark).count() == 6
+
+
+def test_append_guards_partition_spec_and_dir_bound(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    t.append(_df(spark, [1, 2, 3]), partition_by=("part",))
+    with pytest.raises(ValueError, match="partition_by"):
+        t.append(_df(spark, [4]))  # spec drift: () vs ("part",)
+    t2 = IcebergLiteTable(str(tmp_path / "tab2"))
+    t2.append(_df(spark, [1]))
+    t2.append(_df(spark, [2]), max_data_dirs=2)
+    with pytest.raises(RuntimeError, match="compact"):
+        t2.append(_df(spark, [3]), max_data_dirs=2)
