@@ -1473,6 +1473,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.pagerank(tri, n_iter=5)
 
+    def b13_incremental_build(spark, sf):
+        """Incremental KG construction over catalog appends: transcripts
+        land in an Iceberg-lite table in two commits (split by a
+        deterministic md5 gate on conv_id); the first slice is processed
+        to triples, then ONLY the appended diff (catalog read_added —
+        just the new commit's data dirs) is processed and folded in.
+        The DuckDB oracle is the FULL rebuild over all transcripts —
+        i.e. the oracle check IS the incremental == full-rebuild proof."""
+        import tempfile
+
+        from kgforge import incremental
+        from kgforge.catalog import IcebergLiteTable
+        from kgforge.fixtures import patterns_df
+
+        trans = _transcripts(spark, sf)
+        gate = F.md5(F.col("conv_id").cast("string").cast("binary")) < "8"
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_b13_"))
+        t.append(trans.where(gate))
+        snap1 = t.current_snapshot_id()
+        t.append(trans.where(~gate))
+        gaz, pats, e2id, r2id = _dicts(spark)
+        out1 = incremental.build_triples(
+            t.read(spark, snap1), _gaz_pdf(), patterns_df(), gaz, e2id, r2id
+        )
+        return incremental.incremental_build(
+            spark, t, snap1, out1, _gaz_pdf(), patterns_df(), gaz, e2id, r2id
+        )
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -1856,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": kg_triangles,
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
+        "b13_incremental_build": b13_incremental_build,
         "cat_compaction": cat_compaction,
         "q_cheapest_part_order": q_cheapest_part_order,
         "q_running_revenue": q_running_revenue,
@@ -2918,6 +2947,19 @@ def oracle_sql() -> dict[str, str]:
             FROM allh WHERE e <> seed GROUP BY seed, e
         """,
         "kg_pagerank": _pagerank_sql(5),
+        # the full-rebuild replay: golden surface triples through the
+        # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
+        "b13_incremental_build": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            ext AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD})
+            SELECT DISTINCT es.id AS s, rr.id AS p, eo.id AS o
+            FROM ext
+            JOIN {_GAZ} gs ON ext.subj = gs.surface
+            JOIN {_GAZ} go ON ext.obj = go.surface
+            JOIN e es ON gs.canonical = es.name
+            JOIN e eo ON go.canonical = eo.name
+            JOIN r rr ON ext.pred = rr.name
+        """,
         "cat_compaction": """
             SELECT doc_id, lang, n_chars FROM documents
         """,

@@ -236,6 +236,41 @@ class IcebergLiteTable:
 
     # -- read (current or time-travel) ----------------------------------------
 
+    def added_data_dirs(
+        self, since_snapshot_id: int, as_of: int | None = None
+    ) -> list[str]:
+        """Data dirs gained between ``since_snapshot_id`` and ``as_of``
+        (default: current) — the fast-append lineage diff. Because an
+        append commit's manifest lists the parent's dirs plus exactly
+        one new dir, this is the precise "what arrived since I last
+        processed" file set, the foundation of incremental consumption
+        (Iceberg's incremental scan between snapshot ids)."""
+        new = self.snapshot(as_of)
+        old = self.snapshot(since_snapshot_id)
+        if new is None or old is None:
+            raise FileNotFoundError("both snapshots must exist")
+        old_dirs = set(old.get("data_dirs") or [old["data_dir"]])
+        return [
+            d for d in (new.get("data_dirs") or [new["data_dir"]]) if d not in old_dirs
+        ]
+
+    def read_added(
+        self, spark: SparkSession, since_snapshot_id: int, as_of: int | None = None
+    ) -> DataFrame:
+        """Only the rows appended after ``since_snapshot_id`` (up to
+        ``as_of``/current). Reads just the diff dirs — cost scales with
+        the NEW data, not table size; an empty diff returns an empty
+        frame with the table's schema."""
+        dirs = self.added_data_dirs(since_snapshot_id, as_of)
+        if not dirs:
+            return self.read(spark, since_snapshot_id).limit(0)
+        out = None
+        for d in dirs:
+            data_dir = os.path.join(self.root, d)
+            part = spark.read.option("basePath", data_dir).parquet(data_dir)
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
         if snap is None:
