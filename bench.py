@@ -117,6 +117,49 @@ def main() -> int:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    # --- bucketed fact-table layout: write-once-shuffle evidence -----------
+    # the pipeline can emit its (s, p, o) fact table bucketed by s
+    # (Pipeline(bucket_table=...) → joins.write_bucketed); at fixture scale
+    # the KG saturates at dictionary size, so the timing evidence uses a
+    # lineitem-shaped fact table (~600k rows at sf0.1) with the heaviest
+    # bucket consumer — a self-join on s — bucketed vs plain parquet.
+    # Broadcast joins disabled for the comparison: the question is shuffle
+    # join vs bucket-co-located join, not join-strategy selection.
+    from kgforge.joins import write_bucketed
+
+    fact_path = f"/tmp/kgforge_bench_fact_{tag}"
+    fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_suppkey").alias("p"),
+        F.col("l_partkey").alias("o"),
+    )
+    fact.write.mode("overwrite").parquet(fact_path)
+    write_bucketed(
+        spark.read.parquet(fact_path), "bench_fact_bkt", key="s", buckets=int(cpus)
+    )
+
+    def _selfjoin_count(df):
+        other = df.withColumnRenamed("p", "p2").withColumnRenamed("o", "o2")
+        return df.join(other, "s").groupBy("s").count()
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key, mk in [
+            ("tri_selfjoin_s_bucketed", lambda: spark.table("bench_fact_bkt")),
+            ("tri_selfjoin_s_parquet", lambda: spark.read.parquet(fact_path)),
+        ]:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                _selfjoin_count(mk()).count()
+                runs.append(time.time() - t0)
+            timings[key] = round(min(runs), 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS bench_fact_bkt")
+        shutil.rmtree(fact_path, ignore_errors=True)
+
     # df-cap observability: what the ngram skew guard would drop here
     from kgforge import textops
 

@@ -135,6 +135,18 @@ def k_hop_neighbors(triples: DataFrame, seeds: DataFrame, k: int = 2) -> DataFra
     )
 
 
+def subject_out_degrees(triples: DataFrame, subj: str = "s") -> DataFrame:
+    """``(s, out_degree)`` over a ``(s, p, o)`` fact table — the
+    bucket-aware degree consumer: reading a table written with
+    ``joins.write_bucketed(key="s")`` (the pipeline's ``bucket_table``
+    output) runs this aggregation with ZERO Exchange — the bucketing
+    already satisfies the groupBy distribution (pinned by
+    ``test_bucketed_fact_table_zero_exchange``)."""
+    return triples.groupBy(subj).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+
+
 def pagerank(
     triples: DataFrame,
     n_iter: int = 10,

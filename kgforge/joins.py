@@ -99,6 +99,22 @@ def write_bucketed(
     spec) — the default in-memory catalog + ``spark-warehouse`` dir
     works; on a real deployment this is the metastore.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # the default in-memory catalog forgets tables across sessions but
+        # leaves the managed-table dir in the warehouse — a leftover dir
+        # with no catalog entry fails creation (LOCATION_ALREADY_EXISTS),
+        # so overwrite clears the orphan too (metastore deployments never
+        # hit this branch: DROP TABLE removes the location)
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        orphan = os.path.join(wh, table.split(".")[-1].lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     w = df.write.mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

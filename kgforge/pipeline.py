@@ -61,6 +61,7 @@ class Pipeline:
         embeddings_seed: int = 42,
         dense_ids_impl: str = "sort",
         embeddings_path: str | None = None,
+        bucket_table: str | None = None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -73,6 +74,7 @@ class Pipeline:
         self.resume = resume
         self.embeddings_seed = embeddings_seed
         self.embeddings_path = embeddings_path
+        self.bucket_table = bucket_table
         if dense_ids_impl not in ("sort", "two_phase"):
             raise ValueError(dense_ids_impl)
         self.dense_ids_impl = dense_ids_impl
@@ -85,6 +87,7 @@ class Pipeline:
                 "out_partitions": out_partitions,
                 "embeddings_seed": embeddings_seed,
                 "embeddings_path": embeddings_path or "",
+                "bucket_table": bucket_table or "",
             }
         )
         self.timings: dict[str, float] = {}
@@ -283,6 +286,21 @@ class Pipeline:
             os.path.join(exp, "train2id.txt"),
             n_partitions=self.out_partitions,
         )
+        # optional bucketed copy of the fact table: pays the subject-key
+        # shuffle ONCE at write time so every downstream groupBy/join on
+        # `s` (degree stats, blocked-eval candidate ingestion, self-joins)
+        # runs with zero Exchange — the canonical layout for a fact table
+        # consumed by many jobs (joins.write_bucketed). Reads the written
+        # parquet back rather than re-executing the link plan.
+        if self.bucket_table:
+            from .joins import write_bucketed
+
+            write_bucketed(
+                self.spark.read.parquet(out).select("s", "p", "o"),
+                self.bucket_table,
+                key="s",
+                buckets=self.out_partitions,
+            )
         return {"row_count": int(lineage["row_count"]), "lineage": lineage}
 
     def stage_evaluate(self) -> dict:

@@ -24,6 +24,7 @@ def run_dir(spark, tmp_path_factory):
         gazetteer_path=os.path.join(fdir, "gazetteer.parquet"),
         patterns_path=os.path.join(fdir, "patterns.parquet"),
         out_partitions=4,
+        bucket_table="kg_triples_e2e",
     )
     pipe.run(STAGES)
     return work, fdir, pipe
@@ -95,6 +96,7 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         patterns_path=os.path.join(fdir, "patterns.parquet"),
         out_partitions=4,
         resume=True,
+        bucket_table="kg_triples_e2e",
     )
     pipe2.run(STAGES)
     assert all(v == 0.0 for v in pipe2.timings.values()), pipe2.timings
@@ -118,6 +120,7 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         patterns_path=os.path.join(fdir, "patterns.parquet"),
         out_partitions=4,
         resume=True,
+        bucket_table="kg_triples_e2e",
     )
     pipe3.run(STAGES)
     assert pipe3.timings["reassemble"] == 0.0
@@ -190,6 +193,28 @@ def test_entry_and_contract_smoke(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_bucketed_fact_table_zero_exchange(spark, run_dir):
+    """The pipeline's bucket_table output: row-set identical to the
+    parquet fact table, and the subject-degree consumer's physical plan
+    contains NO Exchange (the write-time bucketing replaces the per-query
+    shuffle) while the same query over plain parquet does shuffle."""
+    from kgforge.graphstats import subject_out_degrees
+
+    work, _fdir, _pipe = run_dir
+    tbl = spark.table("kg_triples_e2e")
+    parq = spark.read.parquet(os.path.join(work, "materialize", "triples")).select(
+        "s", "p", "o"
+    )
+    assert sorted(map(tuple, tbl.collect())) == sorted(map(tuple, parq.collect()))
+    plan = subject_out_degrees(tbl)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    plan2 = subject_out_degrees(parq)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2
+    assert (
+        subject_out_degrees(tbl).count() == subject_out_degrees(parq).count()
+    )
 
 
 def test_canonicalize_recovers_unseen_aliases(spark, run_dir):
