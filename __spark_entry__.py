@@ -628,6 +628,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         num = [c for c in m.columns if c not in ("category", "n_triples")]
         return m.select("category", "n_triples", *[F.round(F.col(c), 9).alias(c) for c in num])
 
+    def a17_category_blocked(spark, sf):
+        # per-category (1-1/1-N/N-1/N-N) breakdown in the BEYOND-broadcast
+        # regime: the relational blocked ranks compose with
+        # relation_categories exactly like the broadcast path — the oracle
+        # is identical because the rank protocols agree (pinned by
+        # test_blocked_category_metrics_equal_broadcast)
+        split, emb, known = _openke_emb()
+        ranks = ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known
+        )
+        cats = ev.relation_categories(spark.createDataFrame(split["train2id"]))
+        m = ev.link_prediction_metrics_by_category(ranks, cats)
+        num = [c for c in m.columns if c not in ("category", "n_triples")]
+        return m.select("category", "n_triples", *[F.round(F.col(c), 9).alias(c) for c in num])
+
     def a17_category_relfilter(spark, sf):
         """Per-category (1-1/1-N/N-1/N-N) metrics composed with the
         RELATIONAL filter path — the B12 gate's shape at data-sized
@@ -1917,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_constrained_ranks_blocked": a15_constrained_ranks_blocked,
         "a17_metrics_by_category": a17_metrics_by_category,
         "a17_category_relfilter": a17_category_relfilter,
+        "a17_category_blocked": a17_category_blocked,
         "a18_thresholds": a18_thresholds,
         "txt_length_quantiles": txt_length_quantiles,
         "txt_length_quantiles_approx": txt_length_quantiles_approx,
@@ -2644,6 +2660,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ranks
         """,
         "a17_metrics_by_category": f"""
+            WITH {_RANK_CTES},
+            {_CAT_CTE},
+            bothc AS (
+                SELECT c.category, rank_head_raw AS raw, rank_head_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+                UNION ALL
+                SELECT c.category, rank_tail_raw AS raw, rank_tail_filt AS filt
+                FROM ranks JOIN cat c ON ranks.r = c.r
+            )
+            SELECT category,
+              CAST(count(*)/2 AS BIGINT) AS n_triples,
+              round(avg(raw), 9) AS mr_raw,
+              round(avg(1.0/raw), 9) AS mrr_raw,
+              round(avg(CASE WHEN raw <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_raw,
+              round(avg(filt), 9) AS mr_filt,
+              round(avg(1.0/filt), 9) AS mrr_filt,
+              round(avg(CASE WHEN filt <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_filt
+            FROM bothc GROUP BY category
+        """,
+        "a17_category_blocked": f"""
             WITH {_RANK_CTES},
             {_CAT_CTE},
             bothc AS (

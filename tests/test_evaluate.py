@@ -129,6 +129,26 @@ def test_blocked_ranks_equal_broadcast(spark, model, norm, dec):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_blocked_category_metrics_equal_broadcast(spark):
+    """The 1-1/1-N/N-1/N-N breakdown must agree between the broadcast
+    and blocked rank paths — the category composition is path-agnostic."""
+    from kgforge.evaluate import (
+        link_prediction_metrics_by_category,
+        link_prediction_ranks_blocked,
+        relation_categories,
+    )
+
+    test = spark.createDataFrame(SPLIT["test2id"].head(12))
+    cats = relation_categories(spark.createDataFrame(SPLIT["train2id"]))
+    a = link_prediction_metrics_by_category(
+        link_prediction_ranks(spark, test, EMB, KNOWN), cats
+    ).toPandas().sort_values("category").reset_index(drop=True)
+    b = link_prediction_metrics_by_category(
+        link_prediction_ranks_blocked(spark, test, EMB, KNOWN), cats
+    ).toPandas().sort_values("category").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_with_score_unknown_model_raises(spark):
     from kgforge.evaluate import link_prediction_ranks_blocked
 
