@@ -265,13 +265,15 @@ def alias_pairs(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
 ) -> DataFrame:
     """B8: hash-min CC over ``(a, b)`` string/long edges.
 
     Returns ``(node, component)`` where component = min node in the
     component (total order of the node type). Pure DataFrame iteration,
-    ``localCheckpoint`` per round.
+    ``localCheckpoint`` per round. ``stats`` (optional dict) receives
+    ``{"rounds": n}`` on convergence — the bench/cc_scale.py evidence
+    hook for the O(diameter)-vs-O(log n) round-count comparison.
     """
     # localCheckpoint: sym is re-joined EVERY round — without it each
     # iteration re-executes the entire upstream edge plan (at the
@@ -321,6 +323,8 @@ def connected_components(
         ).localCheckpoint()
         labels = new_labels
         if obs.get["changed"] == 0:
+            if stats is not None:
+                stats["rounds"] = i + 1
             return labels
     # silent wrong labels are worse than a loud failure: hash-min needs
     # O(diameter) rounds — deep graphs should use connected_components_star
@@ -330,7 +334,9 @@ def connected_components(
     )
 
 
-def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
     """B8 scale variant: alternating big-star/small-star CC
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14 — public algorithm).
@@ -378,7 +384,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
 
     n_e = e.count()
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # one large-star + one small-star round over the symmetric view
         ls = _star(e, large=True)
         sym_ls = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -398,6 +404,8 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25) -> DataFrame
         e, n_e = new_e, n_new
         if not changed:
             converged = True
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
     if not converged:
         # silent wrong labels are worse than a loud failure (same
