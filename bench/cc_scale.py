@@ -42,6 +42,7 @@ def main() -> int:
     ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--chain", type=int, default=256)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pagerank-iters", type=int, default=5)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -93,6 +94,25 @@ def main() -> int:
 
     run("power_star", connected_components_star, power, 30)
     run("power_hashmin", connected_components, power, 50)
+
+    # PageRank on the same 1M-edge graph: the other iterative-join
+    # consumer of this machinery (weighted recursion, no min-fixpoint —
+    # the case CC convergence tests can't cover), at hub-scale
+    if args.pagerank_iters > 0:
+        from kgforge.graphstats import pagerank
+
+        t0 = time.time()
+        pr = pagerank(
+            power.select(F.col("a").alias("h"), F.col("b").alias("t")),
+            n_iter=args.pagerank_iters,
+        )
+        top = pr.orderBy(F.col("rank").desc()).limit(3).collect()
+        results["power_pagerank"] = {
+            "iters": args.pagerank_iters,
+            "wall_sec": round(time.time() - t0, 2),
+            "top_rank_entity": int(top[0]["e"]),
+            "top_rank": top[0]["rank"],
+        }
     s = run("chain_star", connected_components_star, chain, 60)
     h = run("chain_hashmin", connected_components, chain, args.chain + 10)
     # correctness cross-check on the adversarial leg

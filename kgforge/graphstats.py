@@ -201,7 +201,17 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("od")
     ).localCheckpoint()
+    # out-degree is static: folded into the edge table ONCE, so the loop
+    # never joins (or worse, broadcasts) the |V|-sized outdeg table —
+    # per-iteration work is exactly edges⋈ranks + groupBy(dst)
+    edges_od = edges.join(outdeg, "src").localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
+    # the dangling (out-degree-0) node SET is static across iterations —
+    # computed once here so each round pays a semi-join against a small
+    # fixed table instead of re-deriving the anti-join vs |V|-sized outdeg
+    dangling = nodes.join(
+        outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
+    ).localCheckpoint()
     ranks = (
         nodes.crossJoin(F.broadcast(nn))
         .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"))
@@ -210,15 +220,14 @@ def pagerank(
     d = F.lit(damping)
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks.withColumnRenamed("e", "src"), "src")
-            .join(F.broadcast(outdeg), "src")
+            edges_od.join(ranks.withColumnRenamed("e", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
             .withColumnRenamed("dst", "e")
         )
-        dang = ranks.join(
-            outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        dang = ranks.join(dangling, "e", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
             .crossJoin(F.broadcast(dang))

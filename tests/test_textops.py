@@ -465,3 +465,26 @@ def test_round4_ops_handle_empty_inputs(spark):
     empty_right = spark.createDataFrame([], "user_id long, ts long, value double")
     got = asof_join(left, empty_right, "user_id", "ts", ["value"]).toPandas()
     assert len(got) == 1 and pd.isna(got.loc[0, "value_right"])
+
+
+def test_round5_ops_handle_empty_inputs(spark):
+    """Same battery for the round-5 operators: no loops, raises, or
+    null rows on empty inputs."""
+    from kgforge.graphstats import pagerank, subject_out_degrees
+    from kgforge.incremental import dictionary_link_triples
+    from kgforge.textops import stratified_sample
+
+    empty_tri = spark.createDataFrame([], "h long, t long, r long")
+    assert pagerank(empty_tri, n_iter=3).count() == 0
+    empty_spo = spark.createDataFrame([], "s long, p long, o long")
+    assert subject_out_degrees(empty_spo).count() == 0
+
+    empty_ext = spark.createDataFrame([], "subj string, pred string, obj string")
+    gaz = spark.createDataFrame([("a", "A")], "surface string, canonical string")
+    e2id = spark.createDataFrame([("A", 0)], "name string, id long")
+    r2id = spark.createDataFrame([("likes", 0)], "name string, id long")
+    assert dictionary_link_triples(empty_ext, gaz, e2id, r2id).count() == 0
+
+    # frac >= 1.0 sentinel keeps every row even on the full hex range
+    docs = spark.createDataFrame([(i, "de") for i in range(50)], "doc_id long, lang string")
+    assert stratified_sample(docs, {"de": 1.0}).count() == 50
