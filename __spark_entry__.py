@@ -1488,6 +1488,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.pagerank(tri, n_iter=5)
 
+    def kg_label_propagation(spark, sf):
+        """Community detection over the constructed KG: 4 rounds of
+        deterministic synchronous label propagation (most frequent
+        neighbor label, ties to the smallest). The oracle replays the
+        same rounds as unrolled CTEs with a QUALIFY argmax — hash-exact,
+        because the synchronous min-tie-break variant has no RNG or
+        order dependence (the classic async LPA could never be
+        oracle-checked)."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.label_propagation(tri, n_iter=4)
+
+    def kg_random_walks(spark, sf):
+        """DeepWalk-style corpus generation: 2 deterministic random
+        walks of length 4 from every KG entity — the skip-gram training
+        input for graph embeddings. Step choice = md5-argmin over
+        (start:walk:step:u:v), so DuckDB replays every walk exactly
+        (the stratified-sample md5-gate trick applied per step)."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.random_walks(tri, num_walks=2, walk_length=4)
+
+    def kg_personalized_pagerank(spark, sf):
+        """Entities related to a seed set: 5 iterations of personalized
+        PageRank (teleport uniform over seeds 0..4, dangling mass
+        redistributed along the teleport vector). Same per-iteration
+        1e-9 rounding contract as kg_pagerank — the unrolled-CTE oracle
+        is hash-exact."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
+        return graphstats.personalized_pagerank(tri, seeds, n_iter=5)
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -1948,6 +1993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_parts": q_approx_distinct_parts,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "evt_sessionize": evt_sessionize,
+        "kg_label_propagation": kg_label_propagation,
+        "kg_random_walks": kg_random_walks,
+        "kg_personalized_pagerank": kg_personalized_pagerank,
     }
 
 
@@ -2072,6 +2120,131 @@ def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
                 JOIN outdeg o ON ed.src = o.src
                 GROUP BY ed.dst
             ) c ON nodes.e = c.e
+        )"""
+    return chain + f'\n        SELECT e, "rank" FROM r{n_iter}'
+
+
+# Shared KG-graph prefix for the graph-op oracles: golden triples mapped
+# through the dense-id dictionaries (identical to the tri CTE inside
+# _pagerank_sql; kept verbatim there to avoid touching a green oracle).
+_KG_GRAPH_CTES = f"""
+        WITH eids AS MATERIALIZED ({_DENSE_E}), r AS MATERIALIZED ({_DENSE_R}),
+        tri AS MATERIALIZED (
+            SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+            FROM {_GOLD} g
+            JOIN eids es ON g.subj_canon = es.name
+            JOIN eids eo ON g.obj_canon = eo.name
+            JOIN r rr ON g.pred = rr.name
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(h, t) AS a, greatest(h, t) AS b
+            FROM tri WHERE h <> t
+        ),
+        adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b AS u, a AS v FROM und
+        )"""
+
+
+def _label_prop_sql(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation — the same rounds
+    ``graphstats.label_propagation`` runs: per round, count neighbor
+    labels and take the most frequent with ties to the smallest
+    (QUALIFY row_number == Spark's max(struct(cnt, -label)))."""
+    chain = _KG_GRAPH_CTES + """,
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS e, u AS label FROM adj)"""
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        c{i} AS MATERIALIZED (
+            SELECT a.u, p.label, count(*) AS cnt
+            FROM adj a JOIN l{i - 1} p ON a.v = p.e
+            GROUP BY a.u, p.label
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT u AS e, label FROM c{i}
+            QUALIFY row_number() OVER (
+                PARTITION BY u ORDER BY cnt DESC, label ASC
+            ) = 1
+        )"""
+    return chain + f"\n        SELECT e, label FROM l{n_iter}"
+
+
+def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
+    """Unrolled md5-argmin random walks — each step picks the neighbor
+    minimizing ``md5(start:walk:step:u:v)`` (then ``v``), exactly the
+    rule ``graphstats.random_walks`` applies, so every walk sequence is
+    replayed hash-exactly."""
+    chain = _KG_GRAPH_CTES + f""",
+        s0 AS MATERIALIZED (
+            SELECT n.e AS start, w.walk AS walk, n.e AS e
+            FROM (SELECT DISTINCT u AS e FROM adj) n
+            CROSS JOIN generate_series(0, {num_walks - 1}) w(walk)
+        )"""
+    for k in range(1, walk_length + 1):
+        chain += f""",
+        s{k} AS MATERIALIZED (
+            SELECT p.start, p.walk, a.v AS e
+            FROM s{k - 1} p JOIN adj a ON p.e = a.u
+            QUALIFY row_number() OVER (
+                PARTITION BY p.start, p.walk
+                ORDER BY md5(concat_ws(':', p.start, p.walk, {k}, a.u, a.v)), a.v
+            ) = 1
+        )"""
+    steps = "\n        UNION ALL ".join(
+        f"SELECT start, walk, CAST({k} AS BIGINT) AS step, e FROM s{k}"
+        for k in range(walk_length + 1)
+    )
+    return chain + "\n        " + steps
+
+
+def _ppr_sql(
+    n_iter: int = 5, damping: float = 0.85, seeds: tuple = (0, 1, 2, 3, 4)
+) -> str:
+    """Unrolled personalized PageRank: teleport vector uniform over the
+    seed set (seeds outside the graph ignored), dangling mass
+    redistributed along the teleport vector, per-iteration round(…, 9)
+    — the same update ``graphstats.personalized_pagerank`` runs."""
+    vals = ", ".join(f"({s})" for s in seeds)
+    chain = _KG_GRAPH_CTES + f""",
+        edges AS MATERIALIZED (
+            SELECT DISTINCT h AS src, t AS dst FROM tri WHERE h <> t
+        ),
+        nodes AS MATERIALIZED (SELECT src AS e FROM edges UNION SELECT dst FROM edges),
+        outdeg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+        ),
+        sd AS MATERIALIZED (
+            SELECT DISTINCT CAST(seed AS BIGINT) AS e FROM (VALUES {vals}) s(seed)
+            WHERE seed IN (SELECT e FROM nodes)
+        ),
+        ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd),
+        base AS MATERIALIZED (
+            SELECT n.e,
+                   round(CASE WHEN sd.e IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END,
+                         9) AS b
+            FROM nodes n CROSS JOIN ns LEFT JOIN sd ON n.e = sd.e
+        ),
+        r0 AS MATERIALIZED (SELECT e, b AS "rank" FROM base)"""
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        r{i} AS MATERIALIZED (
+            SELECT base.e,
+                   round((1.0 - {damping}) * base.b
+                         + {damping} * (coalesce(c.contrib, 0.0) + dg.dang * base.b),
+                         9) AS "rank"
+            FROM base
+            CROSS JOIN (
+                SELECT coalesce(sum(p."rank"), 0.0) AS dang
+                FROM r{i - 1} p LEFT JOIN outdeg o ON p.e = o.src
+                WHERE o.src IS NULL
+            ) dg
+            LEFT JOIN (
+                SELECT ed.dst AS e, sum(p."rank" / o.od) AS contrib
+                FROM edges ed
+                JOIN r{i - 1} p ON ed.src = p.e
+                JOIN outdeg o ON ed.src = o.src
+                GROUP BY ed.dst
+            ) c ON base.e = c.e
         )"""
     return chain + f'\n        SELECT e, "rank" FROM r{n_iter}'
 
@@ -2983,6 +3156,9 @@ def oracle_sql() -> dict[str, str]:
             FROM allh WHERE e <> seed GROUP BY seed, e
         """,
         "kg_pagerank": _pagerank_sql(5),
+        "kg_label_propagation": _label_prop_sql(4),
+        "kg_random_walks": _random_walks_sql(2, 4),
+        "kg_personalized_pagerank": _ppr_sql(5),
         # the full-rebuild replay: golden surface triples through the
         # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
         "b13_incremental_build": f"""

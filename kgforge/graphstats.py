@@ -245,6 +245,218 @@ def pagerank(
     return ranks
 
 
+def label_propagation(triples: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected entity adjacency: ``(e, label)`` after ``n_iter`` rounds.
+
+    Init: every node is its own label (its id). Each round, every node
+    SIMULTANEOUSLY adopts the most frequent label among its neighbors,
+    ties broken by the smallest label — the deterministic synchronous
+    variant (Raghavan et al.'s async/random LPA is partitioning- and
+    order-dependent, which would make an engine-exact oracle
+    impossible). Fixed iteration count is part of the query contract, so
+    a synchronous oscillation is still a deterministic, replayable
+    output.
+
+    Plan shape per round: adjacency ⋈ labels on the neighbor key (one
+    shuffle; the label table is node-sized and AQE-broadcastable), then
+    an explicit repartition on the node key so BOTH aggregations —
+    per-(node, label) counting and the per-node argmax — run
+    exchange-free on top of it (hash partitioning on ``u`` satisfies the
+    clustered distribution of ``(u, label)``): one exchange where the
+    naive plan pays two. The argmax is ``max(struct(cnt, -label))`` —
+    a single hash aggregation, not a window sort. Labels are
+    ``localCheckpoint``-ed per round (referenced by the next join;
+    lineage stays O(1) in rounds — B8's CC lesson).
+    """
+    e = undirected_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = (
+        adj.select(F.col("u").alias("e"))
+        .distinct()
+        .withColumn("label", F.col("e").cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        best = (
+            adj.join(labels.withColumnRenamed("e", "v"), "v")
+            .repartition("u")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+        )
+        labels = best.select(
+            F.col("u").alias("e"), (-F.col("b.nl")).cast("long").alias("label")
+        ).localCheckpoint()
+    return labels
+
+
+def random_walks(
+    triples: DataFrame,
+    num_walks: int = 2,
+    walk_length: int = 4,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the undirected entity
+    adjacency: ``(start, walk, step, e)`` — ``num_walks`` walks of
+    ``walk_length`` steps from every start node (step 0 = the start
+    itself). The walk sequences are the training corpus a skip-gram
+    embedding stage consumes; at scale the output is corpus-sized BY
+    DESIGN (|starts| × num_walks × (walk_length+1) rows).
+
+    Determinism: the step-k choice at node ``u`` is the neighbor ``v``
+    minimizing ``md5(start:walk:k:u:v)`` (then ``v`` — md5 ties are
+    2^-128 events but the contract must not leave them open). A
+    lexicographic argmin over a keyed hash is a uniform random choice
+    that any engine replays exactly — the same trick as the stratified-
+    sample md5 gate, applied per-step: no RNG state, no modular
+    arithmetic on parsed hex, partitioning-independent, and the DuckDB
+    oracle reproduces every walk hash-exactly.
+
+    Plan shape: ``walk_length`` unrolled join+argmin rounds. Each round
+    joins the (starts × num_walks)-sized walker state with the adjacency
+    on the current node (the corpus-sized side is only ever JOINED) and
+    reduces with one ``min(struct(md5, v))`` hash aggregation — no
+    window sort. State is ``localCheckpoint``-ed per step: it is
+    referenced twice (next join + output union) and lineage must stay
+    O(1) in steps. Every node in the adjacency has ≥1 neighbor, so walks
+    never dead-end (isolated entities never enter the walk set).
+    """
+    e = undirected_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = adj.select(F.col("u").alias("start")).distinct()
+    if starts is not None:
+        nodes = (
+            starts.select("start").dropDuplicates().join(nodes, "start", "left_semi")
+        )
+    walk_ids = (
+        triples.sparkSession.range(num_walks).select(F.col("id").alias("walk"))
+    )
+    state = nodes.crossJoin(F.broadcast(walk_ids)).select(
+        "start", "walk", F.col("start").alias("e")
+    ).localCheckpoint()
+    out = state.withColumn("step", F.lit(0).cast("long"))
+    for k in range(1, walk_length + 1):
+        m = F.md5(
+            F.concat_ws(
+                ":", F.col("start"), F.col("walk"), F.lit(k), F.col("u"), F.col("v")
+            ).cast("binary")
+        )
+        state = (
+            state.join(adj, state["e"] == adj["u"])
+            .groupBy("start", "walk")
+            .agg(F.min(F.struct(m.alias("m"), F.col("v").alias("v"))).alias("c"))
+            .select("start", "walk", F.col("c.v").alias("e"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(state.withColumn("step", F.lit(k).cast("long")))
+    return out.select("start", "walk", "step", "e")
+
+
+def personalized_pagerank(
+    triples: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Personalized PageRank: entity importance RELATIVE to a seed set
+    (``(e, rank)``) — the teleport distribution is uniform over the
+    seeds instead of all nodes, so mass concentrates in the seeds'
+    neighborhoods. The standard query behind "entities related to X"
+    recommendation / KG-completion candidate generation.
+
+    Same fixed-iteration, per-round ``round(…, round_decimals)`` power
+    method as :func:`pagerank` (see its docstring for the determinism
+    and scale argument); differences: the base vector ``b`` is
+    ``1/|S|`` on seeds (seeds outside the graph are ignored) and ``0``
+    elsewhere, ``r0 = b``, the update is
+    ``r' = (1-d)·b + d·(contrib + dang·b)`` — dangling mass
+    redistributes along the TELEPORT distribution, not uniformly. The
+    loop-invariant tables (edge+outdeg fold, dangling set, base vector)
+    are built once and checkpointed, exactly as in :func:`pagerank`.
+    """
+    edges = (
+        triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("od")
+    ).localCheckpoint()
+    edges_od = edges.join(outdeg, "src").localCheckpoint()
+    dangling = nodes.join(
+        outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
+    ).localCheckpoint()
+    s = (
+        seeds.select(F.col("seed").alias("e"))
+        .dropDuplicates()
+        .join(nodes, "e", "left_semi")
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    base = (
+        nodes.join(s.withColumn("_s", F.lit(1)), "e", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "e",
+            F.round(
+                F.when(F.col("_s").isNotNull(), F.lit(1.0) / F.col("ns")).otherwise(
+                    F.lit(0.0)
+                ),
+                round_decimals,
+            ).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    ranks = base.select("e", F.col("b").alias("rank")).localCheckpoint()
+    d = F.lit(damping)
+    for _ in range(n_iter):
+        contrib = (
+            edges_od.join(ranks.withColumnRenamed("e", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+            .withColumnRenamed("dst", "e")
+        )
+        dang = ranks.join(dangling, "e", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            base.crossJoin(F.broadcast(dang))
+            .join(contrib, "e", "left")
+            .select(
+                "e",
+                F.round(
+                    (F.lit(1.0) - d) * F.col("b")
+                    + d
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") * F.col("b")),
+                    round_decimals,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def top_hubs(triples: DataFrame, k: int = 10) -> DataFrame:
     """Top-``k`` entities by total degree — ``orderBy + limit`` compiles
     to TakeOrdered (per-partition top-k, k-row driver merge), never a

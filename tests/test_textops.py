@@ -488,3 +488,177 @@ def test_round5_ops_handle_empty_inputs(spark):
     # frac >= 1.0 sentinel keeps every row even on the full hex range
     docs = spark.createDataFrame([(i, "de") for i in range(50)], "doc_id long, lang string")
     assert stratified_sample(docs, {"de": 1.0}).count() == 50
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Spark synchronous LPA == a dict-based Python replay: same init
+    (label = own id), same simultaneous update (most frequent neighbor
+    label, ties to the smallest), same fixed iteration count."""
+    from collections import Counter
+
+    import numpy as np
+
+    from kgforge.graphstats import label_propagation
+
+    rng = np.random.default_rng(47)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 30, 120), "t": rng.integers(0, 30, 120), "r": 0}
+    )
+    adj: dict[int, set[int]] = {}
+    for h, t in tri[["h", "t"]].itertuples(index=False):
+        if h != t:
+            adj.setdefault(int(h), set()).add(int(t))
+            adj.setdefault(int(t), set()).add(int(h))
+    n_iter = 4
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        labels = {
+            v: max(
+                Counter(labels[u] for u in adj[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in adj
+        }
+    got = (
+        label_propagation(spark.createDataFrame(tri), n_iter=n_iter)
+        .toPandas()
+        .set_index("e")["label"]
+        .to_dict()
+    )
+    assert got == labels
+    # partitioning independence
+    got2 = (
+        label_propagation(spark.createDataFrame(tri).repartition(13), n_iter=n_iter)
+        .toPandas()
+        .set_index("e")["label"]
+        .to_dict()
+    )
+    assert got2 == labels
+
+
+def test_random_walks_replay_exact(spark):
+    """Every walk is replayed step-by-step in pure Python with
+    hashlib.md5 — the md5-argmin choice rule is the determinism
+    contract, so the test pins the exact sequences (not just that steps
+    follow edges)."""
+    import hashlib
+
+    import numpy as np
+
+    from kgforge.graphstats import random_walks
+
+    rng = np.random.default_rng(53)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 20, 70), "t": rng.integers(0, 20, 70), "r": 0}
+    )
+    adj: dict[int, set[int]] = {}
+    for h, t in tri[["h", "t"]].itertuples(index=False):
+        if h != t:
+            adj.setdefault(int(h), set()).add(int(t))
+            adj.setdefault(int(t), set()).add(int(h))
+    num_walks, walk_length = 2, 4
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    want = {}
+    for start in adj:
+        for walk in range(num_walks):
+            cur = start
+            want[(start, walk, 0)] = start
+            for k in range(1, walk_length + 1):
+                cur = min(
+                    adj[cur],
+                    key=lambda v, c=cur, s=start, w=walk, kk=k: (
+                        md5(f"{s}:{w}:{kk}:{c}:{v}"),
+                        v,
+                    ),
+                )
+                want[(start, walk, k)] = cur
+    df = spark.createDataFrame(tri)
+    got = (
+        random_walks(df, num_walks=num_walks, walk_length=walk_length)
+        .toPandas()
+        .set_index(["start", "walk", "step"])["e"]
+        .to_dict()
+    )
+    assert got == want
+    got2 = (
+        random_walks(df.repartition(11), num_walks=num_walks, walk_length=walk_length)
+        .toPandas()
+        .set_index(["start", "walk", "step"])["e"]
+        .to_dict()
+    )
+    assert got2 == want
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Spark PPR == dense NumPy power method with the same per-iteration
+    rounding: teleport mass uniform over seeds, dangling mass
+    redistributed along the teleport vector. Exact equality (the
+    rounding contract), plus mass conservation and seed locality."""
+    import numpy as np
+
+    from kgforge.graphstats import personalized_pagerank
+
+    rng = np.random.default_rng(59)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 30, 150),
+            "t": rng.integers(0, 30, 150),
+            "r": rng.integers(0, 3, 150),
+        }
+    )
+    seeds = [0, 1, 99]  # 99 is outside the graph -> ignored
+    n_iter, d = 8, 0.85
+    got = (
+        personalized_pagerank(
+            spark.createDataFrame(tri),
+            spark.createDataFrame([(s,) for s in seeds], "seed long"),
+            n_iter=n_iter,
+            damping=d,
+        )
+        .toPandas()
+        .set_index("e")["rank"]
+        .to_dict()
+    )
+    edges = sorted({(h, t) for h, t in tri[["h", "t"]].itertuples(index=False) if h != t})
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for h, t in edges:
+        a[idx[t], idx[h]] = 1.0
+    od = a.sum(axis=0)
+    in_seeds = [s for s in seeds if s in idx]
+    b = np.zeros(n)
+    for s in in_seeds:
+        b[idx[s]] = np.round(1.0 / len(in_seeds), 9)
+    r = b.copy()
+    for _ in range(n_iter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = a @ np.where(od > 0, r / np.where(od > 0, od, 1.0), 0.0)
+        dang = r[od == 0].sum()
+        r = np.round((1 - d) * b + d * (contrib + dang * b), 9)
+    want = {v: r[idx[v]] for v in nodes}
+    assert set(got) == set(want)
+    for v in nodes:
+        assert got[v] == want[v], (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # seed locality: the seeds themselves outrank the global mean
+    mean = sum(got.values()) / len(got)
+    for s in in_seeds:
+        assert got[s] > mean
+
+
+def test_round5_graph_ops_handle_empty_inputs(spark):
+    from kgforge.graphstats import (
+        label_propagation,
+        personalized_pagerank,
+        random_walks,
+    )
+
+    empty_tri = spark.createDataFrame([], "h long, t long, r long")
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    assert label_propagation(empty_tri, n_iter=3).count() == 0
+    assert random_walks(empty_tri, num_walks=2, walk_length=3).count() == 0
+    assert personalized_pagerank(empty_tri, seeds, n_iter=3).count() == 0
