@@ -1533,6 +1533,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
         return graphstats.personalized_pagerank(tri, seeds, n_iter=5)
 
+    def kg_skipgram_pairs(spark, sf):
+        """DeepWalk stage 2: skip-gram (center, context, n_pairs)
+        co-occurrence counts within a 2-step window over the replayed
+        walk corpus — the table a word2vec-style embedding trainer
+        consumes. Band self-join on the walk key; the oracle replays
+        the identical walks and pairing."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        walks = graphstats.random_walks(tri, num_walks=2, walk_length=4)
+        return graphstats.walk_skipgram_pairs(walks, window=2)
+
+    def kg_adamic_adar(spark, sf):
+        """Structural link prediction: top-20 non-adjacent entity pairs
+        by Adamic-Adar score (sum of 1/ln(degree) over common
+        neighbors) — the non-embedding completion baseline next to
+        a19's TransE top-k. round(…, 6) + (score, x, y) tie-break make
+        the top-k engine-exact."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.adamic_adar_candidates(tri, k=20)
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -1996,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_propagation": kg_label_propagation,
         "kg_random_walks": kg_random_walks,
         "kg_personalized_pagerank": kg_personalized_pagerank,
+        "kg_skipgram_pairs": kg_skipgram_pairs,
+        "kg_adamic_adar": kg_adamic_adar,
     }
 
 
@@ -2169,11 +2200,11 @@ def _label_prop_sql(n_iter: int = 4) -> str:
     return chain + f"\n        SELECT e, label FROM l{n_iter}"
 
 
-def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
-    """Unrolled md5-argmin random walks — each step picks the neighbor
-    minimizing ``md5(start:walk:step:u:v)`` (then ``v``), exactly the
-    rule ``graphstats.random_walks`` applies, so every walk sequence is
-    replayed hash-exactly."""
+def _walk_chain_sql(num_walks: int, walk_length: int) -> str:
+    """Shared unrolled md5-argmin walk chain (CTEs ``s0..s{L}``) — each
+    step picks the neighbor minimizing ``md5(start:walk:step:u:v)``
+    (then ``v``), exactly the rule ``graphstats.random_walks``
+    applies, so every walk sequence is replayed hash-exactly."""
     chain = _KG_GRAPH_CTES + f""",
         s0 AS MATERIALIZED (
             SELECT n.e AS start, w.walk AS walk, n.e AS e
@@ -2190,11 +2221,66 @@ def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
                 ORDER BY md5(concat_ws(':', p.start, p.walk, {k}, a.u, a.v)), a.v
             ) = 1
         )"""
-    steps = "\n        UNION ALL ".join(
+    return chain
+
+
+def _walk_union_sql(walk_length: int) -> str:
+    return "\n        UNION ALL ".join(
         f"SELECT start, walk, CAST({k} AS BIGINT) AS step, e FROM s{k}"
         for k in range(walk_length + 1)
     )
-    return chain + "\n        " + steps
+
+
+def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
+    return (
+        _walk_chain_sql(num_walks, walk_length)
+        + "\n        "
+        + _walk_union_sql(walk_length)
+    )
+
+
+def _skipgram_sql(num_walks: int = 2, walk_length: int = 4, window: int = 2) -> str:
+    """Skip-gram pair counts over the SAME replayed walk corpus: band
+    self-join on the walk key with ``|i - j| <= window``."""
+    return (
+        _walk_chain_sql(num_walks, walk_length)
+        + f""",
+        w AS MATERIALIZED (
+            {_walk_union_sql(walk_length)}
+        )
+        SELECT a.e AS center, b.e AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM w a JOIN w b ON a.start = b.start AND a.walk = b.walk
+        WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+        GROUP BY a.e, b.e"""
+    )
+
+
+def _adamic_adar_sql(k: int = 20) -> str:
+    """Adamic-Adar top-k predicted links: wedge self-join on the middle
+    node, existing edges excluded, ``round(sum(1/ln(deg)), 6)`` — the
+    same rounding and (score desc, x, y) tie-break as
+    ``graphstats.adamic_adar_candidates``. The fixture graph has no
+    node near the engine's max_degree hub cap, so no cap clause."""
+    return (
+        _KG_GRAPH_CTES
+        + f""",
+        deg AS MATERIALIZED (
+            SELECT u AS z, CAST(count(*) AS DOUBLE) AS dz FROM adj GROUP BY u
+        ),
+        wed AS MATERIALIZED (
+            SELECT a1.u AS z, a1.v AS x, a2.v AS y
+            FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+        )
+        SELECT w.x, w.y, round(sum(1.0 / ln(d.dz)), 6) AS score
+        FROM wed w JOIN deg d ON w.z = d.z
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und e WHERE e.a = w.x AND e.b = w.y
+        )
+        GROUP BY w.x, w.y
+        ORDER BY score DESC, w.x, w.y
+        LIMIT {k}"""
+    )
 
 
 def _ppr_sql(
@@ -3159,6 +3245,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_propagation": _label_prop_sql(4),
         "kg_random_walks": _random_walks_sql(2, 4),
         "kg_personalized_pagerank": _ppr_sql(5),
+        "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
+        "kg_adamic_adar": _adamic_adar_sql(20),
         # the full-rebuild replay: golden surface triples through the
         # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
         "b13_incremental_build": f"""

@@ -366,6 +366,92 @@ def random_walks(
     return out.select("start", "walk", "step", "e")
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus:
+    ``(center, context, n_pairs)`` — every ordered pair of nodes
+    co-occurring within ``window`` steps on the same walk, counted
+    across the corpus. This is the table a skip-gram/word2vec-style
+    embedding trainer consumes (DeepWalk's second stage); ``n_pairs``
+    is the co-occurrence weight.
+
+    Plan: self-join of the walk table on the walk key with the
+    ``|i - j| <= window`` band predicate — the per-walk group is
+    (walk_length+1) rows, so the join fan-out is bounded by the fixed
+    window, never corpus-squared; Catalyst reuses one Exchange for both
+    sides of the self-join. A collect_list + higher-order-function
+    pairing would hit the interpreted-HOF re-evaluation trap
+    (explode's non-empty filter references the lambda twice;
+    docs/PLANS.md §6) — the band self-join stays whole-stage-codegen.
+    """
+    a = walks.select(
+        "start", "walk", F.col("step").alias("i"), F.col("e").alias("center")
+    )
+    b = walks.select(
+        "start", "walk", F.col("step").alias("j"), F.col("e").alias("context")
+    )
+    return (
+        a.join(b, ["start", "walk"])
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= F.lit(window))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def adamic_adar_candidates(
+    triples: DataFrame, k: int = 20, max_degree: int = 10_000
+) -> DataFrame:
+    """Structural link-prediction candidates by Adamic-Adar score:
+    top-``k`` NON-adjacent entity pairs ``(x, y, score)`` with
+    ``score = Σ_z 1/ln(deg(z))`` over common neighbors ``z`` — the
+    classic non-embedding KG-completion baseline (and the sanity
+    companion to the TransE-style A19 completions).
+
+    Plan: wedge self-join of the adjacency on the middle node ``z``
+    (``x < y`` dedups the unordered pair), anti-join against the edge
+    set to keep only predicted (non-existing) links, one sum
+    aggregation, TakeOrdered top-k. A common neighbor of two DISTINCT
+    nodes has degree ≥ 2, so ``ln(deg)`` never divides by zero. Scores
+    are ``round(…, 6)`` — a floating sum's last ulp is accumulation-
+    order-dependent, and the rounding is what makes the result
+    partitioning-independent and oracle-exact (same contract as the
+    kernel scores).
+
+    ``max_degree`` drops super-hub middle nodes before the wedge join —
+    the join is Θ(deg²) per middle node, and a 10^6-degree hub
+    contributes ~1/ln(10^6) ≈ 0.07 per pair while exploding the plan;
+    capping is the standard scale guard (same pattern as the n-gram
+    inverted-index df cap). At fixture scale no node reaches the cap,
+    so the oracle needs no cap clause.
+    """
+    e = undirected_edges(triples)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("double").alias("dz")
+    )
+    mid = adj.select(F.col("u").alias("z"), F.col("v")).join(
+        deg.where(F.col("dz") <= F.lit(float(max_degree))), "z"
+    )
+    w1 = mid.select("z", "dz", F.col("v").alias("x"))
+    w2 = mid.select("z", F.col("v").alias("y"))
+    wedges = w1.join(w2, "z").where(F.col("x") < F.col("y"))
+    return (
+        wedges.join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(F.round(F.sum(F.lit(1.0) / F.log(F.col("dz"))), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("x"), F.col("y"))
+        .limit(k)
+    )
+
+
 def personalized_pagerank(
     triples: DataFrame,
     seeds: DataFrame,

@@ -662,3 +662,82 @@ def test_round5_graph_ops_handle_empty_inputs(spark):
     assert label_propagation(empty_tri, n_iter=3).count() == 0
     assert random_walks(empty_tri, num_walks=2, walk_length=3).count() == 0
     assert personalized_pagerank(empty_tri, seeds, n_iter=3).count() == 0
+
+def test_adamic_adar_matches_bruteforce(spark):
+    """Spark Adamic-Adar top-k == exhaustive Python over all
+    non-adjacent pairs, same round(…, 6) and (score desc, x, y)
+    tie-break."""
+    import math
+
+    import numpy as np
+
+    from kgforge.graphstats import adamic_adar_candidates
+
+    rng = np.random.default_rng(61)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 25, 90), "t": rng.integers(0, 25, 90), "r": 0}
+    )
+    adj: dict[int, set[int]] = {}
+    edges = set()
+    for h, t in tri[["h", "t"]].itertuples(index=False):
+        if h != t:
+            adj.setdefault(int(h), set()).add(int(t))
+            adj.setdefault(int(t), set()).add(int(h))
+            edges.add((min(int(h), int(t)), max(int(h), int(t))))
+    scores = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                scores[(x, y)] = float(
+                    np.round(sum(1.0 / math.log(len(adj[z])) for z in common), 6)
+                )
+    k = 15
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = adamic_adar_candidates(spark.createDataFrame(tri), k=k).collect()
+    assert [((r["x"], r["y"]), r["score"]) for r in got] == want
+
+
+def test_walk_skipgram_pairs_matches_bruteforce(spark):
+    """Skip-gram pairs from the walk corpus == Python pair expansion of
+    the (already replay-tested) walk sequences."""
+    from collections import Counter
+
+    import numpy as np
+
+    from kgforge.graphstats import random_walks, walk_skipgram_pairs
+
+    rng = np.random.default_rng(67)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 15, 50), "t": rng.integers(0, 15, 50), "r": 0}
+    )
+    df = spark.createDataFrame(tri)
+    walks = random_walks(df, num_walks=2, walk_length=4)
+    wpd = walks.toPandas()
+    window = 2
+    want: Counter = Counter()
+    for (_, _), g in wpd.groupby(["start", "walk"]):
+        seq = g.sort_values("step")["e"].tolist()
+        for i, c in enumerate(seq):
+            for j, ctx in enumerate(seq):
+                if i != j and abs(i - j) <= window:
+                    want[(c, ctx)] += 1
+    got = (
+        walk_skipgram_pairs(walks, window=window)
+        .toPandas()
+        .set_index(["center", "context"])["n_pairs"]
+        .to_dict()
+    )
+    assert got == dict(want)
+
+
+def test_round5b_ops_handle_empty_inputs(spark):
+    from kgforge.graphstats import adamic_adar_candidates, walk_skipgram_pairs
+
+    empty_tri = spark.createDataFrame([], "h long, t long, r long")
+    assert adamic_adar_candidates(empty_tri).count() == 0
+    empty_walks = spark.createDataFrame([], "start long, walk long, step long, e long")
+    assert walk_skipgram_pairs(empty_walks).count() == 0
