@@ -1562,6 +1562,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.adamic_adar_candidates(tri, k=20)
 
+    def kg_hits(spark, sf):
+        """HITS hubs and authorities over the directed KG (L1-normalized
+        mutual power method, 5 iterations) — separates
+        frequently-referenced objects (authorities) from well-connected
+        subjects (hubs), which degree/PageRank-on-undirected conflate.
+        Per-half-step round(…, 9) makes both engines hash-exact."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.hits(tri, n_iter=5)
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -2027,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_personalized_pagerank": kg_personalized_pagerank,
         "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_adamic_adar": kg_adamic_adar,
+        "kg_hits": kg_hits,
     }
 
 
@@ -2280,6 +2295,52 @@ def _adamic_adar_sql(k: int = 20) -> str:
         GROUP BY w.x, w.y
         ORDER BY score DESC, w.x, w.y
         LIMIT {k}"""
+    )
+
+
+def _hits_sql(n_iter: int = 5) -> str:
+    """Unrolled HITS mutual power method — the same L1-normalized
+    half-steps ``graphstats.hits`` runs, with the same per-half-step
+    round(…, 9) that re-synchronizes the engines' float-sum ulp noise
+    (see the pagerank oracle's docstring). Each ``a{{i}}``/``h{{i}}``
+    is MATERIALIZED: referenced by the next half-step's join AND by its
+    own normalizer subquery."""
+    chain = (
+        _KG_GRAPH_CTES
+        + """,
+        edges AS MATERIALIZED (SELECT DISTINCT h AS src, t AS dst FROM tri WHERE h <> t),
+        nodes AS MATERIALIZED (SELECT src AS e FROM edges UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (
+            SELECT e, round(1.0 / (SELECT count(*) FROM nodes), 9) AS hub FROM nodes
+        )"""
+    )
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        ar{i} AS MATERIALIZED (
+            SELECT ed.dst AS e, sum(p.hub) AS s
+            FROM edges ed JOIN h{i - 1} p ON ed.src = p.e
+            GROUP BY ed.dst
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT nodes.e,
+                   round(coalesce(c.s, 0.0) / (SELECT sum(s) FROM ar{i}), 9) AS auth
+            FROM nodes LEFT JOIN ar{i} c ON nodes.e = c.e
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT ed.src AS e, sum(p.auth) AS s
+            FROM edges ed JOIN a{i} p ON ed.dst = p.e
+            GROUP BY ed.src
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT nodes.e,
+                   round(coalesce(c.s, 0.0) / (SELECT sum(s) FROM hr{i}), 9) AS hub
+            FROM nodes LEFT JOIN hr{i} c ON nodes.e = c.e
+        )"""
+    return (
+        chain
+        + f"""
+        SELECT h.e, h.hub, a.auth
+        FROM h{n_iter} h JOIN a{n_iter} a ON h.e = a.e"""
     )
 
 
@@ -3247,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_personalized_pagerank": _ppr_sql(5),
         "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
         "kg_adamic_adar": _adamic_adar_sql(20),
+        "kg_hits": _hits_sql(5),
         # the full-rebuild replay: golden surface triples through the
         # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
         "b13_incremental_build": f"""

@@ -550,3 +550,103 @@ def top_hubs(triples: DataFrame, k: int = 10) -> DataFrame:
     return entity_degrees(triples).orderBy(
         F.col("degree").desc(), F.col("e")
     ).limit(k)
+
+
+def hits(
+    triples: DataFrame,
+    n_iter: int = 10,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities over the directed entity graph
+    (distinct ``h -> t`` edges, self-loops dropped): ``(e, hub, auth)``.
+    The third leg of the importance family next to :func:`pagerank`
+    (global importance) and :func:`personalized_pagerank` (seeded):
+    authorities are entities many good hubs point AT, hubs are entities
+    pointing at many good authorities — on a KG this separates
+    frequently-referenced objects from well-connected subjects, which a
+    symmetric score like degree or PageRank-on-the-undirected-graph
+    conflates.
+
+    Fixed-iteration mutual power method with L1 (sum) normalization:
+    per iteration ``auth'(v) = Σ_{u→v} hub(u)`` then ``auth /= Σ auth``,
+    then ``hub'(u) = Σ_{u→v} auth(v)`` then ``hub /= Σ hub``. L1 keeps
+    the normalizer a plain one-row SUM (broadcast) instead of a
+    sqrt-of-squares, and the fixed point is the same principal
+    eigenvector direction as the textbook L2 variant — only the scale
+    of the reported scores differs (they sum to 1, which is also the
+    more interpretable contract).
+
+    Same determinism contract as :func:`pagerank`: both half-step score
+    tables are rounded to ``round_decimals`` AFTER normalization, so the
+    accumulation-order ulp noise of the float sums (~1e-16 relative)
+    cannot drift across iterations and the DuckDB unrolled-CTE oracle
+    is hash-exact. Same scale shape too: per-iteration state is two
+    node-cardinality score tables, edges are only ever joined, each
+    half-step is one join shuffle + one agg shuffle + a one-row
+    broadcast normalizer, and score tables are ``localCheckpoint``-ed
+    (each is referenced by the next half-step's join AND its
+    normalizer; lineage would otherwise double per iteration).
+    Sink-only nodes keep hub 0, source-only nodes auth 0 — they stay in
+    the output via the left join against the node table.
+    """
+    edges = (
+        triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
+    hub = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("hub"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("e", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+            .withColumnRenamed("dst", "e")
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("tot"))
+        auth = (
+            nodes.join(a_raw, "e", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "e",
+                F.round(
+                    F.coalesce("s", F.lit(0.0)) / F.col("tot"), round_decimals
+                ).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(auth.withColumnRenamed("e", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+            .withColumnRenamed("src", "e")
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("tot"))
+        hub = (
+            nodes.join(h_raw, "e", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "e",
+                F.round(
+                    F.coalesce("s", F.lit(0.0)) / F.col("tot"), round_decimals
+                ).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    if auth is None:  # n_iter == 0: uniform scores on both axes
+        return hub.join(
+            hub.select("e", F.col("hub").alias("auth")), "e"
+        ).select("e", "hub", "auth")
+    return hub.join(auth, "e").select("e", "hub", "auth")

@@ -741,3 +741,61 @@ def test_round5b_ops_handle_empty_inputs(spark):
     assert adamic_adar_candidates(empty_tri).count() == 0
     empty_walks = spark.createDataFrame([], "start long, walk long, step long, e long")
     assert walk_skipgram_pairs(empty_walks).count() == 0
+
+
+def test_hits_matches_numpy_mutual_power_iteration(spark):
+    """Spark HITS == dense NumPy mutual power method with the SAME L1
+    normalization and per-half-step rounding — exact equality (the
+    rounding contract makes the operator engine-independent)."""
+    import numpy as np
+
+    from kgforge.graphstats import hits
+
+    rng = np.random.default_rng(71)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 30, 150), "t": rng.integers(0, 30, 150), "r": 0}
+    )
+    n_iter = 8
+    got = {
+        r["e"]: (r["hub"], r["auth"])
+        for r in hits(spark.createDataFrame(tri), n_iter=n_iter).collect()
+    }
+    edges = sorted({(h, t) for h, t in tri[["h", "t"]].itertuples(index=False) if h != t})
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))  # a[u, v] = 1 for edge u -> v
+    for h, t in edges:
+        a[idx[h], idx[t]] = 1.0
+    hub = np.round(np.full(n, 1.0 / n), 9)
+    auth = None
+    for _ in range(n_iter):
+        auth = a.T @ hub
+        auth = np.round(auth / auth.sum(), 9)
+        hub = a @ auth
+        hub = np.round(hub / hub.sum(), 9)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == (hub[idx[v]], auth[idx[v]]), (v, got[v])
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-6
+    assert abs(sum(x for _, x in got.values()) - 1.0) < 1e-6
+
+
+def test_hits_partitioning_independent_and_empty(spark):
+    import numpy as np
+
+    from kgforge.graphstats import hits
+
+    rng = np.random.default_rng(73)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 20, 80), "t": rng.integers(0, 20, 80), "r": 0}
+    )
+    df = spark.createDataFrame(tri)
+    a = {r["e"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=5).collect()}
+    b = {
+        r["e"]: (r["hub"], r["auth"])
+        for r in hits(df.repartition(13), n_iter=5).collect()
+    }
+    assert a == b
+    empty = spark.createDataFrame([], "h long, t long, r long")
+    assert hits(empty, n_iter=3).count() == 0
