@@ -1576,6 +1576,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.hits(tri, n_iter=5)
 
+    def kg_modularity(spark, sf):
+        """Quality gate for the LPA communities: Newman modularity
+        breakdown per community (intra-edge count, subgraph degree sum,
+        round-9 q_contrib whose sum is the classic Q) — degenerate
+        partitions (one giant community / one-per-node) show up
+        immediately. Composes label_propagation(4) with
+        community_modularity; the oracle replays both."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        labels = graphstats.label_propagation(tri, n_iter=4)
+        return graphstats.community_modularity(tri, labels)
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -2042,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_adamic_adar": kg_adamic_adar,
         "kg_hits": kg_hits,
+        "kg_modularity": kg_modularity,
     }
 
 
@@ -2192,11 +2209,11 @@ _KG_GRAPH_CTES = f"""
         )"""
 
 
-def _label_prop_sql(n_iter: int = 4) -> str:
-    """Unrolled synchronous label propagation — the same rounds
-    ``graphstats.label_propagation`` runs: per round, count neighbor
-    labels and take the most frequent with ties to the smallest
-    (QUALIFY row_number == Spark's max(struct(cnt, -label)))."""
+def _label_prop_chain_sql(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation CTE chain (to ``l{n}``) —
+    the same rounds ``graphstats.label_propagation`` runs: per round,
+    count neighbor labels and take the most frequent with ties to the
+    smallest (QUALIFY row_number == Spark's max(struct(cnt, -label)))."""
     chain = _KG_GRAPH_CTES + """,
         l0 AS MATERIALIZED (SELECT DISTINCT u AS e, u AS label FROM adj)"""
     for i in range(1, n_iter + 1):
@@ -2212,7 +2229,53 @@ def _label_prop_sql(n_iter: int = 4) -> str:
                 PARTITION BY u ORDER BY cnt DESC, label ASC
             ) = 1
         )"""
-    return chain + f"\n        SELECT e, label FROM l{n_iter}"
+    return chain
+
+
+def _label_prop_sql(n_iter: int = 4) -> str:
+    return (
+        _label_prop_chain_sql(n_iter) + f"\n        SELECT e, label FROM l{n_iter}"
+    )
+
+
+def _modularity_sql(n_iter: int = 4) -> str:
+    """Newman modularity breakdown of the LPA-``n_iter`` communities —
+    same edge tagging, subgraph degrees, and round(…, 9) contribution
+    formula as ``graphstats.community_modularity``."""
+    return (
+        _label_prop_chain_sql(n_iter)
+        + f""",
+        tag AS MATERIALIZED (
+            SELECT u.a, u.b, pa.label AS la, pb.label AS lb
+            FROM und u
+            JOIN l{n_iter} pa ON u.a = pa.e
+            JOIN l{n_iter} pb ON u.b = pb.e
+        ),
+        mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM tag),
+        intra AS MATERIALIZED (
+            SELECT la AS label, CAST(count(*) AS BIGINT) AS intra_edges
+            FROM tag WHERE la = lb GROUP BY la
+        ),
+        deg AS MATERIALIZED (
+            SELECT e, label, CAST(count(*) AS BIGINT) AS deg
+            FROM (
+                SELECT a AS e, la AS label FROM tag
+                UNION ALL SELECT b AS e, lb AS label FROM tag
+            )
+            GROUP BY e, label
+        ),
+        pl AS MATERIALIZED (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(deg) AS BIGINT) AS deg_sum
+            FROM deg GROUP BY label
+        )
+        SELECT pl.label, pl.n_nodes,
+               CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               pl.deg_sum,
+               round(coalesce(i.intra_edges, 0) / mm.m
+                     - pow(pl.deg_sum / (2.0 * mm.m), 2), 9) AS q_contrib
+        FROM pl LEFT JOIN intra i ON pl.label = i.label CROSS JOIN mm"""
+    )
 
 
 def _walk_chain_sql(num_walks: int, walk_length: int) -> str:
@@ -3309,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
         "kg_adamic_adar": _adamic_adar_sql(20),
         "kg_hits": _hits_sql(5),
+        "kg_modularity": _modularity_sql(4),
         # the full-rebuild replay: golden surface triples through the
         # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
         "b13_incremental_build": f"""

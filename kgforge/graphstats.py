@@ -650,3 +650,67 @@ def hits(
             hub.select("e", F.col("hub").alias("auth")), "e"
         ).select("e", "hub", "auth")
     return hub.join(auth, "e").select("e", "hub", "auth")
+
+
+def community_modularity(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity breakdown of a community assignment over the
+    undirected entity graph: one row per community ``(label, n_nodes,
+    intra_edges, deg_sum, q_contrib)`` where ``q_contrib = e_c/m -
+    (d_c/2m)^2`` — summing ``q_contrib`` gives the classic modularity
+    Q. The quality gate for :func:`label_propagation` output (Q near 0
+    ⇒ the partition is no better than random; LPA degenerating to
+    one-community-per-node or one-giant-community shows up immediately
+    in ``n_nodes``/``q_contrib``).
+
+    ``labels`` is any ``(e, label)`` assignment (LPA output or an
+    external table); entities missing from it are dropped from the
+    scored graph (their edges too), so a partial labeling is scored on
+    the subgraph it covers.
+
+    Plan shape: undirected-edge dedup (1 shuffle) → two node-keyed
+    joins to tag each edge endpoint's label (the label table is
+    |V|-sized, AQE-broadcastable at dictionary cardinality) → one
+    groupBy(label) for intra-edge counts and one for degree sums — all
+    map-side-partial aggregations; ``m`` and ``2m`` ride a one-row
+    broadcast. ``q_contrib`` is ``round(…, 9)`` — same float-sum
+    re-synchronization contract as the pagerank family.
+    """
+    e = undirected_edges(triples)
+    la = labels.select(F.col("e").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("e").alias("b"), F.col("label").alias("lb"))
+    tagged = e.join(la, "a").join(lb, "b").localCheckpoint()
+    m = tagged.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    intra = (
+        tagged.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    # degree over the LABELED subgraph: both endpoint expansions of the
+    # tagged edge table, so dropped (unlabeled) endpoints don't count
+    deg = (
+        tagged.select(F.col("a").alias("e"), F.col("la").alias("label"))
+        .unionByName(
+            tagged.select(F.col("b").alias("e"), F.col("lb").alias("label"))
+        )
+        .groupBy("e", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    per_label = deg.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("deg_sum"),
+    )
+    return (
+        per_label.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "deg_sum",
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)) / F.col("m")
+                - F.pow(F.col("deg_sum") / (F.lit(2.0) * F.col("m")), F.lit(2.0)),
+                9,
+            ).alias("q_contrib"),
+        )
+    )

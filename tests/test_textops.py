@@ -799,3 +799,58 @@ def test_hits_partitioning_independent_and_empty(spark):
     assert a == b
     empty = spark.createDataFrame([], "h long, t long, r long")
     assert hits(empty, n_iter=3).count() == 0
+
+
+def test_community_modularity_matches_bruteforce(spark):
+    """Spark modularity breakdown == exhaustive Python Newman formula
+    over the same undirected graph + a random label assignment; the
+    summed Q also equals the textbook scalar."""
+    import numpy as np
+
+    from kgforge.graphstats import community_modularity
+
+    rng = np.random.default_rng(79)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 25, 120), "t": rng.integers(0, 25, 120), "r": 0}
+    )
+    edges = sorted(
+        {
+            (min(h, t), max(h, t))
+            for h, t in tri[["h", "t"]].itertuples(index=False)
+            if h != t
+        }
+    )
+    nodes = sorted({v for e in edges for v in e})
+    lab = {v: int(rng.integers(0, 4)) for v in nodes}
+    m = float(len(edges))
+    intra: dict[int, int] = {}
+    deg: dict[int, int] = {}
+    members: dict[int, set] = {}
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            intra[lab[a]] = intra.get(lab[a], 0) + 1
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for v in nodes:
+        members.setdefault(lab[v], set()).add(v)
+    want = {}
+    for c, mem in members.items():
+        dsum = sum(deg[v] for v in mem)
+        ic = intra.get(c, 0)
+        want[c] = (
+            len(mem),
+            ic,
+            dsum,
+            float(np.round(ic / m - (dsum / (2.0 * m)) ** 2, 9)),
+        )
+    labels_df = spark.createDataFrame(
+        [(int(v), lab[v]) for v in nodes], "e long, label long"
+    )
+    got = {
+        r["label"]: (r["n_nodes"], r["intra_edges"], r["deg_sum"], r["q_contrib"])
+        for r in community_modularity(spark.createDataFrame(tri), labels_df).collect()
+    }
+    assert got == want
+    # textbook scalar: Q = sum of contributions, in [-1, 1]
+    q = sum(v[3] for v in got.values())
+    assert -1.0 <= q <= 1.0
