@@ -1592,6 +1592,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels = graphstats.label_propagation(tri, n_iter=4)
         return graphstats.community_modularity(tri, labels)
 
+    def dq_profile_orders(spark, sf):
+        """Data-quality gate, stage 1: per-column profile (rows, nulls,
+        null fraction, exact distinct) of the orders table — ONE
+        aggregation scan, tall report via stack. The pre-flight check a
+        100 TB ingest runs before spending cluster-hours."""
+        from kgforge import quality
+
+        return quality.profile_columns(
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ],
+        )
+
+    def dq_expectations_lineitem(spark, sf):
+        """Data-quality gate, stage 2: declarative expectations on
+        lineitem (not_null / between / accepted_values / rlike fold
+        into ONE conditional-sum scan; the composite-key uniqueness
+        rule is its own count-distinct agg)."""
+        from kgforge import quality as Q
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return Q.check_expectations(
+            li,
+            [
+                Q.expect_not_null("l_orderkey"),
+                Q.expect_not_null("l_quantity"),
+                Q.expect_between("l_quantity", 1, 50),
+                Q.expect_between("l_discount", 0.0, 0.1),
+                Q.expect_in("l_returnflag", ["A", "N", "R"]),
+                Q.expect_rlike("l_linestatus", "^[OF]$"),
+                Q.expect_unique(["l_orderkey", "l_linenumber"]),
+            ],
+        )
+
+    def dq_referential_integrity(spark, sf):
+        """Data-quality gate, stage 3: foreign-key orphan counts across
+        the TPC-H star joins (left-anti join per constraint; dims
+        broadcast, the fact-fact pair shuffles on the key — the join
+        bucketing removes)."""
+        from kgforge import quality
+
+        def rd(t):
+            return spark.read.parquet(f"{sf}/{t}.parquet")
+
+        return quality.check_referential_integrity(
+            [
+                (rd("orders"), "o_custkey", rd("customer"), "c_custkey",
+                 "orders.o_custkey->customer"),
+                (rd("lineitem"), "l_orderkey", rd("orders"), "o_orderkey",
+                 "lineitem.l_orderkey->orders"),
+                (rd("lineitem"), "l_partkey", rd("part"), "p_partkey",
+                 "lineitem.l_partkey->part"),
+                (rd("lineitem"), "l_suppkey", rd("supplier"), "s_suppkey",
+                 "lineitem.l_suppkey->supplier"),
+                (rd("customer"), "c_nationkey", rd("nation"), "n_nationkey",
+                 "customer.c_nationkey->nation"),
+            ]
+        )
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -2059,6 +2124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": kg_adamic_adar,
         "kg_hits": kg_hits,
         "kg_modularity": kg_modularity,
+        "dq_profile_orders": dq_profile_orders,
+        "dq_expectations_lineitem": dq_expectations_lineitem,
+        "dq_referential_integrity": dq_referential_integrity,
     }
 
 
@@ -2874,6 +2942,67 @@ _TC_CTES = f"""
 """
 
 
+def _dq_profile_sql(table: str, columns: list[str]) -> str:
+    """Single-scan column profile replay: one wide aggregate, unpivoted
+    by a driver-generated UNION ALL — same metrics and round(…, 9)
+    null_frac as ``quality.profile_columns``."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for i, c in enumerate(columns):
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl{i}"
+        )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd{i}")
+    rows = "\n            UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", n_rows, nl{i} AS n_null,"
+        f" round(nl{i} / n_rows, 9) AS null_frac, nd{i} AS n_distinct FROM w"
+        for i, c in enumerate(columns)
+    )
+    return f"""
+        WITH w AS MATERIALIZED (SELECT {', '.join(aggs)} FROM {table})
+        {rows}"""
+
+
+_DQ_LINEITEM_SQL = """
+    WITH w AS MATERIALIZED (SELECT
+      CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                    AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      CAST(sum(CASE WHEN l_discount IS NOT NULL
+                    AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+                    AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+      CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS u0
+    FROM lineitem)
+    SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'not_null' AS rule, 'l_orderkey' AS "column", v0 AS n_violations FROM w
+      UNION ALL SELECT 'not_null', 'l_quantity', v1 FROM w
+      UNION ALL SELECT 'between', 'l_quantity', v2 FROM w
+      UNION ALL SELECT 'between', 'l_discount', v3 FROM w
+      UNION ALL SELECT 'accepted_values', 'l_returnflag', v4 FROM w
+      UNION ALL SELECT 'rlike', 'l_linestatus', v5 FROM w
+      UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', u0 FROM w
+    ) ORDER BY rule, "column" """
+
+
+def _dq_ri_sql(pairs: list[tuple[str, str, str, str, str]]) -> str:
+    """FK orphan replay: NOT EXISTS per constraint (NULL child keys
+    count as orphans under '=' semantics, same as the anti-join)."""
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT '{name}' AS "constraint",
+          (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+          (SELECT CAST(count(*) AS BIGINT) FROM {child} ch
+           WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{ck})
+          ) AS n_orphans"""
+        for child, ck, parent, pk, name in pairs
+    )
+    return f"""
+        SELECT "constraint", n_child, n_orphans, n_orphans = 0 AS passed
+        FROM ({rows}) ORDER BY "constraint" """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "b1_turn_ordering": f"""
@@ -3373,6 +3502,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_adamic_adar": _adamic_adar_sql(20),
         "kg_hits": _hits_sql(5),
         "kg_modularity": _modularity_sql(4),
+        "dq_profile_orders": _dq_profile_sql(
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ),
+        "dq_expectations_lineitem": _DQ_LINEITEM_SQL,
+        "dq_referential_integrity": _dq_ri_sql(
+            [
+                ("orders", "o_custkey", "customer", "c_custkey",
+                 "orders.o_custkey->customer"),
+                ("lineitem", "l_orderkey", "orders", "o_orderkey",
+                 "lineitem.l_orderkey->orders"),
+                ("lineitem", "l_partkey", "part", "p_partkey",
+                 "lineitem.l_partkey->part"),
+                ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                 "lineitem.l_suppkey->supplier"),
+                ("customer", "c_nationkey", "nation", "n_nationkey",
+                 "customer.c_nationkey->nation"),
+            ]
+        ),
         # the full-rebuild replay: golden surface triples through the
         # gazetteer + dense-id joins — same SQL shape as str_continuous_kg
         "b13_incremental_build": f"""
