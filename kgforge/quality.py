@@ -71,7 +71,9 @@ def profile_columns(
         "column",
         "n_rows",
         "n_null",
-        F.round(F.col("n_null") / F.col("n_rows"), 9).alias("null_frac"),
+        # try_divide: a zero-row input profiles as null_frac NULL
+        # instead of an ANSI DIVIDE_BY_ZERO error
+        F.round(F.try_divide(F.col("n_null"), F.col("n_rows")), 9).alias("null_frac"),
         "n_distinct",
     )
 
