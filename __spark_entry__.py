@@ -1657,6 +1657,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         )
 
+    def evt_scd2_user_state(spark, sf):
+        """SCD Type-2 dimension build from the event log: per-user
+        event_type state runs with valid_from/valid_to intervals,
+        is_current, and a version counter. Two window passes share ONE
+        Exchange on user_id; event_id is the determinism tie-breaker.
+        The row-level time-travel layer next to the catalog's
+        snapshot-level one."""
+        from kgforge import temporal
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return temporal.scd2_build(
+            ev, ["user_id"], ["event_type"], "ts", ["event_id"]
+        )
+
+    def evt_scd2_snapshot(spark, sf):
+        """Point-in-time dimension read: the one state per user active
+        at 2024-01-15 (valid_from <= t < valid_to, open intervals
+        included) — a narrow filter over the SCD2 build, no extra
+        shuffle. Feature joins as-of label time use exactly this."""
+        from kgforge import temporal
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        scd = temporal.scd2_build(
+            ev, ["user_id"], ["event_type"], "ts", ["event_id"]
+        )
+        return temporal.snapshot_at(scd, "2024-01-15 00:00:00")
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -2127,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile_orders": dq_profile_orders,
         "dq_expectations_lineitem": dq_expectations_lineitem,
         "dq_referential_integrity": dq_referential_integrity,
+        "evt_scd2_user_state": evt_scd2_user_state,
+        "evt_scd2_snapshot": evt_scd2_snapshot,
     }
 
 
@@ -3003,6 +3032,28 @@ def _dq_ri_sql(pairs: list[tuple[str, str, str, str, str]]) -> str:
         FROM ({rows}) ORDER BY "constraint" """
 
 
+_SCD2_SQL = """
+    WITH c AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS MATERIALIZED (
+      -- a version opens on the first row per key, or whenever the
+      -- tracked state null-safely differs from the previous row's
+      SELECT user_id, event_type, ts, event_id FROM c
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w) IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "b1_turn_ordering": f"""
@@ -3508,6 +3559,11 @@ def oracle_sql() -> dict[str, str]:
              "o_orderdate", "o_orderpriority"],
         ),
         "dq_expectations_lineitem": _DQ_LINEITEM_SQL,
+        "evt_scd2_user_state": _SCD2_SQL,
+        "evt_scd2_snapshot": f"""
+            SELECT * FROM ({_SCD2_SQL})
+            WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""",
         "dq_referential_integrity": _dq_ri_sql(
             [
                 ("orders", "o_custkey", "customer", "c_custkey",
