@@ -1053,6 +1053,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/documents.parquet"), n=3, threshold=0.5, df_cap=100
         )
 
+    def dedup_neardup_groups(spark, sf):
+        """Near-dup pairs -> canonical dedup GROUPS: connected
+        components over the verified pair graph (near-duplication
+        isn't transitive; CC is the standard resolution), group_id =
+        min doc in the cluster, is_canonical marks the kept
+        representative. Every document appears — singletons group with
+        themselves. Oracle replays pairs + a recursive-CTE CC."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
+        return textops.neardup_groups(docs, pairs)
+
     def dedup_minhash(spark, sf):  # rows-only (minhash)
         return textops.minhash_neardup_docs(
             spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5
@@ -2156,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_referential_integrity": dq_referential_integrity,
         "evt_scd2_user_state": evt_scd2_user_state,
         "evt_scd2_snapshot": evt_scd2_snapshot,
+        "dedup_neardup_groups": dedup_neardup_groups,
     }
 
 
@@ -3054,6 +3066,29 @@ _SCD2_SQL = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
+_NGRAM_PAIRS_CTES = """
+    toks AS (
+        SELECT doc_id, string_split_regex(__NORM__, '\\s+') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(t) - 3, 0) + 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks),
+    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+    pairs AS (
+        SELECT a, b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "b1_turn_ordering": f"""
@@ -3892,25 +3927,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ded JOIN q ON q.doc_id = ded.doc_id
         """,
         "dedup_ngram_jaccard": f"""
-            WITH toks AS (
-                SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS t FROM documents),
-            grams AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    range(1, greatest(len(t) - 3, 0) + 2),
-                    i -> array_to_string(t[i:i+2], ' '))) AS g
-                FROM toks),
-            sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-            ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
-            inter AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-                FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
-                GROUP BY x.doc_id, y.doc_id)
-            SELECT a, b,
-                   CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+            WITH {_NGRAM_PAIRS_CTES.replace('__NORM__', _NORM_TEXT)}
+            SELECT a, b, jaccard FROM pairs
+        """,
+        "dedup_neardup_groups": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTES.replace('__NORM__', _NORM_TEXT)},
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b),
+            cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+            lab AS (
+                SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+            sz AS (
+                SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+                FROM lab GROUP BY group_id)
+            SELECT l.doc_id, l.group_id, s.group_size,
+                   l.doc_id = l.group_id AS is_canonical
+            FROM lab l JOIN sz s ON l.group_id = s.group_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -675,3 +675,44 @@ def training_corpus_filter(docs: DataFrame, lang: str = "en") -> DataFrame:
         F.col("group_size").cast("long").alias("group_size"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def neardup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Canonical near-duplicate GROUPS from a verified pair table —
+    the step that turns pairwise dedup output into the actual corpus
+    operation ("keep one document per duplicate cluster"): ``(doc_id,
+    group_id, group_size, is_canonical)`` for EVERY document, where
+    ``group_id`` is the smallest doc_id in the pair-graph component
+    (singletons group with themselves) and ``is_canonical`` marks the
+    one representative per group (doc_id == group_id, i.e. the min).
+
+    Near-duplication is not transitive, so pair output alone
+    over-deletes (A~B, B~C, drop B and C loses C's unique content
+    twice) or under-deletes; grouping by connected components over the
+    pair graph is the standard resolution (same policy as the entity
+    canonicalizer, B7→B8). Plan: the B8 hash-min CC loop runs on the
+    PAIR graph — component-count-sized, tiny next to the corpus — then
+    one left join back to the doc table and one group-size aggregation.
+    Filtering ``is_canonical`` yields the deduplicated corpus;
+    ``group_size > 1`` yields the duplicate report.
+    """
+    from .stages.canonicalize import connected_components
+
+    cc = connected_components(pairs.select("a", "b"))
+    lab = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+    )
+    sizes = lab.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return lab.join(sizes, "group_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+    )

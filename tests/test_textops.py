@@ -854,3 +854,32 @@ def test_community_modularity_matches_bruteforce(spark):
     # textbook scalar: Q = sum of contributions, in [-1, 1]
     q = sum(v[3] for v in got.values())
     assert -1.0 <= q <= 1.0
+
+
+def test_neardup_groups_clusters_transitively(spark):
+    """Pair graph A~B, B~C (A!~C) must yield ONE group {A,B,C} with the
+    min doc as canonical; untouched docs are singletons."""
+    from kgforge.textops import neardup_groups
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (3, 5, 0.8), (2, 6, 0.7)], "a long, b long, jaccard double"
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+        for r in neardup_groups(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, 1, True),
+        1: (1, 3, True),
+        3: (1, 3, False),
+        5: (1, 3, False),
+        2: (2, 2, True),
+        6: (2, 2, False),
+        4: (4, 1, True),
+    }
+    # exactly one canonical per group; dedup keeps groups-many docs
+    canon = [d for d, (_, _, c) in got.items() if c]
+    assert sorted(canon) == [0, 1, 2, 4]
