@@ -1695,6 +1695,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return temporal.snapshot_at(scd, "2024-01-15 00:00:00")
 
+    def str_catalog_ingest(spark, sf):
+        """Streaming ingest INTO the Iceberg-lite catalog: the event
+        stream (file source, 3+ micro-batches via maxFilesPerTrigger)
+        is filtered/projected stream-side and each micro-batch lands as
+        an atomic fast-append snapshot keyed (source_id, batch_id) for
+        idempotent exactly-once commits. Result = the final table read;
+        oracle = the batch filter over events — i.e. the check proves
+        chunked streaming ingest == batch build regardless of how the
+        stream was micro-batched."""
+        import tempfile
+
+        from kgforge import streaming
+        from kgforge.catalog import IcebergLiteTable
+
+        d = tempfile.mkdtemp(prefix="kgforge_scat_")
+        sdir = os.path.join(d, "in")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        ev.repartition(6).write.parquet(sdir)
+        st = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(sdir)
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        t = IcebergLiteTable(os.path.join(d, "tbl"))
+        streaming.stream_to_catalog(st, t, os.path.join(d, "ckpt"), source_id="ev")
+        return t.read(spark)
+
     def b13_incremental_build(spark, sf):
         """Incremental KG construction over catalog appends: transcripts
         land in an Iceberg-lite table in two commits (split by a
@@ -2168,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_scd2_user_state": evt_scd2_user_state,
         "evt_scd2_snapshot": evt_scd2_snapshot,
         "dedup_neardup_groups": dedup_neardup_groups,
+        "str_catalog_ingest": str_catalog_ingest,
     }
 
 
@@ -3594,6 +3624,9 @@ def oracle_sql() -> dict[str, str]:
              "o_orderdate", "o_orderpriority"],
         ),
         "dq_expectations_lineitem": _DQ_LINEITEM_SQL,
+        "str_catalog_ingest": """
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'""",
         "evt_scd2_user_state": _SCD2_SQL,
         "evt_scd2_snapshot": f"""
             SELECT * FROM ({_SCD2_SQL})

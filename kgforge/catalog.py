@@ -116,6 +116,7 @@ class IcebergLiteTable:
         partition_by: tuple[str, ...] = (),
         row_count: int | None = None,
         max_data_dirs: int = 64,
+        summary_extra: dict | None = None,
     ) -> dict:
         """Append commit: new data files land in their own ``data/v<n>/``
         dir; the snapshot references the parent's dirs PLUS the new one
@@ -161,7 +162,11 @@ class IcebergLiteTable:
             "data_dir": dirs[0],
             "data_dirs": dirs,
             "files": [f for d in dirs for f in self._list_data_files(os.path.join(self.root, d))],
-            "summary": {"row_count": row_count, "operation": "append"},
+            "summary": {
+                "row_count": row_count,
+                "operation": "append",
+                **(summary_extra or {}),
+            },
         }
         with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
             json.dump(manifest, f, indent=1)

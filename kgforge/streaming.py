@@ -235,3 +235,50 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_to_catalog(
+    stream_df: DataFrame,
+    table,
+    checkpoint_dir: str,
+    source_id: str = "stream",
+    partition_by: tuple[str, ...] = (),
+):
+    """Continuous ingest INTO the Iceberg-lite catalog: drain the
+    stream (``availableNow``) committing each micro-batch as an atomic
+    fast-append snapshot — the streaming half of the table-maintenance
+    story (`catalog.py` owns expiry/compaction; this owns arrival).
+
+    Exactly-once: ``foreachBatch`` is at-least-once on retry, so each
+    commit records ``(source_id, batch_id)`` in the snapshot summary
+    and a batch whose key an existing snapshot already carries is
+    SKIPPED — the idempotent-commit pattern real Iceberg sinks use. The
+    check scans manifest summaries (metadata-sized, driver-side), never
+    data.
+
+    At scale the file source becomes Kafka and availableNow becomes a
+    continuous trigger; the commit protocol is unchanged. Returns the
+    drained query (``table.read(spark)`` then serves batch consumers).
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{source_id}:{batch_id}"
+        done = {
+            s.get("summary", {}).get("stream_batch") for s in table.snapshots()
+        }
+        if key in done:
+            return
+        table.append(
+            batch_df,
+            partition_by=partition_by,
+            summary_extra={"stream_batch": key},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
