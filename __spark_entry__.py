@@ -861,6 +861,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a7_transe_scores(spark, sf):
         return _kernel_scores(spark, "transe")
 
+    def a7b_distmult_scores(spark, sf):
+        """DistMult bilinear-diagonal kernel scores on the test split —
+        first non-translational kernel family (Yang 2015); negated to
+        the engine's shared lower-is-better ranking convention so every
+        eval path applies unchanged."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="distmult").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
+    def a7c_complex_scores(spark, sf):
+        """ComplEx kernel scores (Trouillon 2016): Re(<h, r, conj(t)>)
+        over complex embeddings (real parts = ent/rel tables, imaginary
+        parts drawn after them in the fixture), expanded to real
+        arithmetic and negated — the asymmetric-relation scorer the
+        diagonal DistMult cannot express."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="complex").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a11_margin_loss(spark, sf):
         # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
         # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
@@ -2198,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_scd2_snapshot": evt_scd2_snapshot,
         "dedup_neardup_groups": dedup_neardup_groups,
         "str_catalog_ingest": str_catalog_ingest,
+        "a7b_distmult_scores": a7b_distmult_scores,
+        "a7c_complex_scores": a7c_complex_scores,
     }
 
 
@@ -2901,6 +2926,40 @@ _SQL_TRANSE = f"""
     JOIN rel er ON er.id = tt.r
     JOIN ent eh ON eh.id = tt.h AND eh.k = er.k
     JOIN ent et ON et.id = tt.t AND et.k = er.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# DistMult: bilinear-diagonal <h, r, t>, negated to the engine's shared
+# lower-is-better convention (kernels.distmult)
+_SQL_DISTMULT = f"""
+    WITH {_K_BASE}
+    SELECT tt.h, tt.t, tt.r,
+           round(-sum(eh.val * er.val * et.val), 9) AS score
+    FROM test tt
+    JOIN rel er ON er.id = tt.r
+    JOIN ent eh ON eh.id = tt.h AND eh.k = er.k
+    JOIN ent et ON et.id = tt.t AND et.k = er.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# ComplEx: Re(<h, r, conj(t)>) in expanded real arithmetic; real parts
+# reuse the ent/rel tables, imaginary parts come from the *_im tables
+_SQL_COMPLEX = f"""
+    WITH {_K_BASE},
+    enti AS (SELECT * FROM read_parquet('{OKE}/entim_long.parquet')),
+    reli AS (SELECT * FROM read_parquet('{OKE}/relim_long.parquet'))
+    SELECT tt.h, tt.t, tt.r,
+           round(-sum(
+               (ehr.val * err.val - ehi.val * eri.val) * etr.val
+             + (ehr.val * eri.val + ehi.val * err.val) * eti.val
+           ), 9) AS score
+    FROM test tt
+    JOIN rel err ON err.id = tt.r
+    JOIN reli eri ON eri.id = tt.r AND eri.k = err.k
+    JOIN ent ehr ON ehr.id = tt.h AND ehr.k = err.k
+    JOIN enti ehi ON ehi.id = tt.h AND ehi.k = err.k
+    JOIN ent etr ON etr.id = tt.t AND etr.k = err.k
+    JOIN enti eti ON eti.id = tt.t AND eti.k = err.k
     GROUP BY tt.h, tt.t, tt.r
 """
 
@@ -3697,6 +3756,8 @@ def oracle_sql() -> dict[str, str]:
             FROM range(48) t(x)
         """,
         "a7_transe_scores": _SQL_TRANSE,
+        "a7b_distmult_scores": _SQL_DISTMULT,
+        "a7c_complex_scores": _SQL_COMPLEX,
         "a11_margin_loss": f"""
             WITH train AS (
               SELECT DISTINCT h, t, r FROM read_parquet('{OKE}/train2id.parquet')

@@ -419,6 +419,11 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
         # TransD entity/relation projection vectors
         "ent_p": _norm(rng.normal(size=(n_ent, dim))),
         "rel_p": _norm(rng.normal(size=(n_rel, dim))),
+        # ComplEx imaginary parts (the real parts reuse ent/rel) —
+        # drawn AFTER every pre-existing tensor so adding them left all
+        # earlier draws (and the committed fixture files) byte-identical
+        "ent_im": _norm(rng.normal(size=(n_ent, dim))),
+        "rel_im": _norm(rng.normal(size=(n_rel, dim))),
     }
 
 
@@ -485,6 +490,9 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
     _long(emb["norm"]).to_parquet(os.path.join(d, "norm_long.parquet"), index=False)
     _long(emb["ent_p"]).to_parquet(os.path.join(d, "entp_long.parquet"), index=False)
     _long(emb["rel_p"]).to_parquet(os.path.join(d, "relp_long.parquet"), index=False)
+    # ComplEx imaginary parts (real parts = ent/rel tables above)
+    _long(emb["ent_im"]).to_parquet(os.path.join(d, "entim_long.parquet"), index=False)
+    _long(emb["rel_im"]).to_parquet(os.path.join(d, "relim_long.parquet"), index=False)
     n_r, dim, _ = emb["mat"].shape
     pd.DataFrame(
         {

@@ -1,4 +1,6 @@
-"""A7–A10 — translational-distance kernels as vectorized NumPy.
+"""A7–A10 — scoring kernels as vectorized NumPy: the four
+translational-distance models plus the bilinear family (DistMult,
+ComplEx), all under ONE ranking convention (lower = more plausible).
 
 Score = distance: lower is better (a plausible triple has h + r ≈ t).
 Semantics follow the reference models (OpenKEonSpark/OpenKE
@@ -62,6 +64,32 @@ def transd(
     return _dist(h_proj + r - t_proj, norm)
 
 
+def distmult(h: np.ndarray, r: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """DistMult (Yang 2015): bilinear-diagonal similarity
+    ``<h, r, t> = Σ_k h_k r_k t_k``. Returned NEGATED so the engine's
+    single ranking convention (lower score = more plausible, strict-<
+    rank counting, same as the translational distances) applies
+    unchanged across kernel families."""
+    return -(h * r * t).sum(axis=-1)
+
+
+def complex_score(
+    h_re: np.ndarray, h_im: np.ndarray,
+    r_re: np.ndarray, r_im: np.ndarray,
+    t_re: np.ndarray, t_im: np.ndarray,
+) -> np.ndarray:
+    """ComplEx (Trouillon 2016): ``Re(<h, r, conj(t)>)`` over complex
+    embeddings — the asymmetric extension of DistMult (it can score
+    (h,r,t) != (t,r,h), which a real diagonal bilinear form cannot).
+    Expanded to real arithmetic:
+    ``Σ_k (h_re r_re − h_im r_im) t_re + (h_re r_im + h_im r_re) t_im``.
+    Negated for the shared lower-is-better ranking convention."""
+    return -(
+        (h_re * r_re - h_im * r_im) * t_re
+        + (h_re * r_im + h_im * r_re) * t_im
+    ).sum(axis=-1)
+
+
 def score_batch(
     model: str,
     emb: dict[str, np.ndarray],
@@ -84,6 +112,14 @@ def score_batch(
     r = emb["rel"][r_ids].astype(np.float64)
     if model == "transe":
         return transe(h, r, t, norm)
+    if model == "distmult":
+        return distmult(h, r, t)
+    if model == "complex":
+        return complex_score(
+            h, emb["ent_im"][h_ids].astype(np.float64),
+            r, emb["rel_im"][r_ids].astype(np.float64),
+            t, emb["ent_im"][t_ids].astype(np.float64),
+        )
     if model == "transh":
         return transh(h, r, t, emb["norm"][r_ids].astype(np.float64), norm)
     if model == "transr":

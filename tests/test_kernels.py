@@ -49,3 +49,36 @@ def test_margin_loss():
     neg = np.array([3.0, 1.0])
     # max(0, 1 + 1 - 3) + max(0, 1 + 2 - 1) = 0 + 2
     assert kernels.margin_loss(pos, neg, margin=1.0) == 2.0
+
+
+def test_distmult_matches_paper_loop_and_is_symmetric():
+    got = kernels.score_batch("distmult", EMB, H, R, T)
+    want = np.array(
+        [
+            -float(
+                np.sum(
+                    EMB["ent"][H[i]].astype(np.float64)
+                    * EMB["rel"][R[i]].astype(np.float64)
+                    * EMB["ent"][T[i]].astype(np.float64)
+                )
+            )
+            for i in range(B)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # diagonal bilinear form is symmetric: swapping h and t is a no-op
+    np.testing.assert_allclose(got, kernels.score_batch("distmult", EMB, T, R, H), rtol=1e-6)
+
+
+def test_complex_matches_complex_arithmetic_and_is_asymmetric():
+    """Independent oracle in actual complex numbers:
+    score = -Re(sum_k h_k r_k conj(t_k))."""
+    hc = (EMB["ent"][H] + 1j * EMB["ent_im"][H]).astype(np.complex128)
+    rc = (EMB["rel"][R] + 1j * EMB["rel_im"][R]).astype(np.complex128)
+    tc = (EMB["ent"][T] + 1j * EMB["ent_im"][T]).astype(np.complex128)
+    want = -np.real((hc * rc * np.conj(tc)).sum(axis=-1))
+    got = kernels.score_batch("complex", EMB, H, R, T)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the point of ComplEx: direction matters (asymmetric relations)
+    rev = kernels.score_batch("complex", EMB, T, R, H)
+    assert np.abs(got - rev).max() > 1e-3
