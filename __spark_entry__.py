@@ -884,6 +884,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
+    def a7d_rotate_scores(spark, sf):
+        """RotatE kernel scores (Sun 2019): relations as element-wise
+        complex rotations, score = per-dimension complex modulus of
+        h∘r − t (already a distance). The rotation is carried as a
+        precomputed (cos θ, sin θ) fixture pair so neither engine
+        computes trig — sqrt/mul/add only, exact under round(9)."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="rotate").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a11_margin_loss(spark, sf):
         # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
         # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
@@ -2223,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_catalog_ingest": str_catalog_ingest,
         "a7b_distmult_scores": a7b_distmult_scores,
         "a7c_complex_scores": a7c_complex_scores,
+        "a7d_rotate_scores": a7d_rotate_scores,
     }
 
 
@@ -2939,6 +2952,28 @@ _SQL_DISTMULT = f"""
     JOIN rel er ON er.id = tt.r
     JOIN ent eh ON eh.id = tt.h AND eh.k = er.k
     JOIN ent et ON et.id = tt.t AND et.k = er.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# RotatE: per-dimension complex modulus of h∘r − t; the rotation pair
+# (cos θ, sin θ) comes precomputed from the fixture — no trig here
+_SQL_ROTATE = f"""
+    WITH {_K_BASE},
+    enti AS (SELECT * FROM read_parquet('{OKE}/entim_long.parquet')),
+    rotr AS (SELECT * FROM read_parquet('{OKE}/rotre_long.parquet')),
+    roti AS (SELECT * FROM read_parquet('{OKE}/rotim_long.parquet'))
+    SELECT tt.h, tt.t, tt.r,
+           round(sum(sqrt(
+               pow(ehr.val * rr.val - ehi.val * ri.val - etr.val, 2)
+             + pow(ehr.val * ri.val + ehi.val * rr.val - eti.val, 2)
+           )), 9) AS score
+    FROM test tt
+    JOIN rotr rr ON rr.id = tt.r
+    JOIN roti ri ON ri.id = tt.r AND ri.k = rr.k
+    JOIN ent ehr ON ehr.id = tt.h AND ehr.k = rr.k
+    JOIN enti ehi ON ehi.id = tt.h AND ehi.k = rr.k
+    JOIN ent etr ON etr.id = tt.t AND etr.k = rr.k
+    JOIN enti eti ON eti.id = tt.t AND eti.k = rr.k
     GROUP BY tt.h, tt.t, tt.r
 """
 
@@ -3758,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
         "a7_transe_scores": _SQL_TRANSE,
         "a7b_distmult_scores": _SQL_DISTMULT,
         "a7c_complex_scores": _SQL_COMPLEX,
+        "a7d_rotate_scores": _SQL_ROTATE,
         "a11_margin_loss": f"""
             WITH train AS (
               SELECT DISTINCT h, t, r FROM read_parquet('{OKE}/train2id.parquet')

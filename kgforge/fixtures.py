@@ -424,6 +424,14 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
         # earlier draws (and the committed fixture files) byte-identical
         "ent_im": _norm(rng.normal(size=(n_ent, dim))),
         "rel_im": _norm(rng.normal(size=(n_rel, dim))),
+        # RotatE per-relation rotations, stored as the (cos θ, sin θ)
+        # pair rather than θ so neither engine computes trig (libm
+        # differences would sit exactly at the ulp the oracles round
+        # away); unit modulus holds by construction. Drawn after every
+        # earlier tensor — same append-only fixture discipline.
+        **(lambda th: {"rot_re": np.cos(th), "rot_im": np.sin(th)})(
+            rng.uniform(-np.pi, np.pi, size=(n_rel, dim)).astype("float32")
+        ),
     }
 
 
@@ -493,6 +501,9 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
     # ComplEx imaginary parts (real parts = ent/rel tables above)
     _long(emb["ent_im"]).to_parquet(os.path.join(d, "entim_long.parquet"), index=False)
     _long(emb["rel_im"]).to_parquet(os.path.join(d, "relim_long.parquet"), index=False)
+    # RotatE rotation pair (cos θ, sin θ — no trig in either engine)
+    _long(emb["rot_re"]).to_parquet(os.path.join(d, "rotre_long.parquet"), index=False)
+    _long(emb["rot_im"]).to_parquet(os.path.join(d, "rotim_long.parquet"), index=False)
     n_r, dim, _ = emb["mat"].shape
     pd.DataFrame(
         {

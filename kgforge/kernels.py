@@ -90,6 +90,23 @@ def complex_score(
     ).sum(axis=-1)
 
 
+def rotate(
+    h_re: np.ndarray, h_im: np.ndarray,
+    r_re: np.ndarray, r_im: np.ndarray,
+    t_re: np.ndarray, t_im: np.ndarray,
+) -> np.ndarray:
+    """RotatE (Sun 2019): relations are element-wise rotations in the
+    complex plane (``r_k = e^{iθ_k}``, unit modulus — here carried as
+    the precomputed (cos θ, sin θ) pair so no engine computes trig);
+    ``score = Σ_k |h_k r_k − t_k|`` (complex modulus per dimension) —
+    already a distance, no negation needed. Models composition
+    (r3 = r1∘r2), inversion, and symmetry (θ ∈ {0, π}) — the patterns
+    the translational family can't hold simultaneously."""
+    d_re = h_re * r_re - h_im * r_im - t_re
+    d_im = h_re * r_im + h_im * r_re - t_im
+    return np.sqrt(d_re * d_re + d_im * d_im).sum(axis=-1)
+
+
 def score_batch(
     model: str,
     emb: dict[str, np.ndarray],
@@ -118,6 +135,13 @@ def score_batch(
         return complex_score(
             h, emb["ent_im"][h_ids].astype(np.float64),
             r, emb["rel_im"][r_ids].astype(np.float64),
+            t, emb["ent_im"][t_ids].astype(np.float64),
+        )
+    if model == "rotate":
+        return rotate(
+            h, emb["ent_im"][h_ids].astype(np.float64),
+            emb["rot_re"][r_ids].astype(np.float64),
+            emb["rot_im"][r_ids].astype(np.float64),
             t, emb["ent_im"][t_ids].astype(np.float64),
         )
     if model == "transh":

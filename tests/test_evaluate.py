@@ -56,7 +56,7 @@ def _oracle_ranks(test: pd.DataFrame, model="transe", norm=1) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("model", ["transe", "transd", "distmult", "complex"])
+@pytest.mark.parametrize("model", ["transe", "transd", "distmult", "complex", "rotate"])
 def test_ranks_match_oracle(spark, model):
     test = SPLIT["test2id"].head(15)
     got = (

@@ -82,3 +82,16 @@ def test_complex_matches_complex_arithmetic_and_is_asymmetric():
     # the point of ComplEx: direction matters (asymmetric relations)
     rev = kernels.score_batch("complex", EMB, T, R, H)
     assert np.abs(got - rev).max() > 1e-3
+
+
+def test_rotate_matches_complex_arithmetic():
+    """Independent oracle in actual complex numbers:
+    score = sum_k |h_k * r_k - t_k| with |r_k| = 1."""
+    hc = (EMB["ent"][H] + 1j * EMB["ent_im"][H]).astype(np.complex128)
+    rc = (EMB["rot_re"][R] + 1j * EMB["rot_im"][R]).astype(np.complex128)
+    tc = (EMB["ent"][T] + 1j * EMB["ent_im"][T]).astype(np.complex128)
+    # fixture rotations really are unit-modulus
+    np.testing.assert_allclose(np.abs(rc), 1.0, rtol=1e-6)
+    want = np.abs(hc * rc - tc).sum(axis=-1)
+    got = kernels.score_batch("rotate", EMB, H, R, T)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
