@@ -115,7 +115,12 @@ def read_type_constraint(path: str) -> tuple[dict[int, list[int]], dict[int, lis
 
 #: checkpoint component tables. ``mat`` (TransR [|R|, d_r, d_e]) is stored
 #: row-major flattened with its dims in meta.json.
-EMB_COMPONENTS = ("ent", "rel", "norm", "mat", "ent_p", "rel_p")
+EMB_COMPONENTS = (
+    "ent", "rel", "norm", "mat", "ent_p", "rel_p",
+    # bilinear / rotational families (ComplEx imaginary parts, RotatE
+    # precomputed rotation pair)
+    "ent_im", "rel_im", "rot_re", "rot_im",
+)
 
 
 def write_embeddings_parquet(spark: SparkSession, emb: dict, out_dir: str) -> None:
