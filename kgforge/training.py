@@ -94,6 +94,12 @@ def _corrupt(h, t, r, n_ent, seed, epoch, bern_p=None, known_keys=None, n_rel=0)
     return nh, nt
 
 
+def _sparse_sgd(param: np.ndarray, rows: np.ndarray, grads: np.ndarray, lr: float) -> None:
+    """Plain SGD scatter step; ``np.subtract.at`` accumulates duplicate
+    row indices, so colliding batch rows sum their gradients."""
+    np.subtract.at(param, rows, lr * grads)
+
+
 class _OptState:
     """A12 optimizer state (Adagrad / Adam / Adadelta), sparse-applied:
     per batch, duplicate row gradients are pre-summed, then only touched
@@ -151,13 +157,22 @@ def sgd_epochs(
     batch_size: int = 1024,
     epoch_offset: int = 0,
     opt_method: str = "sgd",
+    model: str = "transe",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """In-place-free TransE epochs; returns updated (ent, rel).
+    """In-place-free margin-ranking epochs; returns updated (ent, rel).
 
     ``opt_method``: ``sgd`` (default, the upstream recipe) or
     ``adagrad`` / ``adam`` / ``adadelta`` (A12 — reference
     ``Config.set_opt_method``). Non-SGD state is local to this call
     (resets across early-stop chunks, like restarting the optimizer).
+
+    ``model``: ``transe`` (the reference recipe, byte-identical update
+    path to previous rounds) or ``distmult`` — the bilinear-diagonal
+    kernel under the same margin loss and negative sampler; its
+    gradients are the obvious products (``∂s/∂h = −r∘t`` etc., score
+    negated per kernels.distmult). The per-epoch entity row
+    normalization is kept for both (OpenKE's TransE recipe; for
+    DistMult it doubles as the usual norm regularizer).
     """
     ent = ent.copy()
     rel = rel.copy()
@@ -182,6 +197,27 @@ def sgd_epochs(
             nh, nt = _corrupt(h, t, r, n_ent, seed, ep, bern_p, known_keys, n_rel_pack)
             H, T, R = ent[h], ent[t], rel[r]
             NH, NT = ent[nh], ent[nt]
+            if model == "distmult":
+                # separate branch so the transe float-accumulation
+                # order below stays byte-identical to prior rounds
+                sp = -(H * R * T).sum(1)
+                sn = -(NH * R * NT).sum(1)
+                active = (margin + sp - sn) > 0
+                if not active.any():
+                    continue
+                t_step += 1
+                a = active
+                gph, gpt, gpr = -(R * T)[a], -(H * R)[a], -(H * T)[a]
+                gnh, gnt, gnr = -(R * NT)[a], -(NH * R)[a], -(NH * NT)[a]
+                ent_rows = np.concatenate([h[a], t[a], nh[a], nt[a]])
+                ent_grads = np.concatenate([gph, gpt, -gnh, -gnt])
+                if opt_e is None:
+                    _sparse_sgd(ent, ent_rows, ent_grads, lr)
+                    _sparse_sgd(rel, r[a], gpr - gnr, lr)
+                else:
+                    opt_e.apply(ent, ent_rows, ent_grads, lr, t_step)
+                    opt_r.apply(rel, r[a], gpr - gnr, lr, t_step)
+                continue
             dp = H + R - T
             dn = NH + R - NT
             if norm == 1:
