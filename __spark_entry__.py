@@ -896,6 +896,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
+    def a12b_distmult_training(spark, sf):
+        """DistMult under the A12 training harness: the deterministic-
+        corruption margin loss must fall vs the untrained init for both
+        sgd and adagrad — same property-table protocol as
+        a12_optimizer_grid, scoring with the shared kernels path."""
+        from kgforge import kernels, training
+
+        split, _, _ = _openke_emb()
+        n_ent, n_rel = len(split["entity2id"]), len(split["relation2id"])
+        tr = split["train2id"]
+        rng = np.random.default_rng(11)
+        ent0 = training._xavier(rng, n_ent, 16)
+        rel0 = training._xavier(rng, n_rel, 16)
+
+        def mean_hinge(ent, rel):
+            h = tr["h"].to_numpy(np.int64)
+            t = tr["t"].to_numpy(np.int64)
+            r = tr["r"].to_numpy(np.int64)
+            emb = {"ent": ent, "rel": rel}
+            sp = kernels.score_batch("distmult", emb, h, r, t)
+            sn = kernels.score_batch("distmult", emb, (h + 1) % n_ent, r, t)
+            return float(np.maximum(0.0, 1.0 + sp - sn).mean())
+
+        base = mean_hinge(ent0, rel0)
+        rows = []
+        for opt in ("sgd", "adagrad"):
+            e1, r1 = training.sgd_epochs(
+                tr, ent0, rel0, epochs=15, lr=0.05, margin=1.0, seed=11,
+                model="distmult", opt_method=opt,
+            )
+            rows.append((opt, bool(mean_hinge(e1, r1) < base)))
+        return spark.createDataFrame(rows, "opt_method string, improved boolean")
+
     def a11_margin_loss(spark, sf):
         # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
         # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
@@ -1638,6 +1671,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels = graphstats.label_propagation(tri, n_iter=4)
         return graphstats.community_modularity(tri, labels)
 
+    def kg_relation_properties(spark, sf):
+        """Per-relation structural profile (count, head/tail
+        cardinalities, tph/hpt bern statistics, symmetric fraction) —
+        the table that picks the right scoring kernel per relation
+        BEFORE training (symmetric relations break pure TransE; RotatE
+        holds them at θ ∈ {0, π})."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.relation_properties(tri)
+
+    def kg_inverse_relations(spark, sf):
+        """Inverse-relation candidate pairs (r1, r2, overlap, frac):
+        the KG redundancy detector — min_frac=0 reports every reversed
+        co-occurrence so the profile is complete at fixture scale."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.inverse_relations(tri, min_frac=0.0)
+
     def dq_profile_orders(spark, sf):
         """Data-quality gate, stage 1: per-column profile (rows, nulls,
         null fraction, exact distinct) of the orders table — ONE
@@ -2236,6 +2295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7b_distmult_scores": a7b_distmult_scores,
         "a7c_complex_scores": a7c_complex_scores,
         "a7d_rotate_scores": a7d_rotate_scores,
+        "kg_relation_properties": kg_relation_properties,
+        "kg_inverse_relations": kg_inverse_relations,
+        "a12b_distmult_training": a12b_distmult_training,
     }
 
 
@@ -3190,6 +3252,47 @@ _SCD2_SQL = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
+_REL_PROPS_SQL = (
+    _KG_GRAPH_CTES
+    + """,
+    agg AS MATERIALIZED (
+        SELECT p AS r, CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_heads,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_tails
+        FROM tri GROUP BY p
+    ),
+    sym AS MATERIALIZED (
+        SELECT a.p AS r, CAST(count(*) AS BIGINT) AS n_sym
+        FROM tri a
+        WHERE EXISTS (
+            SELECT 1 FROM tri b
+            WHERE b.h = a.t AND b.t = a.h AND b.p = a.p
+        )
+        GROUP BY a.p
+    )
+    SELECT agg.r, agg.n_triples, agg.n_heads, agg.n_tails,
+           round(agg.n_triples / agg.n_heads, 9) AS tph,
+           round(agg.n_triples / agg.n_tails, 9) AS hpt,
+           round(coalesce(s.n_sym, 0) / agg.n_triples, 9) AS symmetric_frac
+    FROM agg LEFT JOIN sym s ON agg.r = s.r"""
+)
+
+_INV_RELS_SQL = (
+    _KG_GRAPH_CTES
+    + """,
+    tot AS MATERIALIZED (
+        SELECT p AS r1, CAST(count(*) AS BIGINT) AS n_r1 FROM tri GROUP BY p
+    ),
+    ov AS MATERIALIZED (
+        SELECT a.p AS r1, b.p AS r2, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM tri a JOIN tri b ON b.h = a.t AND b.t = a.h AND b.p <> a.p
+        GROUP BY a.p, b.p
+    )
+    SELECT ov.r1, ov.r2, ov.n_overlap,
+           round(ov.n_overlap / t.n_r1, 9) AS frac
+    FROM ov JOIN tot t ON ov.r1 = t.r1"""
+)
+
 _NGRAM_PAIRS_CTES = """
     toks AS (
         SELECT doc_id, string_split_regex(__NORM__, '\\s+') AS t FROM documents),
@@ -3354,6 +3457,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'adagrad', TRUE
             UNION ALL SELECT 'adam', TRUE
             UNION ALL SELECT 'adadelta', TRUE
+        """,
+        "a12b_distmult_training": """
+            SELECT 'sgd' AS opt_method, TRUE AS improved
+            UNION ALL SELECT 'adagrad', TRUE
         """,
         "a13_param_averaging": """
             SELECT CAST(200 AS BIGINT) AS n_ent, CAST(12 AS BIGINT) AS n_rel,
@@ -3712,6 +3819,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_adamic_adar": _adamic_adar_sql(20),
         "kg_hits": _hits_sql(5),
         "kg_modularity": _modularity_sql(4),
+        "kg_relation_properties": _REL_PROPS_SQL,
+        "kg_inverse_relations": _INV_RELS_SQL,
         "dq_profile_orders": _dq_profile_sql(
             "orders",
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

@@ -107,6 +107,8 @@ def main() -> int:
         "asof_purchases",
         "txt_tfidf_top_terms",
         "kg_pagerank",
+        "evt_scd2_user_state",  # SCD2 window build over the event log
+        "dq_expectations_lineitem",  # single-scan DQ gate on the fact table
     ]
     for name in bench_queries:
         runs = []

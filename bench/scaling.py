@@ -156,8 +156,18 @@ def main() -> int:
         "",
     ]
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-written analysis sections (measurement logs,
+    # cc_scale results) that live below the generated block — a plain
+    # rewrite silently deleted them once (round 5)
+    manual = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = f.read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            manual = prev[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + manual)
     print(json.dumps({"efficiency": round(eff, 3), "throughputs": {str(c): round(thr[c], 1) for c in levels}}))
     return 0
 

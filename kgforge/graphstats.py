@@ -714,3 +714,94 @@ def community_modularity(triples: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def relation_properties(triples: DataFrame) -> DataFrame:
+    """Per-relation structural profile of the KG: ``(r, n_triples,
+    n_heads, n_tails, tph, hpt, symmetric_frac)`` — the table that
+    tells a KG owner WHICH scoring kernel fits which relation before
+    any training happens (symmetric relations break pure TransE;
+    tph/hpt feeds bern negative sampling exactly as A3 does;
+    near-functional relations, hpt ≈ 1, suit stricter completion
+    thresholds).
+
+    * ``tph`` = triples per distinct head, ``hpt`` = triples per
+      distinct tail (OpenKE's bern statistics, here per relation as a
+      profile rather than a sampler input);
+    * ``symmetric_frac`` = fraction of edges whose exact reverse
+      ``(t, r, h)`` also exists (self-loops match themselves —
+      they are trivially symmetric).
+
+    Plan: distinct-edge dedup, ONE groupBy(r) aggregation (count + two
+    count-distincts via a single Expand), one self-join on the reversed
+    key for symmetry counts (both sides the same deduped table —
+    Catalyst reuses the Exchange), one broadcast-sized join of the two
+    per-relation tables. Everything rounds at 9 — the kernel-score
+    float contract."""
+    base = triples.select("h", "t", "r").dropDuplicates().localCheckpoint()
+    agg = base.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.count_distinct("h").cast("long").alias("n_heads"),
+        F.count_distinct("t").cast("long").alias("n_tails"),
+    )
+    rev = base.select(
+        F.col("t").alias("h"), F.col("h").alias("t"), F.col("r").alias("r")
+    )
+    sym = (
+        base.join(rev, ["h", "t", "r"], "left_semi")
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sym"))
+    )
+    return (
+        agg.join(sym, "r", "left")
+        .select(
+            "r",
+            "n_triples",
+            "n_heads",
+            "n_tails",
+            F.round(F.col("n_triples") / F.col("n_heads"), 9).alias("tph"),
+            F.round(F.col("n_triples") / F.col("n_tails"), 9).alias("hpt"),
+            F.round(
+                F.coalesce("n_sym", F.lit(0)) / F.col("n_triples"), 9
+            ).alias("symmetric_frac"),
+        )
+    )
+
+
+def inverse_relations(triples: DataFrame, min_frac: float = 0.5) -> DataFrame:
+    """Inverse-relation candidates: pairs ``(r1, r2, n_overlap,
+    frac)`` where at least ``min_frac`` of r1's edges ``(h, t)`` have
+    the reversed edge ``(t, h)`` under r2 (``r1 != r2`` — the r1 == r2
+    diagonal is :func:`relation_properties`' symmetric_frac). The
+    redundancy detector: an inverse pair means one relation is derivable
+    from the other, which both dedups the KG and (like symmetry) rules
+    out kernels that cannot represent inversion.
+
+    Plan: one join of the deduped edge table with its reversal on the
+    ``(h, t)`` key (relation columns kept apart), one groupBy(r1, r2)
+    count, one broadcast join against per-relation totals. Output is
+    |R|²-bounded — report-sized."""
+    base = triples.select("h", "t", "r").dropDuplicates().localCheckpoint()
+    totals = base.groupBy(F.col("r").alias("r1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r1")
+    )
+    rev = base.select(
+        F.col("t").alias("h"), F.col("h").alias("t"), F.col("r").alias("r2")
+    )
+    overlap = (
+        base.withColumnRenamed("r", "r1")
+        .join(rev, ["h", "t"])
+        .where(F.col("r1") != F.col("r2"))
+        .groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(totals), "r1")
+        .select(
+            "r1",
+            "r2",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_r1"), 9).alias("frac"),
+        )
+        .where(F.col("frac") >= F.lit(min_frac))
+    )

@@ -883,3 +883,42 @@ def test_neardup_groups_clusters_transitively(spark):
     # exactly one canonical per group; dedup keeps groups-many docs
     canon = [d for d, (_, _, c) in got.items() if c]
     assert sorted(canon) == [0, 1, 2, 4]
+
+
+def test_relation_properties_and_inverse_relations_bruteforce(spark):
+    from kgforge.graphstats import inverse_relations, relation_properties
+
+    rows = [
+        # r=0: symmetric pair (1,2)/(2,1), plus (3,4); self-loop (5,5)
+        (1, 2, 0), (2, 1, 0), (3, 4, 0), (5, 5, 0),
+        # r=1: inverse of r=2 on both edges
+        (1, 2, 1), (3, 4, 1),
+        (2, 1, 2), (4, 3, 2), (7, 8, 2),
+        # duplicate row must dedup
+        (1, 2, 0),
+    ]
+    tri = spark.createDataFrame(rows, "h long, t long, r long")
+    props = {r["r"]: r.asDict() for r in relation_properties(tri).collect()}
+    # r=0: 4 distinct edges; symmetric: (1,2),(2,1),(5,5) -> 3/4
+    assert props[0]["n_triples"] == 4
+    assert props[0]["n_heads"] == 4 and props[0]["n_tails"] == 4
+    assert props[0]["symmetric_frac"] == 0.75
+    assert props[0]["tph"] == 1.0 and props[0]["hpt"] == 1.0
+    # r=1: no (t,h) under r=1 itself
+    assert props[1]["symmetric_frac"] == 0.0
+    inv = {
+        (r["r1"], r["r2"]): (r["n_overlap"], r["frac"])
+        for r in inverse_relations(tri, min_frac=0.0).collect()
+    }
+    # both r=1 edges reversed under r=2 (frac 1.0); 2 of 3 r=2 edges
+    # reversed under r=1; r=0's symmetric edges reverse under r=0 only
+    # (excluded: diagonal), but (2,1,0)&(1,2,1): (1,2) reversed is (2,1)
+    # which exists under r=0 too -> (1,2)->(2,1): r1=1 edge (1,2),
+    # reverse (2,1) exists under r=0 as well
+    assert inv[(1, 2)] == (2, 1.0)
+    assert inv[(2, 1)][0] == 2 and abs(inv[(2, 1)][1] - round(2 / 3, 9)) < 1e-12
+    # r=1 edge (1,2) reversed (2,1) exists under r=0 -> pair (1,0)
+    assert inv[(1, 0)][0] >= 1
+    # threshold filter works
+    hi = {(r["r1"], r["r2"]) for r in inverse_relations(tri, min_frac=0.9).collect()}
+    assert (1, 2) in hi and (2, 1) not in hi
