@@ -1655,6 +1655,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.hits(tri, n_iter=5)
 
+    def kg_node2vec_walks(spark, sf):
+        """Node2vec biased walks (p=4 suppresses returns, q=0.25 pushes
+        outward/DFS-like) — the second-order walk corpus DeepWalk can't
+        express. Weighted choice = hash-exponential argmin (argmin of
+        Exponential(w) variates lands ∝ w — the exact node2vec kernel
+        with md5 as the randomness); the oracle replays every step."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.node2vec_walks(
+            tri, num_walks=2, walk_length=4, p=4.0, q=0.25
+        )
+
     def kg_modularity(spark, sf):
         """Quality gate for the LPA communities: Newman modularity
         breakdown per community (intra-edge count, subgraph degree sum,
@@ -2298,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_properties": kg_relation_properties,
         "kg_inverse_relations": kg_inverse_relations,
         "a12b_distmult_training": a12b_distmult_training,
+        "kg_node2vec_walks": kg_node2vec_walks,
     }
 
 
@@ -2546,6 +2563,50 @@ def _walk_union_sql(walk_length: int) -> str:
         f"SELECT start, walk, CAST({k} AS BIGINT) AS step, e FROM s{k}"
         for k in range(walk_length + 1)
     )
+
+
+def _node2vec_sql(
+    num_walks: int = 2, walk_length: int = 4, p: float = 4.0, q: float = 0.25
+) -> str:
+    """Unrolled node2vec biased walks — each step replays the
+    hash-exponential argmin: uniform from the md5's first 15 hex digits
+    (``('0x' || hex)::UBIGINT::DOUBLE`` here == Spark's
+    ``conv(hex, 16, 10)::double``, identical IEEE values), key =
+    ``round(-ln(u)/weight, 12)``, weight by return/adjacent/outward
+    class. State CTEs carry (start, walk, prev, e)."""
+    inv_p, inv_q = repr(1.0 / p), repr(1.0 / q)
+    chain = _KG_GRAPH_CTES + f""",
+        n0 AS MATERIALIZED (
+            SELECT n.e AS start, w.walk AS walk,
+                   CAST(-1 AS BIGINT) AS prev, n.e AS e
+            FROM (SELECT DISTINCT u AS e FROM adj) n
+            CROSS JOIN (SELECT CAST(range AS BIGINT) AS walk
+                        FROM range({num_walks})) w
+        )"""
+    for k in range(1, walk_length + 1):
+        chain += f""",
+        n{k} AS MATERIALIZED (
+            SELECT s.start, s.walk, s.e AS prev, c.v AS e
+            FROM n{k - 1} s
+            JOIN adj c ON s.e = c.u
+            LEFT JOIN adj x ON x.u = s.prev AND x.v = c.v
+            QUALIFY row_number() OVER (
+                PARTITION BY s.start, s.walk
+                ORDER BY round(
+                    -ln((('0x' || substr(md5(concat_ws(':', s.start, s.walk,
+                            {k}, s.e, c.v)), 1, 15))::UBIGINT::DOUBLE + 1.0)
+                        / 1152921504606846976.0)
+                    / (CASE WHEN c.v = s.prev THEN {inv_p}
+                            WHEN x.u IS NOT NULL THEN 1.0
+                            ELSE {inv_q} END), 12),
+                    c.v
+            ) = 1
+        )"""
+    steps = "\n        UNION ALL ".join(
+        f"SELECT start, walk, CAST({k} AS BIGINT) AS step, e FROM n{k}"
+        for k in range(walk_length + 1)
+    )
+    return chain + "\n        " + steps
 
 
 def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
@@ -3814,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(5),
         "kg_label_propagation": _label_prop_sql(4),
         "kg_random_walks": _random_walks_sql(2, 4),
+        "kg_node2vec_walks": _node2vec_sql(2, 4, 4.0, 0.25),
         "kg_personalized_pagerank": _ppr_sql(5),
         "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
         "kg_adamic_adar": _adamic_adar_sql(20),

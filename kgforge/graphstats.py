@@ -805,3 +805,104 @@ def inverse_relations(triples: DataFrame, min_frac: float = 0.5) -> DataFrame:
         )
         .where(F.col("frac") >= F.lit(min_frac))
     )
+
+
+def node2vec_walks(
+    triples: DataFrame,
+    num_walks: int = 2,
+    walk_length: int = 4,
+    p: float = 1.0,
+    q: float = 1.0,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Node2vec biased second-order walks (Grover & Leskovec 2016):
+    ``(start, walk, step, e)`` like :func:`random_walks`, but the step
+    from the current node (with previous node ``prev``) weights each
+    candidate ``w`` by ``1/p`` if ``w == prev`` (return), ``1`` if
+    ``w`` is adjacent to ``prev`` (stay local / BFS-like), else ``1/q``
+    (move outward / DFS-like) — the knob that interpolates between
+    structural-equivalence and homophily embeddings, which the uniform
+    DeepWalk corpus cannot express.
+
+    Deterministic weighted choice — the hash-exponential argmin: from
+    the step's md5 draw a uniform ``u ∈ (0, 1]`` (first 15 hex digits
+    over 16^15; +1.0 keeps ``u`` strictly positive), then pick the
+    candidate minimizing ``round(−ln(u)/weight, 12)`` (ties by
+    candidate id). ``−ln(u)/w`` is an Exponential(w) variate, and the
+    argmin of independent exponentials lands on ``w_i`` with
+    probability ``w_i/Σw`` — EXACTLY the node2vec transition kernel,
+    with the hash as the randomness, so any engine replays every walk.
+    The hex parse is ``conv(hex, 16, 10) → double`` here and
+    ``('0x' || hex)::UBIGINT → DOUBLE`` in DuckDB — identical IEEE
+    doubles; the round(…, 12) pins the ln ulp. At step 1 there is no
+    ``prev`` (sentinel −1): every candidate then takes the same ``1/q``
+    weight, and a CONSTANT weight cancels in the argmin — the first
+    step is uniform, the standard node2vec convention.
+
+    Plan shape: :func:`random_walks`' unrolled join+argmin rounds plus
+    one extra left join per round against the ``(prev, cand)`` edge
+    table for the adjacency class — state stays (starts×walks)-sized,
+    the adjacency is only ever joined, state localCheckpointed per
+    round.
+    """
+    e = undirected_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = adj.select(F.col("u").alias("start")).distinct()
+    if starts is not None:
+        nodes = (
+            starts.select("start").dropDuplicates().join(nodes, "start", "left_semi")
+        )
+    walk_ids = (
+        triples.sparkSession.range(num_walks).select(F.col("id").alias("walk"))
+    )
+    state = (
+        nodes.crossJoin(F.broadcast(walk_ids))
+        .select(
+            "start", "walk",
+            F.lit(-1).cast("long").alias("prev"),
+            F.col("start").alias("e"),
+        )
+        .localCheckpoint()
+    )
+    out = state.select("start", "walk", F.lit(0).cast("long").alias("step"), "e")
+    adjx = adj.select(
+        F.col("u").alias("prev"), F.col("v").alias("cand"), F.lit(1).alias("_adj")
+    )
+    for k in range(1, walk_length + 1):
+        cand = (
+            state.join(adj, state["e"] == adj["u"])
+            .withColumnRenamed("v", "cand")
+            .drop("u")
+            .join(adjx, ["prev", "cand"], "left")
+        )
+        m = F.md5(
+            F.concat_ws(
+                ":", F.col("start"), F.col("walk"), F.lit(k), F.col("e"), F.col("cand")
+            ).cast("binary")
+        )
+        vnum = F.conv(F.substring(m, 1, 15), 16, 10).cast("double")
+        u01 = (vnum + F.lit(1.0)) / F.lit(1152921504606846976.0)  # 16^15
+        wt = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_adj") == 1, F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        key = F.round(-F.log(u01) / wt, 12)
+        state = (
+            cand.groupBy("start", "walk", "e")
+            .agg(F.min(F.struct(key.alias("k"), F.col("cand").alias("v"))).alias("c"))
+            .select(
+                "start", "walk",
+                F.col("e").alias("prev"),
+                F.col("c.v").alias("e"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            state.select("start", "walk", F.lit(k).cast("long").alias("step"), "e")
+        )
+    return out.select("start", "walk", "step", "e")

@@ -922,3 +922,75 @@ def test_relation_properties_and_inverse_relations_bruteforce(spark):
     # threshold filter works
     hi = {(r["r1"], r["r2"]) for r in inverse_relations(tri, min_frac=0.9).collect()}
     assert (1, 2) in hi and (2, 1) not in hi
+
+
+def _replay_node2vec(edges, num_walks, walk_length, p, q):
+    """Independent Python replay of the hash-exponential biased walk."""
+    import hashlib
+    import math
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    rows = []
+    for start in sorted(adj):
+        for walk in range(num_walks):
+            prev, cur = -1, start
+            rows.append((start, walk, 0, cur))
+            for k in range(1, walk_length + 1):
+                best = None
+                for cand in sorted(adj[cur]):
+                    hx = hashlib.md5(
+                        f"{start}:{walk}:{k}:{cur}:{cand}".encode()
+                    ).hexdigest()
+                    u = (int(hx[:15], 16) + 1.0) / 16**15
+                    if cand == prev:
+                        wt = 1.0 / p
+                    elif prev in adj and cand in adj[prev]:
+                        wt = 1.0
+                    else:
+                        wt = 1.0 / q
+                    key = (-math.log(u) / wt, cand)
+                    if best is None or key < best:
+                        best = key
+                prev, cur = cur, best[1]
+                rows.append((start, walk, k, cur))
+    return set(rows)
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    import numpy as np
+
+    from kgforge.graphstats import node2vec_walks
+
+    rng = np.random.default_rng(83)
+    tri = pd.DataFrame(
+        {"h": rng.integers(0, 18, 60), "t": rng.integers(0, 18, 60), "r": 0}
+    )
+    edges = {(min(h, t), max(h, t)) for h, t in tri[["h", "t"]].itertuples(index=False) if h != t}
+    got = {
+        (r["start"], r["walk"], r["step"], r["e"])
+        for r in node2vec_walks(
+            spark.createDataFrame(tri), num_walks=2, walk_length=4, p=4.0, q=0.25
+        ).collect()
+    }
+    want = _replay_node2vec(sorted(edges), 2, 4, 4.0, 0.25)
+    assert got == want
+
+
+def test_node2vec_huge_p_never_backtracks_on_cycle(spark):
+    from kgforge.graphstats import node2vec_walks
+
+    n = 12  # cycle: every node degree 2, backtracking always avoidable
+    tri = pd.DataFrame({"h": range(n), "t": [(i + 1) % n for i in range(n)], "r": 0})
+    walks = node2vec_walks(
+        spark.createDataFrame(tri), num_walks=2, walk_length=6, p=1e12, q=1.0
+    ).toPandas()
+    for (_, _), g in walks.groupby(["start", "walk"]):
+        seq = g.sort_values("step")["e"].tolist()
+        for i in range(2, len(seq)):
+            assert seq[i] != seq[i - 2], seq  # immediate return suppressed
+    empty = spark.createDataFrame([], "h long, t long, r long")
+    assert node2vec_walks(empty).count() == 0
