@@ -1671,6 +1671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tri, num_walks=2, walk_length=4, p=4.0, q=0.25
         )
 
+    def b1b_conversation_profile(spark, sf):
+        """Input-side transcript analytics: per-conversation turn/role/
+        tool counts, wall duration, average turn length, and the
+        largest inter-turn gap under the stable B1 ordering — one
+        window pass + one groupBy sharing a single conv_id shuffle."""
+        return reassemble.conversation_profile(_transcripts(spark, sf))
+
     def kg_modularity(spark, sf):
         """Quality gate for the LPA communities: Newman modularity
         breakdown per community (intra-edge count, subgraph degree sum,
@@ -2315,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_relations": kg_inverse_relations,
         "a12b_distmult_training": a12b_distmult_training,
         "kg_node2vec_walks": kg_node2vec_walks,
+        "b1b_conversation_profile": b1b_conversation_profile,
     }
 
 
@@ -3892,6 +3900,25 @@ def oracle_sql() -> dict[str, str]:
         "str_catalog_ingest": """
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'""",
+        "b1b_conversation_profile": f"""
+            WITH g AS MATERIALIZED (
+                SELECT conv_id, role, tool, text, ts,
+                       date_diff('second', lag(ts) OVER (
+                           PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ), ts) AS _gap
+                FROM {_TRANS}
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+                   round(avg(length(text)), 9) AS avg_turn_chars,
+                   CAST(coalesce(max(_gap), 0) AS BIGINT) AS max_gap_sec
+            FROM g GROUP BY conv_id""",
         "evt_scd2_user_state": _SCD2_SQL,
         "evt_scd2_snapshot": f"""
             SELECT * FROM ({_SCD2_SQL})

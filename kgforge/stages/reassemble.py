@@ -57,3 +57,62 @@ def conversation_text(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
         "n_turns",
         F.array_join(F.transform("turns", lambda t: t["text"]), sep).alias("text"),
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural profile of the transcript table —
+    the input-side analytics a pipeline owner reads before extraction:
+    ``(conv_id, n_turns, n_roles, n_user, n_assistant, n_tool_turns,
+    n_tool_calls, duration_sec, avg_turn_chars, max_gap_sec)``.
+
+    * ``n_tool_turns`` counts role='tool' turns; ``n_tool_calls``
+      counts turns with a non-null ``tool`` column (an assistant turn
+      that invoked a tool also counts) — the two disagree exactly where
+      tool output was inlined, which is worth surfacing;
+    * ``duration_sec`` / ``max_gap_sec``: wall span and the largest
+      inter-turn gap under the stable (ts, turn_idx) ordering — the
+      session-boundary signal for long-running agent conversations.
+      Whole-second integer diffs (``timestampdiff``): timezone-free on
+      TIMESTAMP_NTZ columns (an epoch cast would route through the
+      session timezone) and exact on the second-aligned fixture.
+
+    Plan: ONE window pass (lag over the conv partition, the same
+    ordering contract B1 uses) feeding ONE groupBy(conv_id) with every
+    metric as a conditional aggregate — a single shuffle on conv_id;
+    conversation skew bounds a partition at the conversation's own turn
+    count (the pipeline's documented hot-key profile). Fractions round
+    at 9; counts are BIGINT — the oracle contract."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap = F.expr("timestampdiff(SECOND, _prev_ts, ts)")
+    return (
+        transcripts.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_gap", gap)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.count_distinct("role").cast("long").alias("n_roles"),
+            F.sum((F.col("role") == "user").cast("long")).cast("long").alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("long"))
+            .cast("long")
+            .alias("n_assistant"),
+            F.sum((F.col("role") == "tool").cast("long"))
+            .cast("long")
+            .alias("n_tool_turns"),
+            F.sum(F.col("tool").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_tool_calls"),
+            F.min("ts").alias("_min_ts"),
+            F.max("ts").alias("_max_ts"),
+            F.round(F.avg(F.length("text")), 9).alias("avg_turn_chars"),
+            F.coalesce(F.max("_gap"), F.lit(0)).cast("long").alias("max_gap_sec"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.expr("timestampdiff(SECOND, _min_ts, _max_ts)").cast("long"),
+        )
+        .select(
+            "conv_id", "n_turns", "n_roles", "n_user", "n_assistant",
+            "n_tool_turns", "n_tool_calls", "duration_sec",
+            "avg_turn_chars", "max_gap_sec",
+        )
+    )

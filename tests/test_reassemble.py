@@ -62,3 +62,37 @@ def test_ordering_ignores_input_partitioning(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_conversation_profile_matches_manual(spark):
+    import datetime as dt
+
+    from kgforge.stages.reassemble import conversation_profile
+
+    def ts(m, s=0):
+        return dt.datetime(2026, 1, 1, 0, m, s)
+
+    rows = [
+        # c1: gaps 60s then 180s; one tool call on an assistant turn
+        ("c1", 0, "user", "hi there", None, ts(0)),
+        ("c1", 1, "assistant", "hello!", "calc", ts(1)),
+        ("c1", 2, "tool", "42", "calc", ts(4)),
+        # c2: single turn -> duration 0, gap 0
+        ("c2", 0, "user", "solo", None, ts(10)),
+        # c3: same-ts turns ordered by turn_idx -> gap 0 then 30
+        ("c3", 1, "assistant", "b", None, ts(20)),
+        ("c3", 0, "user", "aaaa", None, ts(20)),
+        ("c3", 2, "user", "c", None, ts(20, 30)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r.asDict() for r in conversation_profile(df).collect()}
+    assert got["c1"]["n_turns"] == 3 and got["c1"]["n_roles"] == 3
+    assert got["c1"]["n_user"] == 1 and got["c1"]["n_assistant"] == 1
+    assert got["c1"]["n_tool_turns"] == 1 and got["c1"]["n_tool_calls"] == 2
+    assert got["c1"]["duration_sec"] == 240 and got["c1"]["max_gap_sec"] == 180
+    assert got["c1"]["avg_turn_chars"] == round((8 + 6 + 2) / 3, 9)
+    assert got["c2"]["duration_sec"] == 0 and got["c2"]["max_gap_sec"] == 0
+    assert got["c3"]["n_turns"] == 3 and got["c3"]["max_gap_sec"] == 30
+    assert got["c3"]["duration_sec"] == 30
