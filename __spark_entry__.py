@@ -1678,6 +1678,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         window pass + one groupBy sharing a single conv_id shuffle."""
         return reassemble.conversation_profile(_transcripts(spark, sf))
 
+    def docs_token_budget(spark, sf):
+        """Token-budget corpus curation: quality docs first (doc_id
+        tie-break), keep while the running whitespace-token total fits
+        5,000 — the two-phase distributed cumulative sum (range
+        repartition + partition-local window + broadcast offsets), no
+        single-partition global window anywhere. Integer cumsum =
+        exact, partitioning-independent; oracle = the global QUALIFY
+        running sum."""
+        return textops.token_budget_select(
+            spark.read.parquet(f"{sf}/documents.parquet"), budget_tokens=5000
+        )
+
     def kg_modularity(spark, sf):
         """Quality gate for the LPA communities: Newman modularity
         breakdown per community (intra-edge count, subgraph degree sum,
@@ -2323,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12b_distmult_training": a12b_distmult_training,
         "kg_node2vec_walks": kg_node2vec_walks,
         "b1b_conversation_profile": b1b_conversation_profile,
+        "docs_token_budget": docs_token_budget,
     }
 
 
@@ -3919,6 +3932,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 9) AS avg_turn_chars,
                    CAST(coalesce(max(_gap), 0) AS BIGINT) AS max_gap_sec
             FROM g GROUP BY conv_id""",
+        "docs_token_budget": r"""
+            WITH m AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                           AS n_tokens_ws,
+                       (len(string_split_regex(trim(text), '\s+')) >= 5
+                        AND length(text) >= 20
+                        AND CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                            / length(text) < 0.2) AS quality_ok
+                FROM documents
+            )
+            SELECT doc_id, quality_ok, n_tokens_ws,
+                   CAST(sum(n_tokens_ws) OVER (
+                       ORDER BY quality_ok DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_amount
+            FROM m
+            QUALIFY cum_amount <= 5000""",
         "evt_scd2_user_state": _SCD2_SQL,
         "evt_scd2_snapshot": f"""
             SELECT * FROM ({_SCD2_SQL})

@@ -716,3 +716,88 @@ def neardup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "group_size",
         (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
     )
+
+
+def prefix_by_budget(
+    df: DataFrame,
+    order_cols: list,
+    amount_col: str,
+    budget: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Keep the prefix of ``df`` under the GLOBAL total order
+    ``order_cols`` whose running sum of ``amount_col`` stays within
+    ``budget`` — the corpus-curation primitive ("take the best
+    documents until the token budget is spent") that naively needs a
+    global running-sum window, i.e. a single-partition sort.
+
+    Two-phase distributed cumulative sum instead: range-repartition on
+    the order key (global order across partitions), per-partition local
+    running sums under one partition-local window, then per-partition
+    totals — a PARTITION-COUNT-sized driver collect — prefix-summed
+    into offsets and broadcast back. ``global_cum = local_cum +
+    offset(partition)``. No single-partition stage anywhere; the result
+    is independent of where the range boundaries land because offsets
+    correct for any split, PROVIDED the order key is a total order —
+    pass a unique tie-breaker (duplicate keys split across a range
+    boundary would otherwise cum in arbitrary relative order).
+
+    Integer amounts make every cumulative sum exact and associative —
+    the same engine-parity argument as the decimal running-revenue
+    query. Rows with ``cum > budget`` are dropped; the first row alone
+    exceeding the budget yields an empty prefix (strict contract).
+    """
+    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_cum_local", F.sum(F.col(amount_col).cast("long")).over(w)
+    )
+    # partition totals: partition-count-sized, never data-sized
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in local.groupBy("_pid")
+        .agg(F.max("_cum_local").alias("_tot"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "_pid int, _off long",
+        )
+    )
+    return (
+        local.join(off_df, "_pid")
+        .withColumn("cum_amount", (F.col("_cum_local") + F.col("_off")).cast("long"))
+        .where(F.col("cum_amount") <= F.lit(int(budget)))
+        .drop("_pid", "_cum_local", "_off")
+    )
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Token-budget corpus curation: quality documents first (then
+    doc_id — the unique tie-breaker the two-phase cumsum requires),
+    keep documents while the running whitespace-token total fits
+    ``budget_tokens``. Output: ``(doc_id, quality_ok, n_tokens_ws,
+    cum_amount)`` for the kept prefix."""
+    ranked = (
+        quality_scores(docs)
+        .select("doc_id", "quality_ok")
+        .join(token_counts(docs).select("doc_id", "n_tokens_ws"), "doc_id")
+    )
+    return prefix_by_budget(
+        ranked,
+        [F.col("quality_ok").desc(), F.col("doc_id")],
+        "n_tokens_ws",
+        budget_tokens,
+    ).select("doc_id", "quality_ok", "n_tokens_ws", "cum_amount")

@@ -994,3 +994,39 @@ def test_node2vec_huge_p_never_backtracks_on_cycle(spark):
             assert seq[i] != seq[i - 2], seq  # immediate return suppressed
     empty = spark.createDataFrame([], "h long, t long, r long")
     assert node2vec_walks(empty).count() == 0
+
+
+def test_prefix_by_budget_matches_global_cumsum(spark):
+    """Two-phase distributed running sum == the single-machine global
+    cumsum, for any repartitioning; plan uses range partitioning (no
+    single-partition global window)."""
+    import numpy as np
+
+    from kgforge.textops import prefix_by_budget
+
+    rng = np.random.default_rng(97)
+    pdf = pd.DataFrame(
+        {"k": rng.permutation(200), "amt": rng.integers(1, 50, 200)}
+    )
+    budget = int(pdf.sort_values("k")["amt"].cumsum().iloc[120])
+    want = pdf.sort_values("k").assign(cum=lambda d: d["amt"].cumsum())
+    want = want[want["cum"] <= budget][["k", "amt", "cum"]]
+    for parts in (1, 7, 64):
+        df = spark.createDataFrame(pdf).repartition(11)
+        got = (
+            prefix_by_budget(df, [F.col("k")], "amt", budget, num_ranges=parts)
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(got["k"]) == list(want["k"])
+        assert list(got["cum_amount"]) == list(want["cum"])
+    plan = (
+        prefix_by_budget(spark.createDataFrame(pdf), [F.col("k")], "amt", budget)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    # strict prefix: a budget below the first row selects nothing
+    assert prefix_by_budget(spark.createDataFrame(pdf), [F.col("k")], "amt", 0).count() == 0
