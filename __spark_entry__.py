@@ -1881,6 +1881,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, t, snap1, out1, _gaz_pdf(), patterns_df(), gaz, e2id, r2id
         )
 
+    def cat_schema_evolution(spark, sf):
+        """Iceberg add-column schema evolution: the first commit writes
+        a narrow (event_id, user_id) schema, the second appends with an
+        extra value column under allow_schema_evolution=True; read()
+        null-fills the pre-evolution rows (allowMissingColumns union).
+        The oracle replays the same md5 split with a CASE NULL."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        gate = F.md5(F.col("event_id").cast("string").cast("binary")) < "8"
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_evo_"))
+        t.append(ev.where(gate).select("event_id", "user_id"))
+        t.append(ev.where(~gate), allow_schema_evolution=True)
+        return t.read(spark)
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -2336,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": kg_node2vec_walks,
         "b1b_conversation_profile": b1b_conversation_profile,
         "docs_token_budget": docs_token_budget,
+        "cat_schema_evolution": cat_schema_evolution,
     }
 
 
@@ -3913,6 +3933,11 @@ def oracle_sql() -> dict[str, str]:
         "str_catalog_ingest": """
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'""",
+        "cat_schema_evolution": """
+            SELECT event_id, user_id,
+                   CASE WHEN md5(CAST(event_id AS VARCHAR)) < '8'
+                        THEN NULL ELSE value END AS value
+            FROM events""",
         "b1b_conversation_profile": f"""
             WITH g AS MATERIALIZED (
                 SELECT conv_id, role, tool, text, ts,

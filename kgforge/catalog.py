@@ -100,6 +100,7 @@ class IcebergLiteTable:
             "partition_spec": list(partition_by),
             "data_dir": os.path.relpath(data_dir, self.root),
             "files": self._list_data_files(data_dir),
+            "columns": list(df.columns),
             "summary": {"row_count": row_count},
         }
         with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
@@ -117,6 +118,7 @@ class IcebergLiteTable:
         row_count: int | None = None,
         max_data_dirs: int = 64,
         summary_extra: dict | None = None,
+        allow_schema_evolution: bool = False,
     ) -> dict:
         """Append commit: new data files land in their own ``data/v<n>/``
         dir; the snapshot references the parent's dirs PLUS the new one
@@ -145,6 +147,19 @@ class IcebergLiteTable:
                 f"append partition_by {list(partition_by)} != table spec "
                 f"{prev.get('partition_spec')} (use overwrite() to change the spec)"
             )
+        # schema evolution (Iceberg add-column): a silent column drift is
+        # almost always a writer bug, so a differing column set REFUSES
+        # unless the caller opts in; with the opt-in, read()'s
+        # allowMissingColumns union null-fills the missing side — old
+        # snapshots keep their own schema (time travel is unaffected)
+        prev_cols = prev.get("columns") if prev else None
+        if prev_cols is not None and sorted(df.columns) != sorted(prev_cols):
+            if not allow_schema_evolution:
+                raise ValueError(
+                    f"append columns {sorted(df.columns)} != table schema "
+                    f"{sorted(prev_cols)}; pass allow_schema_evolution=True "
+                    "to commit an add/drop-column evolution"
+                )
         prev_dirs = (prev.get("data_dirs") or [prev["data_dir"]]) if prev else []
         prev_id = prev["snapshot_id"] if prev else 0
         snap_id = prev_id + 1
@@ -162,6 +177,7 @@ class IcebergLiteTable:
             "data_dir": dirs[0],
             "data_dirs": dirs,
             "files": [f for d in dirs for f in self._list_data_files(os.path.join(self.root, d))],
+            "columns": list(df.columns),
             "summary": {
                 "row_count": row_count,
                 "operation": "append",
@@ -273,7 +289,9 @@ class IcebergLiteTable:
         for d in dirs:
             data_dir = os.path.join(self.root, d)
             part = spark.read.option("basePath", data_dir).parquet(data_dir)
-            out = part if out is None else out.unionByName(part)
+            # allowMissingColumns: schema-evolved commits null-fill the
+            # columns the other side lacks (Iceberg add-column reads)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -290,5 +308,7 @@ class IcebergLiteTable:
         for d in dirs:
             data_dir = os.path.join(self.root, d)
             part = spark.read.option("basePath", data_dir).parquet(data_dir)
-            out = part if out is None else out.unionByName(part)
+            # allowMissingColumns: schema-evolved commits null-fill the
+            # columns the other side lacks (Iceberg add-column reads)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out

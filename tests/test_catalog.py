@@ -131,3 +131,36 @@ def test_append_guards_partition_spec_and_dir_bound(spark, tmp_path):
     t2.append(_df(spark, [2]), max_data_dirs=2)
     with pytest.raises(RuntimeError, match="compact"):
         t2.append(_df(spark, [3]), max_data_dirs=2)
+
+
+def test_schema_evolution_gated_and_null_filled(spark, tmp_path):
+    """Column drift without the opt-in refuses; with it, reads null-fill
+    pre-evolution rows, time travel keeps old schemas, and compaction
+    materializes the merged schema."""
+    import pandas as pd
+    import pytest as _pt
+
+    from kgforge.catalog import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})))
+    with _pt.raises(ValueError, match="allow_schema_evolution"):
+        t.append(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [3], "v": ["c"], "extra": [9]})
+            )
+        )
+    t.append(
+        spark.createDataFrame(pd.DataFrame({"k": [3], "v": ["c"], "extra": [9]})),
+        allow_schema_evolution=True,
+    )
+    snap2 = t.current_snapshot_id()
+    got = {r["k"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9)}
+    # time travel to the pre-evolution snapshot: narrow schema only
+    pre = t.read(spark, snapshot_id=snap2 - 1)
+    assert sorted(pre.columns) == ["k", "v"] and pre.count() == 2
+    # compaction materializes the merged schema; rows unchanged
+    t.compact(spark)
+    got2 = {r["k"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert got2 == got
