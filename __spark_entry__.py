@@ -1434,6 +1434,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(d, ignore_errors=True)
         return spark.table(name).dropDuplicates(["s", "p", "o"])
 
+    def str_kg_to_catalog(spark, sf):
+        """The full low-latency ingest story: transcript stream ->
+        streaming extraction -> broadcast dictionary link -> dense-id
+        triples -> idempotent fast-append commits INTO the Iceberg-lite
+        catalog (several micro-batches), then a batch read of the
+        committed table. Same oracle as str_continuous_kg: however the
+        stream was micro-batched and committed, the table equals the
+        batch build."""
+        import tempfile
+
+        from kgforge import streaming
+        from kgforge.catalog import IcebergLiteTable
+        from kgforge.fixtures import patterns_df
+
+        src = os.path.join(_fixture_dir(sf), "transcripts.parquet")
+        d = tempfile.mkdtemp(prefix="kgforge_skgc_")
+        sdir = os.path.join(d, "in")
+        # multi-file copy => several micro-batches (maxFilesPerTrigger=8)
+        spark.read.parquet(src).repartition(24).write.parquet(sdir)
+        st = streaming.stream_transcripts(spark, sdir)
+        tri = streaming.stream_triples(st, _gaz_pdf(), patterns_df())
+        gaz, _, e2id, r2id = _dicts(spark)
+        surf2canon = gaz.select("surface", "canonical")
+        linked = (
+            tri.join(
+                F.broadcast(surf2canon.withColumnRenamed("surface", "subj")
+                            .withColumnRenamed("canonical", "_sc")), "subj"
+            )
+            .join(
+                F.broadcast(surf2canon.withColumnRenamed("surface", "obj")
+                            .withColumnRenamed("canonical", "_oc")), "obj"
+            )
+            .join(F.broadcast(e2id.withColumnRenamed("name", "_sc")
+                              .withColumnRenamed("id", "s")), "_sc")
+            .join(F.broadcast(e2id.withColumnRenamed("name", "_oc")
+                              .withColumnRenamed("id", "o")), "_oc")
+            .join(F.broadcast(r2id.withColumnRenamed("name", "pred")
+                              .withColumnRenamed("id", "p")), "pred")
+            .select("s", "p", "o")
+        )
+        t = IcebergLiteTable(os.path.join(d, "tbl"))
+        streaming.stream_to_catalog(linked, t, os.path.join(d, "ckpt"), source_id="kg")
+        return t.read(spark).dropDuplicates(["s", "p", "o"])
+
     def str_view_purchase_join(spark, sf):
         # stream-stream interval join: every view event pairs with the
         # same user's purchase events that follow within 30 minutes.
@@ -2356,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1b_conversation_profile": b1b_conversation_profile,
         "docs_token_budget": docs_token_budget,
         "cat_schema_evolution": cat_schema_evolution,
+        "str_kg_to_catalog": str_kg_to_catalog,
     }
 
 
@@ -3395,6 +3440,18 @@ _INV_RELS_SQL = (
     FROM ov JOIN tot t ON ov.r1 = t.r1"""
 )
 
+_CONTINUOUS_KG_SQL = f"""
+    WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+    ext AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD})
+    SELECT DISTINCT es.id AS s, rr.id AS p, eo.id AS o
+    FROM ext
+    JOIN {_GAZ} gs ON ext.subj = gs.surface
+    JOIN {_GAZ} go ON ext.obj = go.surface
+    JOIN e es ON gs.canonical = es.name
+    JOIN e eo ON go.canonical = eo.name
+    JOIN r rr ON ext.pred = rr.name
+"""
+
 _NGRAM_PAIRS_CTES = """
     toks AS (
         SELECT doc_id, string_split_regex(__NORM__, '\\s+') AS t FROM documents),
@@ -3814,17 +3871,10 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
             WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         """,
-        "str_continuous_kg": f"""
-            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
-            ext AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM {_GOLD})
-            SELECT DISTINCT es.id AS s, rr.id AS p, eo.id AS o
-            FROM ext
-            JOIN {_GAZ} gs ON ext.subj = gs.surface
-            JOIN {_GAZ} go ON ext.obj = go.surface
-            JOIN e es ON gs.canonical = es.name
-            JOIN e eo ON go.canonical = eo.name
-            JOIN r rr ON ext.pred = rr.name
-        """,
+        "str_continuous_kg": _CONTINUOUS_KG_SQL,
+        # same replay: the catalog-committed stream must equal the batch
+        # build no matter how it was micro-batched
+        "str_kg_to_catalog": _CONTINUOUS_KG_SQL,
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang WHEN 'en' THEN '4ccccccccccccc000000000000000000' WHEN 'es' THEN '80000000000000000000000000000000' WHEN 'fr' THEN '80000000000000000000000000000000' WHEN 'de' THEN 'g' WHEN 'zh' THEN 'g' ELSE '00000000000000000000000000000000' END
