@@ -1925,6 +1925,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, t, snap1, out1, _gaz_pdf(), patterns_df(), gaz, e2id, r2id
         )
 
+    def q5_local_supplier_volume(spark, sf):
+        """TPC-H Q5 shape — the 6-table star join: revenue per nation
+        for ASIA-region suppliers serving same-nation customers in one
+        order-year. Plan: region/nation/customer/supplier broadcast
+        (dims), ONE shuffle joins the two facts on l_orderkey, decimal-
+        exact revenue sum (the q1 money contract), TakeOrdered output.
+        The customer-nation == supplier-nation equi-condition rides the
+        same join, no extra shuffle."""
+        rd = lambda t: spark.read.parquet(f"{sf}/{t}.parquet")  # noqa: E731
+        asia_nations = (
+            rd("nation")
+            .join(
+                F.broadcast(rd("region").where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey", "n_name")
+        )
+        cust = rd("customer").join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+        supp = rd("supplier").select("s_suppkey", "s_nationkey")
+        orders = rd("orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        li = rd("lineitem")
+        rev = (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name")
+        )
+
     def cat_schema_evolution(spark, sf):
         """Iceberg add-column schema evolution: the first commit writes
         a narrow (event_id, user_id) schema, the second appends with an
@@ -2401,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": docs_token_budget,
         "cat_schema_evolution": cat_schema_evolution,
         "str_kg_to_catalog": str_kg_to_catalog,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
     }
 
 
@@ -3983,6 +4025,23 @@ def oracle_sql() -> dict[str, str]:
         "str_catalog_ingest": """
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'""",
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                       AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
         "cat_schema_evolution": """
             SELECT event_id, user_id,
                    CASE WHEN md5(CAST(event_id AS VARCHAR)) < '8'
