@@ -1734,6 +1734,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/documents.parquet"), budget_tokens=5000
         )
 
+    def kg_deepwalk_embeddings(spark, sf):
+        """DeepWalk end to end over the constructed KG: walks ->
+        skip-gram pair counts -> distributed param-averaged SGNS
+        (A13's scheme) -> structural entity embeddings. Property row:
+        the pair count (oracle replays the walk+pairing SQL) and the
+        separation gate — observed pairs must be more cosine-similar
+        than uniform-random pairs after training."""
+        from kgforge import graphembed, graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        n_nodes = int(e2id.count())
+        walks = graphstats.random_walks(tri, num_walks=2, walk_length=4)
+        pairs = graphstats.walk_skipgram_pairs(walks, window=2)
+        emb = graphembed.train_deepwalk(
+            spark, pairs, n_nodes=n_nodes, dim=16, rounds=4,
+            epochs_per_round=12, lr=0.05, neg=3, n_shards=4, seed=9,
+        )
+        ppd = pairs.toPandas()  # pair-count-sized (bounded by |V|^2 at window 2)
+        # the golden KG is near-complete (60 nodes / ~4.8k triples), so
+        # observed-vs-random cosine cannot separate (observed == nearly
+        # all pairs); the informative gate on dense graphs is frequency
+        # ORDERING: top-quartile-count pairs must embed closer than
+        # bottom-quartile ones (graphembed.frequency_ordering_gate)
+        hi, lo = graphembed.frequency_ordering_gate(emb["in"], ppd)
+        return spark.createDataFrame(
+            [(int(len(ppd)), bool(hi > lo))], "n_pairs long, separated boolean"
+        )
+
     def kg_modularity(spark, sf):
         """Quality gate for the LPA communities: Newman modularity
         breakdown per community (intra-edge count, subgraph degree sum,
@@ -2443,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_schema_evolution": cat_schema_evolution,
         "str_kg_to_catalog": str_kg_to_catalog,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "kg_deepwalk_embeddings": kg_deepwalk_embeddings,
     }
 
 
@@ -4011,6 +4043,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": _node2vec_sql(2, 4, 4.0, 0.25),
         "kg_personalized_pagerank": _ppr_sql(5),
         "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
+        # property oracle: the pair COUNT replays the identical walk +
+        # band-pairing SQL; the separation gate is the training property
+        "kg_deepwalk_embeddings": f"""
+            SELECT CAST((SELECT count(*) FROM ({_skipgram_sql(2, 4, 2)})) AS BIGINT)
+                       AS n_pairs,
+                   TRUE AS separated""",
         "kg_adamic_adar": _adamic_adar_sql(20),
         "kg_hits": _hits_sql(5),
         "kg_modularity": _modularity_sql(4),
