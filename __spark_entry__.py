@@ -2016,6 +2016,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.append(ev.where(~gate), allow_schema_evolution=True)
         return t.read(spark)
 
+    def cat_upsert(spark, sf):
+        """Copy-on-write MERGE INTO: doubled values arrive for the
+        low-id half of the events plus a batch of brand-new keys; one
+        anti-join + union + overwrite commit. The oracle replays the
+        merge as CASE + UNION; time travel to the pre-merge snapshot is
+        pinned by pytest."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "value")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_ups_"))
+        t.append(ev)
+        updates = ev.where(F.col("event_id") < 2000).select(
+            "event_id", (F.col("value") * 2).alias("value")
+        )
+        inserts = ev.where(F.col("event_id") < 100).select(
+            (F.col("event_id") + 100000).alias("event_id"),
+            F.lit(1.0).alias("value"),
+        )
+        t.upsert(spark, updates.unionByName(inserts), ["event_id"])
+        return t.read(spark)
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -2475,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_kg_to_catalog": str_kg_to_catalog,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "kg_deepwalk_embeddings": kg_deepwalk_embeddings,
+        "cat_upsert": cat_upsert,
     }
 
 
@@ -4080,6 +4104,12 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name""",
+        "cat_upsert": """
+            SELECT event_id,
+                   CASE WHEN event_id < 2000 THEN value * 2 ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + 100000, 1.0 FROM events WHERE event_id < 100""",
         "cat_schema_evolution": """
             SELECT event_id, user_id,
                    CASE WHEN md5(CAST(event_id AS VARCHAR)) < '8'

@@ -192,6 +192,46 @@ class IcebergLiteTable:
         os.replace(tmp, self._hint_path())
         return manifest
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        row_count: int | None = None,
+    ) -> dict:
+        """MERGE INTO, copy-on-write: rows of ``df`` REPLACE current
+        rows sharing their key; unmatched keys insert. One anti-join of
+        the current table against the incoming keys, a union, and an
+        overwrite commit — a NEW snapshot, so time travel to the
+        pre-merge state keeps working (Iceberg's copy-on-write MERGE;
+        the merge-on-read delete-file variant is the read-optimized
+        alternative this adapter deliberately skips).
+
+        Scale shape: the anti-join shuffles on the key unless the
+        incoming batch broadcasts (AQE decides — the common case for
+        CDC-sized updates against a large table); the rewrite cost is
+        the whole table, which is exactly copy-on-write's documented
+        trade (cheap reads, expensive writes) — partition_by keys that
+        align with the update pattern bound the rewrite in real Iceberg;
+        here the rewrite is total, documented."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        incoming_keys = df.select(*key_cols).dropDuplicates()
+        merged = (
+            self.read(spark)
+            .join(incoming_keys, key_cols, "left_anti")
+            .unionByName(df)
+        )
+        m = self.overwrite(
+            merged, partition_by=tuple(snap.get("partition_spec") or ()),
+            row_count=row_count,
+        )
+        m["summary"]["operation"] = "upsert"
+        with open(os.path.join(self.meta, f"snap-{m['snapshot_id']}.json"), "w") as f:
+            json.dump(m, f, indent=1)
+        return m
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
         """Maintenance: rewrite the current snapshot's data into
         ``target_files`` files per partition (the small-files problem —

@@ -164,3 +164,28 @@ def test_schema_evolution_gated_and_null_filled(spark, tmp_path):
     t.compact(spark)
     got2 = {r["k"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
     assert got2 == got
+
+
+def test_upsert_updates_inserts_and_preserves_history(spark, tmp_path):
+    import pandas as pd
+
+    from kgforge.catalog import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    )
+    pre = t.current_snapshot_id()
+    t.upsert(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": [2, 9], "v": ["B", "z"]})),
+        ["k"],
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "z"}  # update + insert
+    # key uniqueness preserved
+    assert t.read(spark).count() == t.read(spark).select("k").distinct().count()
+    # pre-merge snapshot untouched (copy-on-write commits a NEW snapshot)
+    old = {r["k"]: r["v"] for r in t.read(spark, snapshot_id=pre).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    assert t.snapshot()["summary"]["operation"] == "upsert"
