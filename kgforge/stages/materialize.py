@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 
 def dense_ids(names: DataFrame, name_col: str = "name") -> DataFrame:
-    """Distinct names → ``(name, id)`` with ids dense 0..N-1, ordered by name."""
+    """Distinct names → ``(name, id)`` with ids dense 0..N-1, ordered by
+    name. Deliberately a single-partition global row_number — correct at
+    DICTIONARY cardinality only (see :func:`two_phase_dense_ids` for the
+    corpus-scale path). Spark's WindowExec single-partition warning on
+    this operator is expected and benign: Spark 4 emits it whenever the
+    window executes in one partition, even under a constant partition
+    key (verified — both lit(1) and column-derived constants still
+    warn), so it cannot be silenced without changing the plan."""
     w = Window.orderBy(name_col)
     return (
         names.select(F.col(name_col).alias("name"))
@@ -46,6 +53,8 @@ def two_phase_dense_ids(names: DataFrame, name_col: str = "name", buckets: int =
             "offset",
             F.coalesce(
                 F.sum("count").over(
+                    # bucket-COUNT-sized table (≤ `buckets` rows): the
+                    # single-partition WindowExec warning here is benign
                     Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
