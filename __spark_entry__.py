@@ -316,6 +316,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = gaz.select(F.col("surface").alias("a"), F.col("canonical").alias("b"))
         return canonicalize.connected_components(edges)
 
+    def b8b_component_sizes(spark, sf):
+        """Canonicalization quality profile: the alias-graph component
+        SIZE DISTRIBUTION (component_size, n_components) — a giant
+        component means over-merging, all-singletons means the blocker
+        found nothing; the first thing to read after B8. One extra
+        count aggregation over the CC labels."""
+        gaz, _, _, _ = _dicts(spark)
+        edges = gaz.select(F.col("surface").alias("a"), F.col("canonical").alias("b"))
+        cc = canonicalize.connected_components(edges)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("component_size")
+        )
+        return sizes.groupBy("component_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_components")
+        )
+
     def a2_triple_dedup(spark, sf):
         t = _openke(spark, "train2id")
         return t.unionAll(t).dropDuplicates(["h", "t", "r"])
@@ -1734,6 +1750,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/documents.parquet"), budget_tokens=5000
         )
 
+    def kg_pagerank_weighted(spark, sf):
+        """PageRank over the multi-edge KG: rank distributes
+        proportionally to the number of distinct predicates linking a
+        pair — the importance that respects relation multiplicity,
+        which the distinct-edge kg_pagerank erases. Same round-9
+        power-method contract; unrolled weighted-CTE oracle."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.pagerank_weighted(tri, n_iter=5)
+
     def kg_deepwalk_embeddings(spark, sf):
         """DeepWalk end to end over the constructed KG: walks ->
         skip-gram pair counts -> distributed param-averaged SGNS
@@ -2499,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "kg_deepwalk_embeddings": kg_deepwalk_embeddings,
         "cat_upsert": cat_upsert,
+        "b8b_component_sizes": b8b_component_sizes,
+        "kg_pagerank_weighted": kg_pagerank_weighted,
     }
 
 
@@ -2843,6 +2875,48 @@ def _adamic_adar_sql(k: int = 20) -> str:
         ORDER BY score DESC, w.x, w.y
         LIMIT {k}"""
     )
+
+
+def _pagerank_weighted_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED power method: edge weight = distinct-predicate
+    count per (h, t) pair, contribution = rank · w / out-strength —
+    the same update ``graphstats.pagerank_weighted`` runs, same
+    per-iteration round(…, 9)."""
+    chain = (
+        _KG_GRAPH_CTES
+        + """,
+        edges AS MATERIALIZED (
+            SELECT h AS src, t AS dst, CAST(count(*) AS DOUBLE) AS w
+            FROM tri WHERE h <> t GROUP BY h, t
+        ),
+        nodes AS MATERIALIZED (SELECT src AS e FROM edges UNION SELECT dst FROM edges),
+        outs AS MATERIALIZED (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT e, round(1.0 / nn.n, 9) AS "rank" FROM nodes, nn)"""
+    )
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        r{i} AS MATERIALIZED (
+            SELECT nodes.e,
+                   round((1.0 - {damping}) / nn.n
+                         + {damping} * (coalesce(c.contrib, 0.0) + dg.dang / nn.n),
+                         9) AS "rank"
+            FROM nodes
+            CROSS JOIN nn
+            CROSS JOIN (
+                SELECT coalesce(sum(p."rank"), 0.0) AS dang
+                FROM r{i - 1} p LEFT JOIN outs o ON p.e = o.src
+                WHERE o.src IS NULL
+            ) dg
+            LEFT JOIN (
+                SELECT ed.dst AS e, sum(p."rank" * ed.w / o.sw) AS contrib
+                FROM edges ed
+                JOIN r{i - 1} p ON ed.src = p.e
+                JOIN outs o ON ed.src = o.src
+                GROUP BY ed.dst
+            ) c ON nodes.e = c.e
+        )"""
+    return chain + f'\n        SELECT e, "rank" FROM r{n_iter}'
 
 
 def _hits_sql(n_iter: int = 5) -> str:
@@ -3667,6 +3741,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(comp) AS component FROM walk GROUP BY node
         """,
+        "b8b_component_sizes": f"""
+            WITH RECURSIVE
+            edges AS (
+                SELECT surface AS a, canonical AS b FROM {_GAZ}
+                UNION
+                SELECT canonical AS a, surface AS b FROM {_GAZ}
+            ),
+            walk AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b
+            ),
+            cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+            sizes AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS component_size
+                FROM cc GROUP BY component
+            )
+            SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY component_size
+        """,
         "a2_triple_dedup": f"""
             SELECT DISTINCT h, t, r FROM (
                 SELECT * FROM read_parquet('{OKE}/train2id.parquet')
@@ -4075,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS separated""",
         "kg_adamic_adar": _adamic_adar_sql(20),
         "kg_hits": _hits_sql(5),
+        "kg_pagerank_weighted": _pagerank_weighted_sql(5),
         "kg_modularity": _modularity_sql(4),
         "kg_relation_properties": _REL_PROPS_SQL,
         "kg_inverse_relations": _INV_RELS_SQL,

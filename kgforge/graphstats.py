@@ -906,3 +906,73 @@ def node2vec_walks(
             state.select("start", "walk", F.lit(k).cast("long").alias("step"), "e")
         )
     return out.select("start", "walk", "step", "e")
+
+
+def pagerank_weighted(
+    triples: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """PageRank over the MULTI-edge entity graph: the edge ``h -> t``
+    carries weight = number of distinct predicates connecting the pair,
+    and each node's rank distributes proportionally to edge weight
+    (``rank · w / Σ_out w``) instead of uniformly. On a KG this is the
+    materially different importance: a pair linked by five relations
+    ships five times the endorsement of a single-relation pair, which
+    plain :func:`pagerank` (distinct-edge, weight-blind) erases.
+
+    Same fixed-iteration, per-round ``round(…, round_decimals)``
+    contract and localCheckpoint discipline as :func:`pagerank` (see
+    its docstring for the determinism and scale arguments); the only
+    structural change is the weighted edge table folding its
+    out-strength once, loop-invariant."""
+    edges = (
+        triples.where(F.col("h") != F.col("t"))
+        .groupBy(F.col("h").alias("src"), F.col("t").alias("dst"))
+        .agg(F.count_distinct("r").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outs = edges.groupBy("src").agg(F.sum("w").alias("sw"))
+    edges_w = edges.join(outs, "src").localCheckpoint()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
+    dangling = nodes.join(
+        edges.select(F.col("src").alias("e")).distinct(), "e", "left_anti"
+    ).localCheckpoint()
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"))
+        .localCheckpoint()
+    )
+    d = F.lit(damping)
+    for _ in range(n_iter):
+        contrib = (
+            edges_w.join(ranks.withColumnRenamed("e", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("sw")).alias("contrib"))
+            .withColumnRenamed("dst", "e")
+        )
+        dang = ranks.join(dangling, "e", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "e", "left")
+            .select(
+                "e",
+                F.round(
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") / F.col("n")),
+                    round_decimals,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1030,3 +1030,55 @@ def test_prefix_by_budget_matches_global_cumsum(spark):
     assert "rangepartitioning" in plan
     # strict prefix: a budget below the first row selects nothing
     assert prefix_by_budget(spark.createDataFrame(pdf), [F.col("k")], "amt", 0).count() == 0
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted PageRank == dense NumPy power method with
+    weight-proportional distribution, exact under the shared rounding
+    contract; and it must DIFFER from the unweighted rank when parallel
+    predicates exist."""
+    import numpy as np
+
+    from kgforge.graphstats import pagerank, pagerank_weighted
+
+    rng = np.random.default_rng(101)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 20, 120),
+            "t": rng.integers(0, 20, 120),
+            "r": rng.integers(0, 5, 120),
+        }
+    )
+    n_iter, d = 8, 0.85
+    got = (
+        pagerank_weighted(spark.createDataFrame(tri), n_iter=n_iter, damping=d)
+        .toPandas()
+        .set_index("e")["rank"]
+        .to_dict()
+    )
+    w = {}
+    for h, t, r in tri.itertuples(index=False):
+        if h != t:
+            w.setdefault((h, t), set()).add(r)
+    nodes = sorted({v for e in w for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for (h, t), rs in w.items():
+        a[idx[t], idx[h]] = float(len(rs))
+    sw = a.sum(axis=0)
+    rk = np.round(np.full(n, 1.0 / n), 9)
+    for _ in range(n_iter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = a @ np.where(sw > 0, rk / np.where(sw > 0, sw, 1.0), 0.0)
+        dang = rk[sw == 0].sum()
+        rk = np.round((1 - d) / n + d * (contrib + dang / n), 9)
+    want = {v: rk[idx[v]] for v in nodes}
+    assert got == want
+    unweighted = (
+        pagerank(spark.createDataFrame(tri), n_iter=n_iter, damping=d)
+        .toPandas()
+        .set_index("e")["rank"]
+        .to_dict()
+    )
+    assert got != unweighted  # parallel predicates must matter
