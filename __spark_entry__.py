@@ -2069,6 +2069,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.upsert(spark, updates.unionByName(inserts), ["event_id"])
         return t.read(spark)
 
+    def cat_delete_rows(spark, sf):
+        """Right-to-be-forgotten: copy-on-write DELETE of one user's
+        events (new snapshot; the pre-delete snapshot stays auditable
+        until expiry — pytest covers the purge half). Oracle = the
+        negated filter."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_del_"))
+        t.append(ev)
+        t.delete_where(spark, F.col("user_id") == 7)
+        return t.read(spark)
+
     def cat_compaction(spark, sf):
         """Catalog maintenance: two append commits fragment the table
         (4 files each), compact() rewrites the current snapshot into one
@@ -2531,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_upsert": cat_upsert,
         "b8b_component_sizes": b8b_component_sizes,
         "kg_pagerank_weighted": kg_pagerank_weighted,
+        "cat_delete_rows": cat_delete_rows,
     }
 
 
@@ -4199,6 +4217,9 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name""",
+        "cat_delete_rows": """
+            SELECT event_id, user_id, value FROM events
+            WHERE NOT (user_id = 7)""",
         "cat_upsert": """
             SELECT event_id,
                    CASE WHEN event_id < 2000 THEN value * 2 ELSE value END AS value

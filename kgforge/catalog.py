@@ -232,6 +232,27 @@ class IcebergLiteTable:
             json.dump(m, f, indent=1)
         return m
 
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level DELETE, copy-on-write: rows matching ``condition``
+        (a Column predicate) are removed in a NEW snapshot — the
+        right-to-be-forgotten primitive a training-data catalog needs.
+        Pre-delete snapshots still read bit-for-bit until
+        :meth:`expire_snapshots` drops them — an auditable retention
+        window by construction, and the reason a GDPR purge is
+        ``delete_where`` FOLLOWED BY expiry of every snapshot that
+        still references the old files."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        kept = self.read(spark).where(~condition)
+        m = self.overwrite(
+            kept, partition_by=tuple(snap.get("partition_spec") or ())
+        )
+        m["summary"]["operation"] = "delete"
+        with open(os.path.join(self.meta, f"snap-{m['snapshot_id']}.json"), "w") as f:
+            json.dump(m, f, indent=1)
+        return m
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
         """Maintenance: rewrite the current snapshot's data into
         ``target_files`` files per partition (the small-files problem —

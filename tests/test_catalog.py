@@ -189,3 +189,36 @@ def test_upsert_updates_inserts_and_preserves_history(spark, tmp_path):
     old = {r["k"]: r["v"] for r in t.read(spark, snapshot_id=pre).collect()}
     assert old == {1: "a", 2: "b", 3: "c"}
     assert t.snapshot()["summary"]["operation"] == "upsert"
+
+
+def test_delete_where_with_retention_purge(spark, tmp_path):
+    """Copy-on-write delete removes rows in a new snapshot; the
+    pre-delete snapshot stays readable (auditable retention) until
+    expire_snapshots purges the files that still hold the deleted
+    rows — the full right-to-be-forgotten flow."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kgforge.catalog import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame(
+            pd.DataFrame({"user": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]})
+        )
+    )
+    pre = t.current_snapshot_id()
+    t.delete_where(spark, F.col("user") == 2)
+    assert {r["v"] for r in t.read(spark).collect()} == {"a", "c"}
+    assert t.snapshot()["summary"]["operation"] == "delete"
+    # retention: the old snapshot still exposes user 2's rows...
+    assert {r["v"] for r in t.read(spark, snapshot_id=pre).collect()} == {
+        "a", "b", "c", "d",
+    }
+    # ...until expiry purges it; then the data files are really gone
+    t.expire_snapshots(keep_last=1)
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=pre).collect()
+    assert {r["v"] for r in t.read(spark).collect()} == {"a", "c"}
