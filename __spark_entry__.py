@@ -945,6 +945,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows.append((opt, bool(mean_hinge(e1, r1) < base)))
         return spark.createDataFrame(rows, "opt_method string, improved boolean")
 
+    def a12c_complex_training(spark, sf):
+        """ComplEx under the training harness: the four-matrix margin
+        trainer must cut the deterministic-corruption loss to under
+        half the untrained init's — same property-table protocol as
+        a12/a12b, scored through the shared kernels path."""
+        from kgforge import kernels, training
+
+        split, _, _ = _openke_emb()
+        n_ent, n_rel = len(split["entity2id"]), len(split["relation2id"])
+        tr = split["train2id"]
+        rng = np.random.default_rng(13)
+        er, ei = training._xavier(rng, n_ent, 16), training._xavier(rng, n_ent, 16)
+        rr, ri = training._xavier(rng, n_rel, 16), training._xavier(rng, n_rel, 16)
+
+        def mean_hinge(er_, ei_, rr_, ri_):
+            h = tr["h"].to_numpy(np.int64)
+            t = tr["t"].to_numpy(np.int64)
+            r = tr["r"].to_numpy(np.int64)
+            emb = {"ent": er_, "ent_im": ei_, "rel": rr_, "rel_im": ri_}
+            sp = kernels.score_batch("complex", emb, h, r, t)
+            sn = kernels.score_batch("complex", emb, (h + 1) % n_ent, r, t)
+            return float(np.maximum(0.0, 1.0 + sp - sn).mean())
+
+        base = mean_hinge(er, ei, rr, ri)
+        er1, ei1, rr1, ri1 = training.sgd_epochs_complex(
+            tr, er, ei, rr, ri, epochs=20, lr=0.02, margin=1.0, seed=13
+        )
+        after = mean_hinge(er1, ei1, rr1, ri1)
+        return spark.createDataFrame(
+            [("complex", bool(after < base * 0.5))],
+            "model string, improved boolean",
+        )
+
     def a11_margin_loss(spark, sf):
         # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
         # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
@@ -2549,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8b_component_sizes": b8b_component_sizes,
         "kg_pagerank_weighted": kg_pagerank_weighted,
         "cat_delete_rows": cat_delete_rows,
+        "a12c_complex_training": a12c_complex_training,
     }
 
 
@@ -3826,6 +3860,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'adagrad', TRUE
             UNION ALL SELECT 'adam', TRUE
             UNION ALL SELECT 'adadelta', TRUE
+        """,
+        "a12c_complex_training": """
+            SELECT 'complex' AS model, TRUE AS improved
         """,
         "a12b_distmult_training": """
             SELECT 'sgd' AS opt_method, TRUE AS improved

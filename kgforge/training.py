@@ -437,3 +437,80 @@ def train_incremental(
     if eval_fn is not None:
         out["history"] = history  # type: ignore[assignment]
     return out
+
+
+def sgd_epochs_complex(
+    triples: pd.DataFrame,
+    ent_re: np.ndarray,
+    ent_im: np.ndarray,
+    rel_re: np.ndarray,
+    rel_im: np.ndarray,
+    epochs: int,
+    lr: float,
+    margin: float,
+    seed: int,
+    batch_size: int = 1024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """ComplEx margin-ranking epochs (SGD): the four-matrix state
+    (entity/relation real+imaginary parts) trains under the SAME
+    margin loss and deterministic corruption as :func:`sgd_epochs`;
+    gradients are the expansion of ``∂/∂h Re(<h, r, conj(t)>)`` etc.
+    into real arithmetic (score negated per ``kernels.complex_score``,
+    so lower is better throughout). Kept a separate function: the
+    (ent, rel) pair signature of ``sgd_epochs`` is contract-frozen,
+    and ComplEx's state is simply a different shape."""
+    ent_re, ent_im = ent_re.copy(), ent_im.copy()
+    rel_re, rel_im = rel_re.copy(), rel_im.copy()
+    h_all = triples["h"].to_numpy(np.int64)
+    t_all = triples["t"].to_numpy(np.int64)
+    r_all = triples["r"].to_numpy(np.int64)
+    n = len(h_all)
+    n_ent = ent_re.shape[0]
+    n_rel_pack = int(r_all.max()) + 1 if n else 1
+    known_keys = None
+    if n and float(n_ent) * n_ent * n_rel_pack < 2**63:
+        known_keys = np.sort(_pack_keys(h_all, t_all, r_all, n_ent, n_rel_pack))
+
+    def score(hre, him, rre, rim, tre, tim):
+        return -(
+            (hre * rre - him * rim) * tre + (hre * rim + him * rre) * tim
+        ).sum(1)
+
+    for ep in range(epochs):
+        order = np.random.default_rng(seed * 7919 + ep).permutation(n)
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            h, t, r = h_all[idx], t_all[idx], r_all[idx]
+            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, None, known_keys, n_rel_pack)
+            HRE, HIM = ent_re[h], ent_im[h]
+            TRE, TIM = ent_re[t], ent_im[t]
+            RRE, RIM = rel_re[r], rel_im[r]
+            NHRE, NHIM = ent_re[nh], ent_im[nh]
+            NTRE, NTIM = ent_re[nt], ent_im[nt]
+            sp = score(HRE, HIM, RRE, RIM, TRE, TIM)
+            sn = score(NHRE, NHIM, RRE, RIM, NTRE, NTIM)
+            a = (margin + sp - sn) > 0
+            if not a.any():
+                continue
+
+            def grads(hre, him, rre, rim, tre, tim):
+                # ∂s/∂(·) for s = -Σ Re(h r conj(t)), masked to active
+                return (
+                    -(rre * tre + rim * tim)[a],        # d/d h_re
+                    -(rre * tim - rim * tre)[a],        # d/d h_im
+                    -(hre * rre - him * rim)[a],        # d/d t_re
+                    -(hre * rim + him * rre)[a],        # d/d t_im
+                    -(hre * tre + him * tim)[a],        # d/d r_re
+                    -(hre * tim - him * tre)[a],        # d/d r_im
+                )
+
+            ghr, ghi, gtr, gti, grr, gri = grads(HRE, HIM, RRE, RIM, TRE, TIM)
+            nhr, nhi, ntr, nti, nrr, nri = grads(NHRE, NHIM, RRE, RIM, NTRE, NTIM)
+            # loss = margin + sp - sn: positive grads subtract, negative add
+            _sparse_sgd(ent_re, np.concatenate([h[a], t[a], nh[a], nt[a]]),
+                        np.concatenate([ghr, gtr, -nhr, -ntr]), lr)
+            _sparse_sgd(ent_im, np.concatenate([h[a], t[a], nh[a], nt[a]]),
+                        np.concatenate([ghi, gti, -nhi, -nti]), lr)
+            _sparse_sgd(rel_re, r[a], grr - nrr, lr)
+            _sparse_sgd(rel_im, r[a], gri - nri, lr)
+    return ent_re, ent_im, rel_re, rel_im

@@ -168,3 +168,42 @@ def test_distmult_training_learns_the_split():
         model="distmult", opt_method="adagrad",
     )
     assert mean_margin_loss(ent2, rel2) < mean_margin_loss(ent0, rel0)
+
+
+def test_complex_training_learns_the_split():
+    """ComplEx four-matrix trainer: margin loss falls hard and filtered
+    Hits@10 on the memorization gate clears 3x the random baseline,
+    scored through the shared kernels path."""
+    import numpy as np
+
+    from kgforge import kernels
+    from kgforge.fixtures import gen_openke_split
+    from kgforge.training import _xavier, sgd_epochs_complex
+
+    split = gen_openke_split(n_ent=40, n_rel=4, n_train=300, n_valid=30, n_test=30)
+    train = split["train2id"]
+    rng = np.random.default_rng(5)
+    er, ei = _xavier(rng, 40, 16), _xavier(rng, 40, 16)
+    rr, ri = _xavier(rng, 4, 16), _xavier(rng, 4, 16)
+
+    def loss(er_, ei_, rr_, ri_):
+        h = train["h"].to_numpy(); t = train["t"].to_numpy(); r = train["r"].to_numpy()
+        emb = {"ent": er_, "ent_im": ei_, "rel": rr_, "rel_im": ri_}
+        sp = kernels.score_batch("complex", emb, h, r, t)
+        sn = kernels.score_batch("complex", emb, (h + 1) % 40, r, t)
+        return float(np.maximum(0.0, 1.0 + sp - sn).mean())
+
+    base = loss(er, ei, rr, ri)
+    er1, ei1, rr1, ri1 = sgd_epochs_complex(
+        train, er, ei, rr, ri, epochs=30, lr=0.02, margin=1.0, seed=3
+    )
+    assert loss(er1, ei1, rr1, ri1) < base * 0.3
+    emb = {"ent": er1, "ent_im": ei1, "rel": rr1, "rel_im": ri1}
+    hits = 0
+    sample = train.head(50)
+    for h, t, r in sample[["h", "t", "r"]].itertuples(index=False):
+        s = kernels.score_batch(
+            "complex", emb, np.full(40, h), np.full(40, r), np.arange(40)
+        )
+        hits += int((s < s[t]).sum() < 10)
+    assert hits / len(sample) > 0.75  # random baseline = 0.25
