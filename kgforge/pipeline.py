@@ -177,7 +177,12 @@ class Pipeline:
             )
             .select("a", "b")
         )
-        cc = canon.connected_components(anchored)
+        # driver_threshold: the alias graph is DICTIONARY-scale (bounded
+        # by distinct surfaces, not the corpus), so its CC wall is
+        # per-round job overhead — the union-find fast path collapses
+        # ~8 scheduling rounds into one job below the gate; above it the
+        # distributed loop runs unchanged (see connected_components)
+        cc = canon.connected_components(anchored, driver_threshold=100_000)
         # component -> min known canonical (if any anchor in component)
         comp_canon = (
             cc.join(gazmap.withColumnRenamed("surface", "node"), "node", "left")

@@ -264,8 +264,41 @@ def alias_pairs(
     return exact_jaccard_filter(cands, threshold)
 
 
+def _unionfind_components(pdf, spark) -> DataFrame:
+    """Driver-side union-find over a SMALL edge list (see
+    ``driver_threshold``): same (node, component=min member) contract as
+    the iterative-join paths, exact by construction."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pdf.itertuples(index=False):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
+    out = spark.createDataFrame(rows, schema=["node", "component"])
+    return out
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
+    edges: DataFrame,
+    max_iter: int = 25,
+    stats: dict | None = None,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """B8: hash-min CC over ``(a, b)`` string/long edges.
 
@@ -274,6 +307,19 @@ def connected_components(
     ``localCheckpoint`` per round. ``stats`` (optional dict) receives
     ``{"rounds": n}`` on convergence — the bench/cc_scale.py evidence
     hook for the O(diameter)-vs-O(log n) round-count comparison.
+
+    ``driver_threshold`` > 0 enables the scale-ADAPTIVE fast path: if
+    the symmetrized edge list is at most that many rows, run union-find
+    on the driver instead of the iterative join (identical output —
+    component = min member — just computed in one job instead of one
+    Spark job per round). The pipeline's alias graph is DICTIONARY-
+    scale (bounded by the gazetteer, not the corpus), so its CC wall
+    was almost entirely per-round job-scheduling overhead — the same
+    fixed cost that depresses measured scaling efficiency at high
+    parallelism. Default 0 keeps every existing caller (tests, the B8
+    contract query, cc_scale) on the distributed path; the threshold
+    gate plus the dictionary-scale argument is what makes this
+    driver-side step legal under the no-data-sized-collect rule.
     """
     # localCheckpoint: sym is re-joined EVERY round — without it each
     # iteration re-executes the entire upstream edge plan (at the
@@ -286,6 +332,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if driver_threshold:
+        head = sym.limit(driver_threshold + 1).toPandas()
+        if len(head) <= driver_threshold:
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["mode"] = "driver-unionfind"
+            return _unionfind_components(head, edges.sparkSession)
     labels = (
         sym.select(F.col("x").alias("node"))
         .distinct()

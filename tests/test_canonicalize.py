@@ -313,3 +313,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_driver_unionfind_equals_distributed_cc(spark):
+    """The scale-adaptive union-find fast path must return EXACTLY the
+    distributed hash-min labels (component = min member), including on
+    string nodes, chains, and isolated pairs; above the threshold the
+    distributed path still runs."""
+    import pandas as pd
+
+    from kgforge.stages.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": ["b", "c", "x", "m", "n", "q"],
+                "b": ["a", "b", "y", "n", "o", "q"],
+            }
+        )
+    )
+    stats_fast, stats_dist = {}, {}
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, stats=stats_fast, driver_threshold=1000
+        ).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, stats=stats_dist).collect()
+    }
+    assert fast == dist
+    assert stats_fast["mode"] == "driver-unionfind" and stats_fast["rounds"] == 0
+    assert stats_dist["rounds"] > 0
+    # threshold smaller than the edge list -> distributed path taken
+    stats_big = {}
+    big = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, stats=stats_big, driver_threshold=3
+        ).collect()
+    }
+    assert big == dist and "mode" not in stats_big
