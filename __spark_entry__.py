@@ -1828,6 +1828,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(len(ppd)), bool(hi > lo))], "n_pairs long, separated boolean"
         )
 
+    def kg_node2vec_pairs(spark, sf):
+        """Biased-walk training corpus end to end: skip-gram pair
+        counts over the NODE2VEC walks (p=4, q=0.25) — the table a
+        node2vec embedding trainer consumes, replacing DeepWalk's
+        uniform corpus. Oracle replays the biased walks then the band
+        pairing."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        walks = graphstats.node2vec_walks(
+            tri, num_walks=2, walk_length=4, p=4.0, q=0.25
+        )
+        return graphstats.walk_skipgram_pairs(walks, window=2)
+
     def kg_modularity(spark, sf):
         """Quality gate for the LPA communities: Newman modularity
         breakdown per community (intra-edge count, subgraph degree sum,
@@ -2583,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": kg_pagerank_weighted,
         "cat_delete_rows": cat_delete_rows,
         "a12c_complex_training": a12c_complex_training,
+        "kg_node2vec_pairs": kg_node2vec_pairs,
     }
 
 
@@ -2833,14 +2851,14 @@ def _walk_union_sql(walk_length: int) -> str:
     )
 
 
-def _node2vec_sql(
+def _node2vec_chain_sql(
     num_walks: int = 2, walk_length: int = 4, p: float = 4.0, q: float = 0.25
 ) -> str:
-    """Unrolled node2vec biased walks — each step replays the
-    hash-exponential argmin: uniform from the md5's first 15 hex digits
-    (``('0x' || hex)::UBIGINT::DOUBLE`` here == Spark's
-    ``conv(hex, 16, 10)::double``, identical IEEE values), key =
-    ``round(-ln(u)/weight, 12)``, weight by return/adjacent/outward
+    """Unrolled node2vec biased-walk CTE chain (``n0..n{L}``) — each
+    step replays the hash-exponential argmin: uniform from the md5's
+    first 15 hex digits (``('0x' || hex)::UBIGINT::DOUBLE`` here ==
+    Spark's ``conv(hex, 16, 10)::double``, identical IEEE values), key
+    = ``round(-ln(u)/weight, 12)``, weight by return/adjacent/outward
     class. State CTEs carry (start, walk, prev, e)."""
     inv_p, inv_q = repr(1.0 / p), repr(1.0 / q)
     chain = _KG_GRAPH_CTES + f""",
@@ -2870,11 +2888,44 @@ def _node2vec_sql(
                     c.v
             ) = 1
         )"""
-    steps = "\n        UNION ALL ".join(
+    return chain
+
+
+def _node2vec_union_sql(walk_length: int) -> str:
+    return "\n        UNION ALL ".join(
         f"SELECT start, walk, CAST({k} AS BIGINT) AS step, e FROM n{k}"
         for k in range(walk_length + 1)
     )
-    return chain + "\n        " + steps
+
+
+def _node2vec_sql(
+    num_walks: int = 2, walk_length: int = 4, p: float = 4.0, q: float = 0.25
+) -> str:
+    return (
+        _node2vec_chain_sql(num_walks, walk_length, p, q)
+        + "\n        "
+        + _node2vec_union_sql(walk_length)
+    )
+
+
+def _node2vec_pairs_sql(
+    num_walks: int = 2, walk_length: int = 4, p: float = 4.0,
+    q: float = 0.25, window: int = 2,
+) -> str:
+    """Skip-gram pair counts over the SAME replayed node2vec walks:
+    band self-join on the walk key, |i − j| <= window."""
+    return (
+        _node2vec_chain_sql(num_walks, walk_length, p, q)
+        + f""",
+        w AS MATERIALIZED (
+            {_node2vec_union_sql(walk_length)}
+        )
+        SELECT a.e AS center, b.e AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM w a JOIN w b ON a.start = b.start AND a.walk = b.walk
+        WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+        GROUP BY a.e, b.e"""
+    )
 
 
 def _random_walks_sql(num_walks: int = 2, walk_length: int = 4) -> str:
@@ -4214,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_propagation": _label_prop_sql(4),
         "kg_random_walks": _random_walks_sql(2, 4),
         "kg_node2vec_walks": _node2vec_sql(2, 4, 4.0, 0.25),
+        "kg_node2vec_pairs": _node2vec_pairs_sql(2, 4, 4.0, 0.25, 2),
         "kg_personalized_pagerank": _ppr_sql(5),
         "kg_skipgram_pairs": _skipgram_sql(2, 4, 2),
         # property oracle: the pair COUNT replays the identical walk +
