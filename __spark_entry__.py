@@ -2077,6 +2077,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("revenue").desc(), "n_name")
         )
 
+    def q10_returned_items(spark, sf):
+        """TPC-H Q10 shape: top-20 customers by revenue lost to
+        returned items in one quarter. Dims broadcast, ONE fact join
+        shuffle, decimal-exact revenue (q1 money contract), TakeOrdered
+        with (revenue desc, c_custkey) tie-break for an engine-exact
+        LIMIT."""
+        rd = lambda t: spark.read.parquet(f"{sf}/{t}.parquet")  # noqa: E731
+        li = rd("lineitem").where(F.col("l_returnflag") == "R")
+        orders = rd("orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        rev = (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(rd("nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+        )
+
     def cat_schema_evolution(spark, sf):
         """Iceberg add-column schema evolution: the first commit writes
         a narrow (event_id, user_id) schema, the second appends with an
@@ -2601,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_delete_rows": cat_delete_rows,
         "a12c_complex_training": a12c_complex_training,
         "kg_node2vec_pairs": kg_node2vec_pairs,
+        "q10_returned_items": q10_returned_items,
     }
 
 
@@ -4289,6 +4319,21 @@ def oracle_sql() -> dict[str, str]:
         "str_catalog_ingest": """
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'""",
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
         "q5_local_supplier_volume": """
             SELECT n_name,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
