@@ -129,6 +129,8 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     """
     row_rules = [r for r in rules if "cond" in r]
     uniq_rules = [r for r in rules if r.get("rule") == "unique"]
+    if not row_rules and not uniq_rules:
+        raise ValueError("check_expectations needs at least one rule")
     parts = []
     if row_rules:
         wide = df.agg(

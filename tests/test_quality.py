@@ -91,3 +91,10 @@ def test_quality_handles_empty_input(spark):
         empty, [Q.expect_not_null("a"), Q.expect_unique(["b"])]
     ).collect()
     assert [(r["n_violations"], r["passed"]) for r in rep] == [(0, True), (0, True)]
+
+
+def test_check_expectations_rejects_empty_rules(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one rule"):
+        Q.check_expectations(spark.range(3), [])
