@@ -978,6 +978,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "model string, improved boolean",
         )
 
+    def a12d_rotate_training(spark, sf):
+        """RotatE under the training harness: θ-parametrized rotations
+        (unit modulus by construction under any SGD step) plus complex
+        entity embeddings must cut the deterministic-corruption margin
+        loss to under half the untrained init's — same property-table
+        protocol as a12b/a12c."""
+        from kgforge import kernels, training
+
+        split, _, _ = _openke_emb()
+        n_ent, n_rel = len(split["entity2id"]), len(split["relation2id"])
+        tr = split["train2id"]
+        rng = np.random.default_rng(17)
+        er, ei = training._xavier(rng, n_ent, 16), training._xavier(rng, n_ent, 16)
+        th = rng.uniform(-np.pi, np.pi, size=(n_rel, 16))
+
+        def mean_hinge(er_, ei_, th_):
+            h = tr["h"].to_numpy(np.int64)
+            t = tr["t"].to_numpy(np.int64)
+            r = tr["r"].to_numpy(np.int64)
+            emb = {"ent": er_, "ent_im": ei_,
+                   "rot_re": np.cos(th_), "rot_im": np.sin(th_)}
+            sp = kernels.score_batch("rotate", emb, h, r, t)
+            sn = kernels.score_batch("rotate", emb, (h + 1) % n_ent, r, t)
+            return float(np.maximum(0.0, 2.0 + sp - sn).mean())
+
+        base = mean_hinge(er, ei, th)
+        er1, ei1, th1 = training.sgd_epochs_rotate(
+            tr, er, ei, th, epochs=25, lr=0.05, margin=2.0, seed=17
+        )
+        return spark.createDataFrame(
+            [("rotate", bool(mean_hinge(er1, ei1, th1) < base * 0.5))],
+            "model string, improved boolean",
+        )
+
     def a11_margin_loss(spark, sf):
         # A11 margin ranking loss in the oracle regime: a DETERMINISTIC
         # corruption (h+1 mod |E|, a bijection) replaces the RNG sampler
@@ -2631,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12c_complex_training": a12c_complex_training,
         "kg_node2vec_pairs": kg_node2vec_pairs,
         "q10_returned_items": q10_returned_items,
+        "a12d_rotate_training": a12d_rotate_training,
     }
 
 
@@ -3944,6 +3979,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12c_complex_training": """
             SELECT 'complex' AS model, TRUE AS improved
+        """,
+        "a12d_rotate_training": """
+            SELECT 'rotate' AS model, TRUE AS improved
         """,
         "a12b_distmult_training": """
             SELECT 'sgd' AS opt_method, TRUE AS improved

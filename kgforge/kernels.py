@@ -126,6 +126,15 @@ def score_batch(
     # rank flips (outputs follow input dtype otherwise).
     h = emb["ent"][h_ids].astype(np.float64)
     t = emb["ent"][t_ids].astype(np.float64)
+    if model == "rotate":
+        # rotate's relation state is the (cos θ, sin θ) pair — no "rel"
+        # table required (a θ-trained checkpoint carries only those)
+        return rotate(
+            h, emb["ent_im"][h_ids].astype(np.float64),
+            emb["rot_re"][r_ids].astype(np.float64),
+            emb["rot_im"][r_ids].astype(np.float64),
+            t, emb["ent_im"][t_ids].astype(np.float64),
+        )
     r = emb["rel"][r_ids].astype(np.float64)
     if model == "transe":
         return transe(h, r, t, norm)
@@ -135,13 +144,6 @@ def score_batch(
         return complex_score(
             h, emb["ent_im"][h_ids].astype(np.float64),
             r, emb["rel_im"][r_ids].astype(np.float64),
-            t, emb["ent_im"][t_ids].astype(np.float64),
-        )
-    if model == "rotate":
-        return rotate(
-            h, emb["ent_im"][h_ids].astype(np.float64),
-            emb["rot_re"][r_ids].astype(np.float64),
-            emb["rot_im"][r_ids].astype(np.float64),
             t, emb["ent_im"][t_ids].astype(np.float64),
         )
     if model == "transh":

@@ -514,3 +514,76 @@ def sgd_epochs_complex(
             _sparse_sgd(rel_re, r[a], grr - nrr, lr)
             _sparse_sgd(rel_im, r[a], gri - nri, lr)
     return ent_re, ent_im, rel_re, rel_im
+
+
+def sgd_epochs_rotate(
+    triples: pd.DataFrame,
+    ent_re: np.ndarray,
+    ent_im: np.ndarray,
+    theta: np.ndarray,
+    epochs: int,
+    lr: float,
+    margin: float,
+    seed: int,
+    batch_size: int = 1024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RotatE margin-ranking epochs (SGD): complex entity embeddings
+    plus per-relation rotation ANGLES ``theta`` (the trainable
+    parametrization — ``kernels.rotate`` consumes the derived
+    ``(cos θ, sin θ)`` pair, which stays unit-modulus by construction
+    no matter what SGD does to θ; training cos/sin directly would
+    drift off the unit circle). Score = Σ_k |h_k·e^{iθ_k} − t_k|;
+    gradients are the complex-modulus chain rule with the usual
+    ``max(|z|, ε)`` guard at the non-differentiable origin."""
+    ent_re, ent_im = ent_re.copy(), ent_im.copy()
+    theta = theta.copy()
+    h_all = triples["h"].to_numpy(np.int64)
+    t_all = triples["t"].to_numpy(np.int64)
+    r_all = triples["r"].to_numpy(np.int64)
+    n = len(h_all)
+    n_ent = ent_re.shape[0]
+    n_rel_pack = int(r_all.max()) + 1 if n else 1
+    known_keys = None
+    if n and float(n_ent) * n_ent * n_rel_pack < 2**63:
+        known_keys = np.sort(_pack_keys(h_all, t_all, r_all, n_ent, n_rel_pack))
+    eps = 1e-12
+
+    def parts(hre, him, c, s, tre, tim):
+        z_re = hre * c - him * s - tre
+        z_im = hre * s + him * c - tim
+        m = np.sqrt(z_re * z_re + z_im * z_im)
+        return z_re, z_im, np.maximum(m, eps)
+
+    for ep in range(epochs):
+        order = np.random.default_rng(seed * 7919 + ep).permutation(n)
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            h, t, r = h_all[idx], t_all[idx], r_all[idx]
+            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, None, known_keys, n_rel_pack)
+            C, S = np.cos(theta[r]), np.sin(theta[r])
+            pz_re, pz_im, pm = parts(ent_re[h], ent_im[h], C, S, ent_re[t], ent_im[t])
+            nz_re, nz_im, nm = parts(
+                ent_re[nh], ent_im[nh], C, S, ent_re[nt], ent_im[nt]
+            )
+            sp, sn = pm.sum(1), nm.sum(1)
+            a = (margin + sp - sn) > 0
+            if not a.any():
+                continue
+
+            def grads(z_re, z_im, m, hre, him):
+                # chain rule for d Σ|z| / d(h_re, h_im, t_re, t_im, θ)
+                ur, ui = z_re / m, z_im / m
+                g_hre = ur * C + ui * S
+                g_him = -ur * S + ui * C
+                g_tre = -ur
+                g_tim = -ui
+                g_th = ur * (-hre * S - him * C) + ui * (hre * C - him * S)
+                return g_hre[a], g_him[a], g_tre[a], g_tim[a], g_th[a]
+
+            phr, phi, ptr, pti, pth = grads(pz_re, pz_im, pm, ent_re[h], ent_im[h])
+            nhr, nhi, ntr, nti, nth = grads(nz_re, nz_im, nm, ent_re[nh], ent_im[nh])
+            rows = np.concatenate([h[a], t[a], nh[a], nt[a]])
+            _sparse_sgd(ent_re, rows, np.concatenate([phr, ptr, -nhr, -ntr]), lr)
+            _sparse_sgd(ent_im, rows, np.concatenate([phi, pti, -nhi, -nti]), lr)
+            _sparse_sgd(theta, r[a], pth - nth, lr)
+    return ent_re, ent_im, theta
