@@ -1187,6 +1187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(ok.cast("long")).alias("n_within_bound"),
         )
 
+    def txt_repetition_stats(spark, sf):
+        # Gopher repetition gates: dup-line / dup-bigram / top-bigram
+        # fractions per document (textops.repetition_stats docstring for
+        # the shuffle budget); oracle replays lines + lead-window grams.
+        return textops.repetition_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2666,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_pairs": kg_node2vec_pairs,
         "q10_returned_items": q10_returned_items,
         "a12d_rotate_training": a12d_rotate_training,
+        "txt_repetition_stats": txt_repetition_stats,
     }
 
 
@@ -3979,6 +3986,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12c_complex_training": """
             SELECT 'complex' AS model, TRUE AS improved
+        """,
+        "txt_repetition_stats": r"""
+            WITH lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents)
+              WHERE trim(l) <> ''
+            ),
+            lg AS (SELECT doc_id, line, count(*) AS cnt
+                   FROM lines GROUP BY doc_id, line),
+            ls AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     CAST(sum(cnt) - count(*) AS DOUBLE)
+                       / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+                     CAST(sum((cnt - 1) * length(line)) AS DOUBLE)
+                       / CAST(sum(cnt * length(line)) AS DOUBLE)
+                       AS dup_line_char_frac
+              FROM lg GROUP BY doc_id
+            ),
+            words AS (
+              SELECT doc_id, w AS word, ord FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w,
+                       unnest(generate_series(
+                         1, len(string_split_regex(trim(text), '\s+')))) AS ord
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            grams AS (
+              SELECT doc_id, word || ' ' || nxt AS gram
+              FROM (SELECT doc_id, word,
+                           lead(word) OVER (PARTITION BY doc_id ORDER BY ord)
+                             AS nxt
+                    FROM words)
+              WHERE nxt IS NOT NULL
+            ),
+            gg AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM grams GROUP BY doc_id, gram),
+            gs AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                     CAST(sum(cnt) - count(*) AS DOUBLE)
+                       / CAST(sum(cnt) AS DOUBLE) AS dup_gram_frac,
+                     CAST(max(cnt * length(gram)) AS BIGINT) AS top_chars
+              FROM gg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+                   COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   COALESCE(gs.n_grams, 0) AS n_grams,
+                   COALESCE(gs.dup_gram_frac, 0.0) AS dup_gram_frac,
+                   COALESCE(CAST(gs.top_chars AS DOUBLE)
+                     / CAST(length(d.text) AS DOUBLE), 0.0)
+                     AS top_gram_char_frac
+            FROM documents d
+            LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
         """,
         "a12d_rotate_training": """
             SELECT 'rotate' AS model, TRUE AS improved

@@ -784,6 +784,108 @@ def prefix_by_budget(
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    LLM-corpus quality gates for boilerplate / machine-generated text
+    (Rae et al. 2021 §A1.1: duplicate-line fraction, duplicate-line
+    character fraction, top/duplicate n-gram fractions).
+
+    Per document:
+      * ``n_lines`` / ``dup_line_frac`` — non-empty trimmed lines;
+        ``1 - distinct/total`` (0.0 when every line unique).
+      * ``dup_line_char_frac`` — characters inside repeated line
+        occurrences beyond the first, over all line characters.
+      * ``n_grams`` / ``dup_gram_frac`` — word ``n``-grams (lead-window
+        over whitespace tokens, no HOF lambdas — Catalyst re-evaluation
+        trap avoided), same ``1 - distinct/total``.
+      * ``top_gram_char_frac`` — ``max(count * len(gram)) / len(text)``:
+        characters covered by the single most repeated n-gram. The max
+        is over the product, so no tie-break is ever needed.
+
+    Scale: three doc_id-keyed shuffles (line agg, gram window+agg,
+    stats join), each with map-side partial aggregation; no data-sized
+    driver state. All fractions are exact IEEE doubles from integer
+    counts — the DuckDB oracle writes the identical expressions.
+    Documents with no lines / fewer than ``n`` words get zeros (left
+    joins + coalesce), never NULL or division by zero.
+    """
+    base = docs.select("doc_id", F.length("text").cast("long").alias("_n_chars"))
+
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            (
+                (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("dup_line_frac"),
+            (
+                F.sum((F.col("cnt") - 1) * F.length("line")).cast("double")
+                / F.sum(F.col("cnt") * F.length("line")).cast("double")
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", k).over(w).alias(f"_w{k}") for k in range(1, n)
+    ]
+    grams = (
+        words.select("doc_id", *parts)
+        # lead(n-1) NULL only on the last n-1 rows; its presence implies
+        # every shorter lead is present too
+        .where(F.col(f"_w{n - 1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", F.col("word"), *[
+            F.col(f"_w{k}") for k in range(1, n)
+        ]).alias("gram"))
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            (
+                (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("dup_gram_frac"),
+            F.max(F.col("cnt") * F.length("gram")).cast("long").alias("_top_chars"),
+        )
+    )
+
+    return (
+        base.join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+            F.coalesce(
+                # gram rows exist => the doc has >= n words => _n_chars >= 1
+                F.col("_top_chars").cast("double") / F.col("_n_chars").cast("double"),
+                F.lit(0.0),
+            ).alias("top_gram_char_frac"),
+        )
+    )
+
+
 def token_budget_select(docs: DataFrame, budget_tokens: int) -> DataFrame:
     """Token-budget corpus curation: quality documents first (then
     doc_id — the unique tie-breaker the two-phase cumsum requires),

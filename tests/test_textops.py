@@ -1082,3 +1082,52 @@ def test_pagerank_weighted_matches_numpy(spark):
         .to_dict()
     )
     assert got != unweighted  # parallel predicates must matter
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition gates vs hand-computed fractions, including the
+    no-line / no-gram degenerate docs (zeros, never NULL)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b a b\na b a b\nx y",  # dup lines + heavy bigram repeat
+                "one two three",           # all unique
+                "   ",                     # whitespace only
+                "solo",                    # single word: no bigram
+            ],
+        }
+    )
+    got = (
+        textops.repetition_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: lines {a b a b: 2, x y: 1} -> 3 lines, dup 1/3,
+    # char dup 7/17; 10 words -> 9 bigrams {a b:4, b a:3, b x, x y}
+    # -> dup 5/9, top = 4*len("a b")=12 over len(text)=19
+    r1 = got.loc[1]
+    assert r1["n_lines"] == 3 and r1["n_grams"] == 9
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(7 / 17)
+    assert r1["dup_gram_frac"] == pytest.approx(5 / 9)
+    assert r1["top_gram_char_frac"] == pytest.approx(12 / 19)
+    r2 = got.loc[2]
+    assert r2["n_lines"] == 1 and r2["n_grams"] == 2
+    assert r2["dup_gram_frac"] == 0.0
+    # max(cnt*len): "two three" (9 chars) beats "one two" (7)
+    assert r2["top_gram_char_frac"] == pytest.approx(len("two three") / len("one two three"))
+    for d in (3, 4):
+        rd = got.loc[d]
+        assert rd["n_grams"] == 0 and rd["dup_gram_frac"] == 0.0
+        assert rd["top_gram_char_frac"] == 0.0
+    assert got.loc[3, "n_lines"] == 0 and got.loc[4, "n_lines"] == 1
+    # trigram variant: doc 2 has exactly one trigram
+    tri = (
+        textops.repetition_stats(spark.createDataFrame(pdf), n=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert tri.loc[2, "n_grams"] == 1
+    assert tri.loc[1, "n_grams"] == 8
