@@ -1193,6 +1193,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the shuffle budget); oracle replays lines + lead-window grams.
         return textops.repetition_stats(spark.read.parquet(f"{sf}/documents.parquet"))
 
+    def docs_benchmark_contamination(spark, sf):
+        # train-test leakage gate: deterministic doc_id%37 split plays
+        # the benchmark/eval set; the benchmark gram table is broadcast
+        # (textops.benchmark_contamination docstring for the scale
+        # argument). Oracle replays the identical n-gram construction
+        # on raw strings (list-slice == Spark slice, short-doc clamp
+        # included).
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 37 == 0)
+        corpus = docs.where(F.col("doc_id") % 37 != 0)
+        return textops.benchmark_contamination(corpus, bench, n=3, threshold=0.5)
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2673,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "a12d_rotate_training": a12d_rotate_training,
         "txt_repetition_stats": txt_repetition_stats,
+        "docs_benchmark_contamination": docs_benchmark_contamination,
     }
 
 
@@ -3986,6 +3999,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12c_complex_training": """
             SELECT 'complex' AS model, TRUE AS improved
+        """,
+        "docs_benchmark_contamination": r"""
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 37 = 0),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+            bg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 2, 1)),
+                  i -> array_to_string(ws[i:i+2], ' '))) AS gram
+                FROM (SELECT string_split_regex(
+                        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        '\s+') AS ws
+                      FROM bench)
+              )
+            ),
+            cg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(ws) - 2, 1)),
+                  i -> array_to_string(ws[i:i+2], ' '))) AS gram
+                FROM (SELECT doc_id, string_split_regex(
+                        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        '\s+') AS ws
+                      FROM corpus)
+              )
+            ),
+            per AS (
+              SELECT cg.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_contaminated
+              FROM cg LEFT JOIN bg USING (gram)
+              GROUP BY cg.doc_id
+            )
+            SELECT doc_id, n_grams, n_contaminated,
+                   CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                     AS contam_frac,
+                   CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                     >= 0.5 AS is_contaminated
+            FROM per
         """,
         "txt_repetition_stats": r"""
             WITH lines AS (

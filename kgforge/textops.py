@@ -784,6 +784,58 @@ def prefix_by_budget(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame, bench_docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document,
+    the fraction of its distinct word-``n``-grams that also occur in
+    the benchmark/eval set — the standard train-test leakage gate run
+    before LLM training (the GPT-3 appendix-C / PaLM 13-gram check,
+    here over the same hashed shingles the dedup family uses).
+
+    Scale shape: the benchmark side is ALWAYS small relative to the
+    corpus (eval suites are 10^4-10^6 grams vs 100 TB of training
+    text), so its distinct-gram set is **broadcast** — the corpus side
+    streams through one explode + map-side-partial ``groupBy(doc_id)``
+    with NO corpus-sized shuffle-join. If an eval set ever outgrew
+    broadcast range, dropping the ``F.broadcast`` hint degrades
+    gracefully to a shuffle hash join on the gram key.
+
+    Output per corpus doc: ``n_grams`` (distinct), ``n_contaminated``,
+    ``contam_frac``, ``is_contaminated`` (``contam_frac >=
+    threshold``). Uses :func:`hashed_gram_table` (xxhash64 shingles);
+    the DuckDB oracle replays the identical n-gram construction on the
+    raw strings — counts agree unless xxhash64 collides, which at
+    shingle cardinality is negligible (and would be caught by the
+    hash-exact contract).
+    """
+    bench_grams = (
+        hashed_gram_table(bench_docs, n)
+        .select(F.explode("grams").alias("g"))
+        .dropDuplicates(["g"])
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = hashed_gram_table(corpus, n).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    per = (
+        ex.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double")
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        frac.alias("contam_frac"),
+        (frac >= F.lit(float(threshold))).alias("is_contaminated"),
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """Gopher-style within-document repetition signals — the standard
     LLM-corpus quality gates for boilerplate / machine-generated text

@@ -1131,3 +1131,33 @@ def test_repetition_stats_hand_computed(spark):
     )
     assert tri.loc[2, "n_grams"] == 1
     assert tri.loc[1, "n_grams"] == 8
+
+
+def test_benchmark_contamination_hand_computed(spark):
+    """Leakage gate vs hand-counted gram overlap: full copy -> 1.0,
+    partial overlap counted on distinct trigrams, disjoint -> 0.0."""
+    bench = pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps high"]})
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps high",        # verbatim copy
+                "see the quick brown fox run away now",  # shares 2 of 6 trigrams
+                "completely different words here",       # disjoint
+            ],
+        }
+    )
+    got = (
+        textops.benchmark_contamination(
+            spark.createDataFrame(corpus), spark.createDataFrame(bench), n=3
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "contam_frac"] == 1.0 and bool(got.loc[1, "is_contaminated"])
+    # doc 2 trigrams: 6 distinct; only "the quick brown", "quick brown fox"
+    # appear in the bench doc
+    assert got.loc[2, "n_grams"] == 6 and got.loc[2, "n_contaminated"] == 2
+    assert not bool(got.loc[2, "is_contaminated"])
+    assert got.loc[3, "contam_frac"] == 0.0
