@@ -1698,6 +1698,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
         return graphstats.k_hop_neighbors(tri, seeds, k=2)
 
+    def kg_local_clustering(spark, sf):
+        """Per-entity local clustering coefficient 2T(v)/(d(v)(d(v)-1))
+        over the constructed KG — degree-oriented wedge closure (each
+        triangle counted once, O(sqrt m) out-degree bound), corners
+        exploded into per-node counts. Oracle brute-forces a<b<c
+        triangles and replays the identical double arithmetic."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.local_clustering(tri)
+
+    def kg_k_core(spark, sf):
+        """k-core (k=5) of the bipartite order-part graph from lineitem
+        (disjoint-parity node ids): iterative distributed peel with
+        per-round localCheckpoint, driver sees only a scalar count per
+        round. The oracle unrolls 5 peel rounds — provably past the
+        fixpoint on this input, where extra rounds are no-ops — then
+        applies the same final degree>=k cut."""
+        from kgforge import graphstats
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        tri = li.select(
+            (F.col("l_orderkey") * 2).alias("h"),
+            (F.col("l_partkey") * 2 + 1).alias("t"),
+            F.lit(0).alias("r"),
+        )
+        return graphstats.k_core(tri, k=5)
+
     def kg_pagerank(spark, sf):
         """Entity importance over the constructed KG: 5 iterations of
         damped PageRank (d=0.85, dangling mass redistributed). Per-
@@ -2686,6 +2717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12d_rotate_training": a12d_rotate_training,
         "txt_repetition_stats": txt_repetition_stats,
         "docs_benchmark_contamination": docs_benchmark_contamination,
+        "kg_local_clustering": kg_local_clustering,
+        "kg_k_core": kg_k_core,
     }
 
 
@@ -2834,6 +2867,34 @@ _KG_GRAPH_CTES = f"""
             SELECT a AS u, b AS v FROM und
             UNION ALL SELECT b AS u, a AS v FROM und
         )"""
+
+
+def _k_core_chain_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel over the bipartite lineitem order-part
+    graph: ``rounds`` iterations of degree -> keep -> edge filter (the
+    same round structure ``graphstats.k_core`` runs; rounds past the
+    fixpoint are no-ops), then the final degree>=k cut."""
+    chain = """
+        WITH e0 AS (
+          SELECT DISTINCT least(h, t) AS a, greatest(h, t) AS b FROM (
+            SELECT l_orderkey * 2 AS h, l_partkey * 2 + 1 AS t FROM lineitem
+          ) WHERE h <> t
+        ),
+        adj0 AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+        )"""
+    for i in range(1, rounds + 1):
+        chain += f""",
+        d{i} AS (SELECT u, count(*) AS d FROM adj{i - 1} GROUP BY u),
+        k{i} AS (SELECT u FROM d{i} WHERE d >= {k}),
+        adj{i} AS MATERIALIZED (
+          SELECT e.u, e.v FROM adj{i - 1} e
+          JOIN k{i} x ON e.u = x.u JOIN k{i} y ON e.v = y.u
+        )"""
+    chain += f"""
+        SELECT u AS e, CAST(count(*) AS BIGINT) AS degree
+        FROM adj{rounds} GROUP BY u HAVING count(*) >= {k}"""
+    return chain
 
 
 def _label_prop_chain_sql(n_iter: int = 4) -> str:
@@ -4000,6 +4061,33 @@ def oracle_sql() -> dict[str, str]:
         "a12c_complex_training": """
             SELECT 'complex' AS model, TRUE AS improved
         """,
+        "kg_local_clustering": f"""
+            {_KG_GRAPH_CTES},
+            t3 AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tv AS (
+              SELECT v, count(*) AS n_tri FROM (
+                SELECT x AS v FROM t3
+                UNION ALL SELECT y FROM t3
+                UNION ALL SELECT z FROM t3
+              ) GROUP BY v
+            ),
+            deg AS (SELECT u AS e, CAST(count(*) AS BIGINT) AS degree
+                    FROM adj GROUP BY u)
+            SELECT deg.e, deg.degree,
+                   CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN 2.0 * CAST(COALESCE(tv.n_tri, 0) AS DOUBLE)
+                             / (CAST(deg.degree AS DOUBLE)
+                                * (CAST(deg.degree AS DOUBLE) - 1.0))
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN tv ON tv.v = deg.e
+        """,
+        "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
         "docs_benchmark_contamination": r"""
             WITH bench AS (SELECT * FROM documents WHERE doc_id % 37 = 0),
             corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),

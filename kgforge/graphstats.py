@@ -74,7 +74,15 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     is orientation-invariant, so the SQL oracle may use the simple
     ``a<b<c`` formulation.
     """
-    e = undirected_edges(triples)
+    closed = _closed_triangles(undirected_edges(triples))
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def _closed_triangles(e: DataFrame) -> DataFrame:
+    """Each triangle of the undirected edge list ``(a, b)`` exactly once
+    as ``(src, x, y)`` — the degree-oriented wedge-closure core shared
+    by :func:`triangle_count` (global count) and
+    :func:`local_clustering` (per-node counts)."""
     deg = (
         e.select(F.col("a").alias("v")).unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
@@ -93,14 +101,101 @@ def triangle_count(triples: DataFrame) -> DataFrame:
     w1 = oriented.select("src", F.col("dst").alias("x"))
     w2 = oriented.select("src", F.col("dst").alias("y"))
     wedges = w1.join(w2, "src").where(F.col("x") < F.col("y"))
-    closed = wedges.join(
+    return wedges.join(
         e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
             e.select(F.col("b").alias("x"), F.col("a").alias("y"))
         ),
         ["x", "y"],
         "left_semi",
     )
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def local_clustering(triples: DataFrame) -> DataFrame:
+    """Per-entity local clustering coefficient ``2*T(v) / (d(v)*(d(v)-1))``
+    over the undirected entity adjacency — the node-level cohesion
+    profile that complements the global triangle count.
+
+    Reuses the degree-oriented wedge closure (each triangle exactly
+    once), then explodes the three corners into per-node counts — one
+    extra node-keyed aggregation beyond :func:`triangle_count`, no new
+    join shape, so the O(sqrt m) out-degree bound still holds. Degree-1
+    vertices get coefficient 0.0 (not NULL). Output: ``(e, degree,
+    n_triangles, clustering_coeff)``.
+    """
+    e = undirected_edges(triples)
+    closed = _closed_triangles(e)
+    corners = (
+        closed.select(F.col("src").alias("e"))
+        .unionByName(closed.select(F.col("x").alias("e")))
+        .unionByName(closed.select(F.col("y").alias("e")))
+    )
+    tv = corners.groupBy("e").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    deg = (
+        e.select(F.col("a").alias("e")).unionByName(e.select(F.col("b").alias("e")))
+        .groupBy("e").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    d = F.col("degree").cast("double")
+    return deg.join(tv, "e", "left").select(
+        "e",
+        "degree",
+        F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0) * F.coalesce("n_tri", F.lit(0)).cast("double")
+            / (d * (d - F.lit(1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def k_core(
+    triples: DataFrame, k: int = 3, max_rounds: int | None = None
+) -> DataFrame:
+    """The ``k``-core of the undirected entity adjacency: the maximal
+    subgraph in which every vertex keeps degree >= ``k`` — the standard
+    "dense backbone" profile (cohesive-subgroup detection, influence
+    seeding) after degree stats and triangles.
+
+    Iterative peel: each round recomputes degrees over the surviving
+    edge list and drops vertices below ``k`` (a cascade — removals can
+    push neighbours below the bar). The loop runs DISTRIBUTED joins
+    only; the driver sees one scalar count per round (the fixpoint
+    test), and the edge list is ``localCheckpoint``-ed every round to
+    truncate the iterative lineage — the same discipline as the B8
+    connected-components loop (canonicalize.py). Rounds are bounded by
+    the peel depth (O(sqrt(m)) worst case, small single digits on
+    real degree distributions); ``max_rounds`` caps them for
+    fixed-round oracle replay — extra rounds past the fixpoint are
+    no-ops, so any ``max_rounds`` >= the true peel depth yields the
+    exact k-core. Output: ``(e, degree)`` of members with their
+    within-core degree.
+    """
+    e = undirected_edges(triples)
+    edges = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    prev_n = -1
+    rounds = 0
+    while True:
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        n = keep.count()
+        if n == prev_n or n == 0 or (max_rounds is not None and rounds >= max_rounds):
+            break
+        prev_n = n
+        rounds += 1
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("u").alias("e"), "degree")
+    )
 
 
 def k_hop_neighbors(triples: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:

@@ -1161,3 +1161,94 @@ def test_benchmark_contamination_hand_computed(spark):
     assert got.loc[2, "n_grams"] == 6 and got.loc[2, "n_contaminated"] == 2
     assert not bool(got.loc[2, "is_contaminated"])
     assert got.loc[3, "contam_frac"] == 0.0
+
+
+def test_local_clustering_matches_bruteforce(spark):
+    """Per-node clustering coefficient == NumPy adjacency brute force."""
+    from itertools import combinations
+
+    from kgforge.graphstats import local_clustering
+
+    rng = np.random.default_rng(7)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 25, 150),
+            "t": rng.integers(0, 25, 150),
+            "r": rng.integers(0, 4, 150),
+        }
+    )
+    got = (
+        local_clustering(spark.createDataFrame(tri))
+        .toPandas()
+        .set_index("e")
+        .sort_index()
+    )
+    nbrs = {}
+    for h, t in zip(tri["h"], tri["t"]):
+        if h != t:
+            nbrs.setdefault(h, set()).add(t)
+            nbrs.setdefault(t, set()).add(h)
+    for v, ns in nbrs.items():
+        d = len(ns)
+        t_v = sum(1 for a, b in combinations(sorted(ns), 2) if b in nbrs.get(a, ()))
+        assert got.loc[v, "degree"] == d
+        assert got.loc[v, "n_triangles"] == t_v
+        want = 2.0 * t_v / (d * (d - 1.0)) if d >= 2 else 0.0
+        assert got.loc[v, "clustering_coeff"] == pytest.approx(want)
+    assert set(got.index) == set(nbrs)
+
+
+def _py_k_core(edges, k):
+    """Reference peel: exact fixpoint k-core on a python edge set."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in nbrs.items() if len(ns) < k]:
+            for u in nbrs.pop(v):
+                nbrs[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in nbrs.items() if ns}
+
+
+def test_k_core_matches_python_peel(spark):
+    from kgforge.graphstats import k_core
+
+    rng = np.random.default_rng(11)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 40, 160),
+            "t": rng.integers(0, 40, 160),
+            "r": 0,
+        }
+    )
+    edges = {(min(h, t), max(h, t)) for h, t in zip(tri["h"], tri["t"]) if h != t}
+    for k in (2, 3, 4):
+        got = dict(
+            k_core(spark.createDataFrame(tri), k=k)
+            .toPandas()[["e", "degree"]]
+            .itertuples(index=False)
+        )
+        assert got == _py_k_core(edges, k), f"k={k}"
+
+
+def test_k_core_deep_cascade_chain(spark):
+    """A path graph is the adversarial cascade: 2-core must peel it
+    ENTIRELY, one endpoint pair per round — exercises the iterative
+    fixpoint loop well past one round."""
+    from kgforge.graphstats import k_core
+
+    n = 12
+    path = pd.DataFrame({"h": range(n - 1), "t": range(1, n), "r": 0})
+    assert k_core(spark.createDataFrame(path), k=2).count() == 0
+    # add one chord closing a 4-cycle at the far end: that cycle alone
+    # survives as the 2-core
+    cyc = pd.concat(
+        [path, pd.DataFrame({"h": [n - 4], "t": [n - 1], "r": [0]})]
+    )
+    got = k_core(spark.createDataFrame(cyc), k=2).toPandas()
+    assert sorted(got["e"]) == [n - 4, n - 3, n - 2, n - 1]
+    assert (got["degree"] == 2).all()
