@@ -1729,6 +1729,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.k_core(tri, k=5)
 
+    def kg_link_heuristics(spark, sf):
+        """The four classic neighborhood link-prediction heuristics
+        (common-neighbors / jaccard / adamic-adar / resource-allocation
+        / preferential-attachment) in ONE wedge-join pass over the
+        constructed KG, top-20 non-adjacent pairs by Adamic-Adar.
+        Oracle replays the wedge join + identical rounding in SQL."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.link_prediction_scores(tri, k=20)
+
     def kg_pagerank(spark, sf):
         """Entity importance over the constructed KG: 5 iterations of
         damped PageRank (d=0.85, dangling mass redistributed). Per-
@@ -2719,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_benchmark_contamination": docs_benchmark_contamination,
         "kg_local_clustering": kg_local_clustering,
         "kg_k_core": kg_k_core,
+        "kg_link_heuristics": kg_link_heuristics,
     }
 
 
@@ -4088,6 +4103,39 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tv ON tv.v = deg.e
         """,
         "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
+        "kg_link_heuristics": f"""
+            {_KG_GRAPH_CTES},
+            deg AS MATERIALIZED (
+                SELECT u AS z, CAST(count(*) AS BIGINT) AS dz
+                FROM adj GROUP BY u
+            ),
+            wed AS MATERIALIZED (
+                SELECT a1.u AS z, a1.v AS x, a2.v AS y
+                FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+            ),
+            pairs AS (
+                SELECT w.x, w.y,
+                       CAST(count(*) AS BIGINT) AS n_common,
+                       round(sum(1.0 / ln(CAST(d.dz AS DOUBLE))), 6)
+                         AS adamic_adar,
+                       round(sum(1.0 / CAST(d.dz AS DOUBLE)), 6)
+                         AS resource_alloc
+                FROM wed w JOIN deg d ON w.z = d.z
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und e WHERE e.a = w.x AND e.b = w.y
+                )
+                GROUP BY w.x, w.y
+            )
+            SELECT p.x, p.y, p.n_common,
+                   CAST(p.n_common AS DOUBLE)
+                     / CAST(gx.dz + gy.dz - p.n_common AS DOUBLE) AS jaccard,
+                   p.adamic_adar, p.resource_alloc,
+                   CAST(gx.dz * gy.dz AS BIGINT) AS pref_attach
+            FROM pairs p
+            JOIN deg gx ON gx.z = p.x JOIN deg gy ON gy.z = p.y
+            ORDER BY p.adamic_adar DESC, p.x, p.y
+            LIMIT 20
+        """,
         "docs_benchmark_contamination": r"""
             WITH bench AS (SELECT * FROM documents WHERE doc_id % 37 = 0),
             corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),

@@ -1252,3 +1252,51 @@ def test_k_core_deep_cascade_chain(spark):
     got = k_core(spark.createDataFrame(cyc), k=2).toPandas()
     assert sorted(got["e"]) == [n - 4, n - 3, n - 2, n - 1]
     assert (got["degree"] == 2).all()
+
+
+def test_link_prediction_scores_match_bruteforce(spark):
+    """One-pass wedge metrics == python set arithmetic per pair."""
+    import math
+
+    from kgforge.graphstats import link_prediction_scores
+
+    rng = np.random.default_rng(23)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 18, 70),
+            "t": rng.integers(0, 18, 70),
+            "r": 0,
+        }
+    )
+    got = link_prediction_scores(spark.createDataFrame(tri), k=1000).toPandas()
+    nbrs = {}
+    edges = set()
+    for h, t in zip(tri["h"], tri["t"]):
+        if h != t:
+            a, b = min(h, t), max(h, t)
+            edges.add((a, b))
+            nbrs.setdefault(h, set()).add(t)
+            nbrs.setdefault(t, set()).add(h)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = nbrs[x] & nbrs[y]
+            if not common:
+                continue
+            want[(x, y)] = (
+                len(common),
+                len(common) / len(nbrs[x] | nbrs[y]),
+                round(sum(1.0 / math.log(len(nbrs[z])) for z in common), 6),
+                round(sum(1.0 / len(nbrs[z]) for z in common), 6),
+                len(nbrs[x]) * len(nbrs[y]),
+            )
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        cn, jac, aa, ra, pa = want[(row.x, row.y)]
+        assert row.n_common == cn and row.pref_attach == pa
+        assert row.jaccard == pytest.approx(jac)
+        assert row.adamic_adar == pytest.approx(aa, abs=1e-6)
+        assert row.resource_alloc == pytest.approx(ra, abs=1e-6)
