@@ -2351,6 +2351,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         )
 
+    def cat_tagged_read(spark, sf):
+        # named refs pin snapshots: tag the first commit, overwrite
+        # twice, expire down to keep_last=1 — the tagged snapshot's data
+        # dirs MUST survive expiry and read back bit-exact (Iceberg
+        # ref-retention). Oracle replays the tagged commit's predicate.
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_cat_"))
+        t.overwrite(docs.where(F.col("n_chars") < 300), partition_by=("lang",))
+        t.create_tag("baseline")
+        t.overwrite(docs.where(F.col("n_chars") >= 300), partition_by=("lang",))
+        t.overwrite(docs, partition_by=("lang",))
+        gone = t.expire_snapshots(keep_last=1)
+        assert 1 not in gone["expired_snapshot_ids"]  # pinned by the tag
+        assert 2 in gone["expired_snapshot_ids"]
+        return t.read_tag(spark, "baseline").select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+
     def mm_features(spark, sf):
         # decode is an honest deterministic fake (no codecs in sandbox);
         # the ORACLE checks the structural contract — every media row
@@ -2734,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_local_clustering": kg_local_clustering,
         "kg_k_core": kg_k_core,
         "kg_link_heuristics": kg_link_heuristics,
+        "cat_tagged_read": cat_tagged_read,
     }
 
 
@@ -4103,6 +4126,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tv ON tv.v = deg.e
         """,
         "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
+        "cat_tagged_read": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300
+        """,
         "kg_link_heuristics": f"""
             {_KG_GRAPH_CTES},
             deg AS MATERIALIZED (

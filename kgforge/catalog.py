@@ -273,6 +273,52 @@ class IcebergLiteTable:
             json.dump(m, f, indent=1)
         return m
 
+    # -- named refs (tags) ----------------------------------------------------
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Pin a snapshot under a stable name (Iceberg ``create_tag``) —
+        the release/reproducibility primitive: a training run records
+        ``create_tag("run-2026-08-17")`` and can re-read the exact input
+        forever, regardless of later appends, compactions, or expiry
+        (tagged snapshots are protected from :meth:`expire_snapshots`).
+        Defaults to the current snapshot. Atomic (tmp + rename), same
+        discipline as the version-hint pointer."""
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        snap_id = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if snap_id is None or self.snapshot(snap_id) is None:
+            raise FileNotFoundError(f"snapshot {snap_id} does not exist")
+        ref = {"name": name, "snapshot_id": snap_id, "type": "tag"}
+        p = os.path.join(self.meta, f"ref-{name}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ref, f)
+        os.replace(tmp, p)
+        return ref
+
+    def tags(self) -> dict[str, int]:
+        """``{tag name: snapshot id}`` for every named ref."""
+        out = {}
+        for fn in sorted(os.listdir(self.meta)):
+            if fn.startswith("ref-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta, fn)) as f:
+                    ref = json.load(f)
+                out[ref["name"]] = ref["snapshot_id"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self.meta, f"ref-{name}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no tag {name!r}")
+        os.remove(p)
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a tag pins (raises on unknown tags)."""
+        refs = self.tags()
+        if name not in refs:
+            raise FileNotFoundError(f"no tag {name!r}")
+        return self.read(spark, snapshot_id=refs[name])
+
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Maintenance: drop all but the newest ``keep_last`` snapshots
         (the current one is always retained) and DELETE data dirs no
@@ -289,6 +335,9 @@ class IcebergLiteTable:
         keep = set(ids[-keep_last:])
         if cur is not None:
             keep.add(cur)
+        # named refs pin their snapshots (Iceberg ref-retention rule):
+        # a tagged snapshot is never expired, however old
+        keep.update(self.tags().values())
         retained_dirs = set()
         for s in snaps:
             if s["snapshot_id"] in keep:

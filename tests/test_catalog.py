@@ -222,3 +222,31 @@ def test_delete_where_with_retention_purge(spark, tmp_path):
     with _pt.raises(FileNotFoundError):
         t.read(spark, snapshot_id=pre).collect()
     assert {r["v"] for r in t.read(spark).collect()} == {"a", "c"}
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Named refs: a tag survives expiry (Iceberg ref-retention), reads
+    bit-exact after other snapshots' dirs are reclaimed, and drops
+    cleanly."""
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [1, 2, 3]), partition_by=("part",))
+    t.create_tag("v1")
+    t.overwrite(_df(spark, [10, 20]), partition_by=("part",))
+    t.overwrite(_df(spark, [100]), partition_by=("part",))
+    assert t.tags() == {"v1": 1}
+    gone = t.expire_snapshots(keep_last=1)
+    assert 1 not in gone["expired_snapshot_ids"]
+    assert 2 in gone["expired_snapshot_ids"]
+    assert {r["x"] for r in t.read_tag(spark, "v1").collect()} == {1, 2, 3}
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=2).collect()
+    t.drop_tag("v1")
+    with pytest.raises(FileNotFoundError):
+        t.read_tag(spark, "v1")
+    # with the tag gone the snapshot is expirable
+    gone2 = t.expire_snapshots(keep_last=1)
+    assert 1 in gone2["expired_snapshot_ids"]
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("nope", snapshot_id=99)
+    with pytest.raises(ValueError):
+        t.create_tag("../escape")
