@@ -1205,6 +1205,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.where(F.col("doc_id") % 37 != 0)
         return textops.benchmark_contamination(corpus, bench, n=3, threshold=0.5)
 
+    def docs_weighted_sample(spark, sf):
+        # Efraimidis-Spirakis weighted sampling without replacement:
+        # 50 documents proportional to n_chars, md5-keyed exponential
+        # order statistics (engine-replayable; the oracle re-draws the
+        # identical keys and takes the same top-k).
+        from kgforge.sampling import weighted_sample
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return weighted_sample(docs, "doc_id", "n_chars", k=50, seed=42).select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "sample_key"
+        )
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2757,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k_core": kg_k_core,
         "kg_link_heuristics": kg_link_heuristics,
         "cat_tagged_read": cat_tagged_read,
+        "docs_weighted_sample": docs_weighted_sample,
     }
 
 
@@ -4128,6 +4141,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars, sample_key FROM (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     round(-ln(
+                       (('0x' || substr(md5(CAST('42' || ':' || doc_id AS VARCHAR)),
+                                        1, 15))::UBIGINT::DOUBLE + 1.0)
+                       / 1152921504606846976.0
+                     ) / CAST(n_chars AS DOUBLE), 12) AS sample_key
+              FROM documents WHERE n_chars > 0
+            ) ORDER BY sample_key, doc_id LIMIT 50
         """,
         "kg_link_heuristics": f"""
             {_KG_GRAPH_CTES},

@@ -331,3 +331,45 @@ def training_batches(
     return allrows.withColumn(
         "batch_id", F.pmod(F.hash("h", "t", "r", F.lit(seed)), F.lit(nbatches))
     ).select("batch_id", "h", "t", "r", "y")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ExpJ order-sampling): keep the ``k`` rows minimizing
+    ``-ln(u)/w`` — an Exponential(w) variate per row — which selects
+    each row with probability proportional to ``weight_col`` among the
+    survivors. The corpus-curation workhorse ("sample 1M documents
+    proportional to quality score").
+
+    Engine-replayable randomness, same contract as the stratified md5
+    gate and the node2vec argmin: ``u ∈ (0, 1]`` comes from the first
+    15 hex digits of ``md5(seed:key)`` (``conv(hex,16,10)`` here,
+    ``('0x'||hex)::UBIGINT::DOUBLE`` in DuckDB — identical IEEE
+    doubles), and ``round(…, 12)`` pins the ln ulp, so ANY engine
+    reproduces the exact sample. No RNG state, no shuffle for the
+    draw itself; the only movement is the distributed top-k
+    (``TakeOrdered`` — never a full global sort). Rows with
+    non-positive weight are excluded (zero-weight rows must never be
+    sampled; they would otherwise win with probability → 0 but rank
+    among finite keys when u is tiny).
+
+    ``key_col`` must be unique per row — it is the entire randomness
+    input (duplicate keys draw identical ``u``, correlating their
+    selection).
+    """
+    m = F.md5(F.concat_ws(":", F.lit(int(seed)), F.col(key_col)).cast("binary"))
+    vnum = F.conv(F.substring(m, 1, 15), 16, 10).cast("double")
+    u01 = (vnum + F.lit(1.0)) / F.lit(1152921504606846976.0)  # 16^15
+    key = F.round(-F.log(u01) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy("sample_key", key_col)
+        .limit(int(k))
+    )

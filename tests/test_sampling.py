@@ -1,6 +1,7 @@
 """A3–A5: bern stats + negative sampling invariants."""
 
 import pandas as pd
+import pytest
 
 from kgforge.fixtures import gen_openke_split
 from kgforge.sampling import bern_stats, negative_samples
@@ -100,3 +101,42 @@ def test_training_batches(spark):
     assert (b[b["y"] == 1].groupby(["h", "t", "r"]).size() == 1).all()
     assert len(b[b["y"] == 1]) == len(train)
     assert len(b[b["y"] == -1]) >= len(train)  # ent + rel negatives
+
+
+def test_weighted_sample_matches_python_replay_and_proportionality(spark):
+    """Efraimidis-Spirakis sample == python md5 replay (exact rows AND
+    keys); aggregate selection frequency tracks weights."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from kgforge.sampling import weighted_sample
+
+    n = 400
+    pdf = pd.DataFrame({"k": range(n), "w": [10.0 if i % 4 == 0 else 1.0 for i in range(n)]})
+    got = (
+        weighted_sample(spark.createDataFrame(pdf), "k", "w", k=100, seed=7)
+        .toPandas()
+        .sort_values("sample_key")
+        .reset_index(drop=True)
+    )
+
+    def key(i, w):
+        h = hashlib.md5(f"7:{i}".encode()).hexdigest()[:15]
+        u = (int(h, 16) + 1.0) / 16**15
+        return round(-math.log(u) / w, 12)
+
+    want = sorted(((key(i, w), i) for i, w in zip(pdf["k"], pdf["w"])))[:100]
+    assert list(got["k"]) == [i for _, i in want]
+    assert list(got["sample_key"]) == pytest.approx([s for s, _ in want], abs=0)
+    # proportionality: weight-10 rows are 25% of the population but must
+    # dominate the sample (expected ~77%)
+    frac_heavy = (got["k"] % 4 == 0).mean()
+    assert frac_heavy > 0.55
+    # zero/negative weights never sampled
+    pdf.loc[0, "w"] = 0.0
+    pdf.loc[1, "w"] = -3.0
+    got2 = weighted_sample(spark.createDataFrame(pdf), "k", "w", k=n, seed=7).toPandas()
+    assert 0 not in set(got2["k"]) and 1 not in set(got2["k"])
+    assert len(got2) == n - 2
