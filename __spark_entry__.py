@@ -1217,6 +1217,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "sample_key"
         )
 
+    def docs_pii_scrub(spark, sf):
+        # PII redaction scrub (textops.pii_scrub): fixture text holds
+        # no PII, so the query injects a deterministic doc_id-derived
+        # email/IP/SSN/phone tail into 2/3 of the docs (plain string
+        # concat, replayed verbatim by the oracle) and scrubs it. The
+        # operator itself is the generic sequential count+redact chain.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        injected = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 ssn 123-45-6789 tel 555-867-5309"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return textops.pii_scrub(injected)
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2770,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_heuristics": kg_link_heuristics,
         "cat_tagged_read": cat_tagged_read,
         "docs_weighted_sample": docs_weighted_sample,
+        "docs_pii_scrub": docs_pii_scrub,
     }
 
 
@@ -4152,6 +4178,56 @@ def oracle_sql() -> dict[str, str]:
                      ) / CAST(n_chars AS DOUBLE), 12) AS sample_key
               FROM documents WHERE n_chars > 0
             ) ORDER BY sample_key, doc_id LIMIT 50
+        """,
+        "docs_pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 <> 0 THEN
+                  text || ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com from 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 ssn 123-45-6789 tel 555-867-5309'
+                ELSE text END AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_email,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM injected
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                  AS n_ipv4,
+                regexp_replace(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                  AS BIGINT) AS n_ssn,
+                regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+              FROM s2
+            ),
+            s4 AS (
+              SELECT doc_id, n_email, n_ipv4, n_ssn,
+                CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                  AS BIGINT) AS n_phone,
+                regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+                  AS t
+              FROM s3
+            )
+            SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+                   n_email + n_ipv4 + n_ssn + n_phone AS n_pii,
+                   t AS redacted
+            FROM s4
         """,
         "kg_link_heuristics": f"""
             {_KG_GRAPH_CTES},

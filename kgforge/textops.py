@@ -955,3 +955,54 @@ def token_budget_select(docs: DataFrame, budget_tokens: int) -> DataFrame:
         "n_tokens_ws",
         budget_tokens,
     ).select("doc_id", "quality_ok", "n_tokens_ws", "cum_amount")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) — applied IN THIS ORDER, sequentially:
+# each class is counted on the text as left by the previous class's
+# replacement, so overlapping matches are attributed to the earlier
+# class exactly once. Patterns stay inside the common Java-regex /
+# RE2 subset (\b, \d, bounded repetition — no backrefs, no lookaround)
+# so Spark and DuckDB compile them identically.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the pre-training privacy scrub every public
+    LLM corpus pipeline runs (C4 / Dolma / FineWeb all regex-redact
+    emails, IPs, and phone-shaped strings before release).
+
+    Per document: one count column per PII class (``n_email``,
+    ``n_ipv4``, ``n_ssn``, ``n_phone``, matched sequentially per
+    :data:`PII_PATTERNS`), ``n_pii`` (their sum), and ``redacted``
+    (the text with every match replaced by its class token).
+
+    Scale shape: a pure narrow map — ``regexp_count`` +
+    ``regexp_replace`` chains inside whole-stage codegen, zero
+    shuffles, zero Python; at 100 TB this is scan-bound and trivially
+    partition-parallel. The DuckDB oracle replays the identical
+    sequential pipeline (``len(regexp_extract_all(...))`` +
+    ``regexp_replace(..., 'g')``) so counts and redacted strings are
+    hash-exact.
+    """
+    cur = F.col(text_col)
+    out_counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out_counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    scrubbed = docs.select("doc_id", *out_counts, cur.alias("redacted"))
+    total = sum((F.col(f"n_{n}") for n, _, _ in PII_PATTERNS), F.lit(0).cast("long"))
+    return scrubbed.select(
+        "doc_id",
+        *[f"n_{n}" for n, _, _ in PII_PATTERNS],
+        total.cast("long").alias("n_pii"),
+        "redacted",
+    )

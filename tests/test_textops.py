@@ -1300,3 +1300,31 @@ def test_link_prediction_scores_match_bruteforce(spark):
         assert row.jaccard == pytest.approx(jac)
         assert row.adamic_adar == pytest.approx(aa, abs=1e-6)
         assert row.resource_alloc == pytest.approx(ra, abs=1e-6)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail a.user+tag@sub.example.com or b@x.io today",
+                "host 10.0.255.7 and 192.168.1.1, ssn 123-45-6789",
+                "call 555-867-5309 or 555.123.4567; nothing else",
+                "no pii here at all",
+            ],
+        }
+    )
+    got = (
+        textops.pii_scrub(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.loc[0, ["n_email", "n_ipv4", "n_ssn", "n_phone"]]) == [2, 0, 0, 0]
+    assert got.loc[0, "redacted"] == "mail <EMAIL> or <EMAIL> today"
+    assert list(got.loc[1, ["n_email", "n_ipv4", "n_ssn", "n_phone"]]) == [0, 2, 1, 0]
+    assert got.loc[1, "redacted"] == "host <IP> and <IP>, ssn <SSN>"
+    assert list(got.loc[2, ["n_email", "n_ipv4", "n_ssn", "n_phone"]]) == [0, 0, 0, 2]
+    assert got.loc[2, "redacted"] == "call <PHONE> or <PHONE>; nothing else"
+    assert got.loc[3, "n_pii"] == 0 and got.loc[3, "redacted"] == "no pii here at all"
+    assert (got["n_pii"] == got[["n_email", "n_ipv4", "n_ssn", "n_phone"]].sum(axis=1)).all()
