@@ -1242,6 +1242,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.pii_scrub(injected)
 
+    def docs_strip_boilerplate(spark, sf):
+        # cross-doc boilerplate removal (textops.strip_boilerplate):
+        # fixture docs are single-line and all-distinct, so the query
+        # injects a footer into every doc (always boilerplate at
+        # min_docs=100), a newsletter line into half (boilerplate),
+        # and an editor line into 1/9 (below threshold -> KEPT) —
+        # exercising the doc-frequency gate in both directions.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nCopyright Example Corp. All rights reserved."),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit("\nSubscribe to our newsletter!"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 9 == 0, F.lit("\nPosted by editor.")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textops.strip_boilerplate(injected, min_docs=100)
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2796,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_tagged_read": cat_tagged_read,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_pii_scrub": docs_pii_scrub,
+        "docs_strip_boilerplate": docs_strip_boilerplate,
     }
 
 
@@ -4228,6 +4253,48 @@ def oracle_sql() -> dict[str, str]:
                    n_email + n_ipv4 + n_ssn + n_phone AS n_pii,
                    t AS redacted
             FROM s4
+        """,
+        "docs_strip_boilerplate": """
+            WITH injected AS (
+              SELECT doc_id,
+                text || chr(10) || 'Copyright Example Corp. All rights reserved.'
+                || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END
+                || CASE WHEN doc_id % 9 = 0
+                     THEN chr(10) || 'Posted by editor.' ELSE '' END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, pos, trim(line) AS line FROM (
+                SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS line,
+                  unnest(generate_series(
+                    1, len(string_split(text, chr(10))))) AS pos
+                FROM injected)
+              WHERE trim(line) <> ''
+            ),
+            bp AS (
+              SELECT line FROM lines GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 100
+            ),
+            kept AS (
+              SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp)
+            ),
+            totals AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+              FROM lines GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   t.n_lines,
+                   CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         """,
         "kg_link_heuristics": f"""
             {_KG_GRAPH_CTES},

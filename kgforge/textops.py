@@ -1006,3 +1006,87 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         total.cast("long").alias("n_pii"),
         "redacted",
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal
+# ---------------------------------------------------------------------------
+
+def boilerplate_lines(docs: DataFrame, min_docs: int, text_col: str = "text") -> DataFrame:
+    """Cross-document boilerplate detection: the trimmed non-empty
+    lines that occur in at least ``min_docs`` DISTINCT documents —
+    footers, nav bars, cookie banners, license blurbs (the CCNet /
+    RefinedWeb line-dedup signal, computed corpus-wide rather than
+    within-document like :func:`repetition_stats`).
+
+    One shuffle on the line key with map-side partial aggregation
+    (``count_distinct`` over doc_id — exact; swap in
+    ``approx_count_distinct`` at extreme line cardinality). Output:
+    ``(line, n_docs)``. By construction the result is tiny for any
+    meaningful threshold (a line repeated across >= min_docs documents
+    out of billions is boilerplate, and there are few of those), which
+    is what makes the :func:`strip_boilerplate` join broadcast-able.
+    """
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(text_col, "\n")).alias("line")
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame, min_docs: int, text_col: str = "text"
+) -> DataFrame:
+    """Remove corpus-wide boilerplate lines from every document:
+    drop each trimmed line occurring in >= ``min_docs`` distinct
+    documents (per :func:`boilerplate_lines`), reassemble the
+    survivors in original order. Output: ``(doc_id, clean_text,
+    n_lines, n_removed)``; a document that was ALL boilerplate
+    survives with ``clean_text = ''``.
+
+    Scale shape: the boilerplate set is broadcast (small by
+    construction — see :func:`boilerplate_lines`), so the strip is a
+    broadcast left-anti join per line plus one ``doc_id``-keyed
+    aggregation to reassemble — a single data-sized shuffle. The
+    in-order rebuild sorts the collected (pos, line) structs inside
+    the aggregation buffer (per-doc-sized, never global).
+    """
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(text_col, "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    bp = boilerplate_lines(docs, min_docs, text_col).select("line")
+    kept = lines.join(F.broadcast(bp), "line", "left_anti")
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

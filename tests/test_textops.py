@@ -1328,3 +1328,36 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert got.loc[2, "redacted"] == "call <PHONE> or <PHONE>; nothing else"
     assert got.loc[3, "n_pii"] == 0 and got.loc[3, "redacted"] == "no pii here at all"
     assert (got["n_pii"] == got[["n_email", "n_ipv4", "n_ssn", "n_phone"]].sum(axis=1)).all()
+
+
+def test_strip_boilerplate(spark):
+    foot = "All rights reserved."
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"alpha one\nbeta two\n{foot}",
+                f"gamma three\n{foot}\ndelta four",
+                f"  {foot}  \nepsilon five",
+                foot,  # all-boilerplate doc
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    bp = textops.boilerplate_lines(docs, min_docs=3).toPandas()
+    assert list(bp["line"]) == [foot] and list(bp["n_docs"]) == [4]
+    got = (
+        textops.strip_boilerplate(docs, min_docs=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "clean_text"] == "alpha one\nbeta two"
+    assert got.loc[1, "clean_text"] == "gamma three\ndelta four"  # order kept
+    assert got.loc[2, "clean_text"] == "epsilon five"  # trimmed match
+    assert got.loc[3, "clean_text"] == "" and got.loc[3, "n_removed"] == 1
+    assert list(got["n_lines"]) == [3, 3, 2, 1]
+    assert list(got["n_removed"]) == [1, 1, 1, 1]
+    # below threshold nothing is boilerplate
+    none = textops.strip_boilerplate(docs, min_docs=5).toPandas()
+    assert (none["n_removed"] == 0).all()
