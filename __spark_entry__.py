@@ -1266,6 +1266,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.strip_boilerplate(injected, min_docs=100)
 
+    def docs_pack_sequences(spark, sf):
+        # LLM sequence-packing manifest (textops.pack_sequences):
+        # concat-then-chunk at seq_len=256 whitespace tokens; the
+        # two-phase distributed cumsum supplies each doc's global
+        # token offset. Oracle replays with a window cumsum +
+        # generate_series explode — all-integer, hash-exact.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.pack_sequences(docs, seq_len=256)
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2821,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": docs_weighted_sample,
         "docs_pii_scrub": docs_pii_scrub,
         "docs_strip_boilerplate": docs_strip_boilerplate,
+        "docs_pack_sequences": docs_pack_sequences,
     }
 
 
@@ -4295,6 +4305,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT)
                      AS n_removed
             FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+        "docs_pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                  AS n_tok
+              FROM documents WHERE trim(text) <> ''
+            ),
+            spans AS (
+              SELECT doc_id, n_tok,
+                sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                  AS off,
+                sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+              FROM tok
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(seq_id * 256, off) - off AS BIGINT)
+                     AS tok_from,
+                   CAST(least((seq_id + 1) * 256, fin) - off AS BIGINT)
+                     AS tok_to,
+                   CAST(least((seq_id + 1) * 256, fin)
+                        - greatest(seq_id * 256, off) AS BIGINT)
+                     AS n_tok_in_seq
+            FROM spans,
+                 unnest(generate_series(CAST(off // 256 AS BIGINT),
+                                        CAST((fin - 1) // 256 AS BIGINT)))
+                   AS u(seq_id)
         """,
         "kg_link_heuristics": f"""
             {_KG_GRAPH_CTES},

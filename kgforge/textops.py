@@ -747,6 +747,24 @@ def prefix_by_budget(
     query. Rows with ``cum > budget`` are dropped; the first row alone
     exceeding the budget yields an empty prefix (strict contract).
     """
+    return running_sum(df, order_cols, amount_col, num_ranges).where(
+        F.col("cum_amount") <= F.lit(int(budget))
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    order_cols: list,
+    amount_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Global running sum of ``amount_col`` under the total order
+    ``order_cols``, WITHOUT a single-partition window — the two-phase
+    distributed cumulative sum documented in :func:`prefix_by_budget`
+    (which is now just this plus a budget filter). Adds ``cum_amount``
+    (long, inclusive of the current row). ``order_cols`` must be a
+    total order (include a unique tie-breaker).
+    """
     ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -779,7 +797,6 @@ def prefix_by_budget(
     return (
         local.join(off_df, "_pid")
         .withColumn("cum_amount", (F.col("_cum_local") + F.col("_off")).cast("long"))
-        .where(F.col("cum_amount") <= F.lit(int(budget)))
         .drop("_pid", "_cum_local", "_off")
     )
 
@@ -1089,4 +1106,70 @@ def strip_boilerplate(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int, num_ranges: int = 32
+) -> DataFrame:
+    """Sequence-packing manifest for LLM training: concatenate every
+    document's whitespace tokens in ``doc_id`` order into one virtual
+    token stream and cut it every ``seq_len`` tokens (the standard
+    "concat-then-chunk" packing — documents straddle sequence
+    boundaries; no padding, no token wasted). Output: one row per
+    (sequence, document) overlap —
+
+      ``seq_id``        which training sequence,
+      ``doc_id``        which document contributes,
+      ``tok_from``/``tok_to``  the doc-local token span [from, to),
+      ``n_tok_in_seq``  its length.
+
+    A trainer materializes sequence ``s`` by concatenating the spans
+    of its rows in ``doc_id`` order — the manifest IS the shuffle-free
+    description of the packed dataset.
+
+    Scale shape: the global token offset per document comes from
+    :func:`running_sum` (two-phase distributed cumsum — range
+    partition + local window + broadcast offsets; no single-partition
+    stage), and each doc then expands to exactly the sequences it
+    overlaps via ``sequence()`` + ``explode`` — output rows =
+    n_docs + n_sequences, never a cross product. Arithmetic is all
+    integer, so any engine reproduces the manifest bit-for-bit.
+    Zero-token documents (empty/whitespace text) are excluded.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+        F.trim("text").alias("_t"),
+    ).where(F.col("_t") != "").drop("_t")
+    cum = running_sum(tok, ["doc_id"], "n_tok", num_ranges)
+    k = F.lit(int(seq_len)).cast("long")
+    spans = cum.select(
+        "doc_id",
+        "n_tok",
+        (F.col("cum_amount") - F.col("n_tok")).alias("_off"),
+        F.col("cum_amount").alias("_end"),
+    )
+    exploded = spans.select(
+        "doc_id",
+        "_off",
+        "_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_off") / k), F.floor((F.col("_end") - 1) / k)
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * k, F.col("_off"))
+    hi = F.least((F.col("seq_id") + 1) * k, F.col("_end"))
+    return exploded.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (lo - F.col("_off")).cast("long").alias("tok_from"),
+        (hi - F.col("_off")).cast("long").alias("tok_to"),
+        (hi - lo).cast("long").alias("n_tok_in_seq"),
     )

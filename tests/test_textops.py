@@ -1361,3 +1361,52 @@ def test_strip_boilerplate(spark):
     # below threshold nothing is boilerplate
     none = textops.strip_boilerplate(docs, min_docs=5).toPandas()
     assert (none["n_removed"] == 0).all()
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b c",            # 3 tokens
+                "d e f g h i j",    # 7 -> straddles
+                "   ",              # empty after trim -> excluded
+                "k",                # 1
+                "l m n o p q r s t u v w",  # 12 -> spans 2+ seqs
+            ],
+        }
+    )
+    seq_len = 5
+    got = (
+        textops.pack_sequences(spark.createDataFrame(pdf), seq_len, num_ranges=3)
+        .toPandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # python replay: concat tokens in doc_id order, cut every seq_len
+    lens = {0: 3, 1: 7, 3: 1, 4: 12}
+    off, want = 0, []
+    for d in sorted(lens):
+        n = lens[d]
+        for s in range(off // seq_len, (off + n - 1) // seq_len + 1):
+            lo, hi = max(s * seq_len, off), min((s + 1) * seq_len, off + n)
+            want.append((s, d, lo - off, hi - off, hi - lo))
+        off += n
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # every token of every doc is assigned exactly once
+    per_doc = got.groupby("doc_id")["n_tok_in_seq"].sum().to_dict()
+    assert per_doc == lens
+    # every sequence except the last is exactly full
+    per_seq = got.groupby("seq_id")["n_tok_in_seq"].sum()
+    assert (per_seq.iloc[:-1] == seq_len).all()
+    assert per_seq.sum() == sum(lens.values())
+    # partitioning-independent: different range count, same manifest
+    got2 = (
+        textops.pack_sequences(
+            spark.createDataFrame(pdf).repartition(7), seq_len, num_ranges=11
+        )
+        .toPandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)
