@@ -1768,6 +1768,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(i,) for i in range(5)], "seed long")
         return graphstats.k_hop_neighbors(tri, seeds, k=2)
 
+    def kg_shortest_paths(spark, sf):
+        """Bounded multi-source weighted shortest paths over the
+        constructed KG (graphstats.shortest_paths): 4 Bellman-Ford
+        relaxation rounds from 5 seed entities on the undirected
+        entity graph with deterministic integer demo weights
+        w = (u+v)%5+1. Oracle = the identical rounds unrolled as
+        CTEs (bounded state per round — no all-paths recursion)."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        und = graphstats.undirected_edges(tri)
+        adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        edges = adj.select(
+            "u", "v", ((F.col("u") + F.col("v")) % 5 + 1).cast("long").alias("w")
+        )
+        sources = spark.range(5).select(F.col("id").alias("src"))
+        return graphstats.shortest_paths(edges, sources, n_rounds=4)
+
     def kg_local_clustering(spark, sf):
         """Per-entity local clustering coefficient 2T(v)/(d(v)(d(v)-1))
         over the constructed KG — degree-oriented wedge closure (each
@@ -2831,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": docs_pii_scrub,
         "docs_strip_boilerplate": docs_strip_boilerplate,
         "docs_pack_sequences": docs_pack_sequences,
+        "kg_shortest_paths": kg_shortest_paths,
     }
 
 
@@ -2979,6 +3003,35 @@ _KG_GRAPH_CTES = f"""
             SELECT a AS u, b AS v FROM und
             UNION ALL SELECT b AS u, a AS v FROM und
         )"""
+
+
+def _sssp_chain_sql(rounds: int, n_seeds: int) -> str:
+    """Unrolled bounded Bellman-Ford over the KG undirected entity
+    graph with demo weights w=(u+v)%5+1 — the same ``rounds``
+    synchronous relaxations ``graphstats.shortest_paths`` runs; each
+    round is a bounded (src, v, min dist) table, never an all-paths
+    recursion."""
+    chain = f"""{_KG_GRAPH_CTES},
+        we AS MATERIALIZED (
+            SELECT u, v, CAST((u + v) % 5 + 1 AS BIGINT) AS w FROM adj
+        ),
+        d0 AS (
+            SELECT src, src AS v, CAST(0 AS BIGINT) AS dist
+            FROM (SELECT unnest(generate_series(0, {n_seeds - 1})) AS src)
+        )"""
+    for i in range(1, rounds + 1):
+        chain += f""",
+        d{i} AS (
+            SELECT src, v, min(dist) AS dist FROM (
+                SELECT src, v, dist FROM d{i - 1}
+                UNION ALL
+                SELECT p.src, e.v, p.dist + e.w AS dist
+                FROM d{i - 1} p JOIN we e ON e.u = p.v
+            ) GROUP BY src, v
+        )"""
+    return chain + f"""
+        SELECT src, v, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
 
 
 def _k_core_chain_sql(k: int, rounds: int) -> str:
@@ -4200,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tv ON tv.v = deg.e
         """,
         "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
+        "kg_shortest_paths": _sssp_chain_sql(rounds=4, n_seeds=5),
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300
         """,

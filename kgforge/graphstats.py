@@ -1141,3 +1141,50 @@ def pagerank_weighted(
             .localCheckpoint()
         )
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame, sources: DataFrame, n_rounds: int = 4
+) -> DataFrame:
+    """Multi-source weighted shortest paths over ``edges(u, v, w)``
+    (directed; mirror the table for undirected graphs), bounded at
+    ``n_rounds`` synchronous Bellman–Ford relaxations — the KG
+    proximity query behind "how far is entity X from the seed set".
+    Output: ``(src, v, dist)`` = minimum path cost over all paths of
+    at most ``n_rounds`` edges, including ``(src, src, 0)``;
+    unreachable-within-bound nodes are absent. With ``n_rounds >=
+    |V| - 1`` this is the exact shortest path; the bound is the
+    contract (and what makes a SQL oracle expressible as unrolled
+    rounds rather than an exploding all-paths recursion).
+
+    Scale shape: per round ONE frontier⋈edges join (shuffle on the
+    relax key) plus ONE (src, v) min-aggregation with map-side
+    partials; state is |sources| x |reachable| rows, never all-pairs.
+    ``localCheckpoint`` per round truncates the iterative lineage —
+    the same discipline as the connected-components loop
+    (canonicalize.py) and pagerank. Integer weights keep every
+    distance exact (BIGINT), so engines agree bit-for-bit.
+    """
+    e = edges.select(
+        F.col("u").alias("_eu"),
+        F.col("v").alias("_ev"),
+        F.col("w").cast("long").alias("_ew"),
+    )
+    dist = sources.select(
+        F.col("src"),
+        F.col("src").alias("v"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(int(n_rounds)):
+        relax = dist.join(e, F.col("v") == F.col("_eu")).select(
+            "src",
+            F.col("_ev").alias("v"),
+            (F.col("dist") + F.col("_ew")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("src", "v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

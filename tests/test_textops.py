@@ -1410,3 +1410,36 @@ def test_pack_sequences_matches_python_replay(spark):
         .reset_index(drop=True)
     )
     assert got.equals(got2)
+
+
+def test_shortest_paths_matches_python_bellman_ford(spark):
+    from kgforge import graphstats
+
+    # weighted digraph where the cheapest route is NOT the fewest hops:
+    # 0->3 direct costs 10, 0->1->2->3 costs 3
+    edges = [
+        (0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1),
+        (3, 4, 2), (1, 4, 9), (4, 5, 1), (5, 0, 1),
+    ]
+    e = spark.createDataFrame(edges, "u long, v long, w long")
+    src = spark.createDataFrame([(0,), (3,)], "src long")
+    n_rounds = 4
+    got = {
+        (r["src"], r["v"]): r["dist"]
+        for r in graphstats.shortest_paths(e, src, n_rounds=n_rounds).collect()
+    }
+
+    def bf(s):
+        d = {s: 0}
+        for _ in range(n_rounds):
+            nd = dict(d)
+            for u, v, w in edges:
+                if u in d and d[u] + w < nd.get(v, 1 << 60):
+                    nd[v] = d[u] + w
+            d = nd
+        return d
+
+    want = {(s, v): c for s in (0, 3) for v, c in bf(s).items()}
+    assert got == want
+    assert got[(0, 3)] == 3  # multi-hop beats the direct edge
+    assert got[(3, 0)] == 4  # 3->4->5->0
