@@ -2296,6 +2296,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def q6_forecast_revenue(spark, sf):
+        """TPC-H Q6 shape — the pushed-filter scan aggregate: one
+        year's revenue change from discounted small-quantity lines.
+        Plan: NO join, NO data-sized shuffle — every predicate reaches
+        the Parquet scan (PushedFilters), a 4-column ReadSchema, and a
+        map-side partial sum feeding a single-row final agg. Decimal
+        money arithmetic (q1 contract) keeps the sum engine-exact."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+            "l_discount"
+        ).cast("decimal(4,2)")
+        return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+    def q4_priority_late_orders(spark, sf):
+        """TPC-H Q4 shape — order-priority checking via EXISTS: count
+        orders per priority in one half-year having at least one line
+        shipped >30 days after the order date (the fixture lacks
+        commit/receipt dates, so late-shipment plays the Q4 lateness
+        predicate). Plan: LEFT SEMI join on l_orderkey carrying the
+        inequality (no row multiplication, no distinct needed), then a
+        tiny priority aggregation."""
+        orders = spark.read.parquet(f"{sf}/orders.parquet").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_shipdate"
+        )
+        late = orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        return (
+            late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
     def cat_schema_evolution(spark, sf):
         """Iceberg add-column schema evolution: the first commit writes
         a narrow (event_id, user_id) schema, the second appends with an
@@ -2855,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_strip_boilerplate": docs_strip_boilerplate,
         "docs_pack_sequences": docs_pack_sequences,
         "kg_shortest_paths": kg_shortest_paths,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_priority_late_orders": q4_priority_late_orders,
     }
 
 
@@ -4254,6 +4305,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_k_core": _k_core_chain_sql(k=5, rounds=5),
         "kg_shortest_paths": _sssp_chain_sql(rounds=4, n_seeds=5),
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q4_priority_late_orders": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300
         """,
