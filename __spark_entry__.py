@@ -2142,6 +2142,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         )
 
+    def dq_table_diff(spark, sf):
+        """Row-level reconciliation (quality.table_diff): diff the
+        documents table against a deterministically perturbed version
+        (doc_id%11 rows deleted, doc_id%7 langs rewritten, doc_id%13
+        n_chars shifted, 5 synthetic rows added). ONE full-outer key
+        join; per-column NULL-safe compare; changed_cols names the
+        differing columns. The oracle replays the perturbation and the
+        same CASE/list_filter classification."""
+        from kgforge import quality
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        right = docs.where(F.col("doc_id") % 11 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 13 == 0, F.lit(5)).otherwise(F.lit(0))
+            ).cast("long").alias("n_chars"),
+        ).unionByName(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("en").alias("lang"),
+                F.lit(42).cast("long").alias("n_chars"),
+            )
+        )
+        return quality.table_diff(docs, right, ["doc_id"], ["lang", "n_chars"])
+
     def evt_scd2_user_state(spark, sf):
         """SCD Type-2 dimension build from the event log: per-user
         event_type state runs with valid_from/valid_to intervals,
@@ -2906,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": kg_shortest_paths,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q4_priority_late_orders": q4_priority_late_orders,
+        "dq_table_diff": dq_table_diff,
     }
 
 
@@ -4324,6 +4356,40 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l.l_orderkey = o.o_orderkey
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "dq_table_diff": """
+            WITH l AS (SELECT doc_id, lang, n_chars FROM documents),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+                CAST(n_chars + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END
+                     AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 100000, 'en', CAST(42 AS BIGINT)
+              FROM documents WHERE doc_id < 5
+            ),
+            j AS (
+              SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                l.doc_id AS lk, r.doc_id AS rk,
+                list_filter(
+                  [CASE WHEN l.lang IS DISTINCT FROM r.lang
+                        THEN 'lang' END,
+                   CASE WHEN l.n_chars IS DISTINCT FROM r.n_chars
+                        THEN 'n_chars' END],
+                  x -> x IS NOT NULL) AS diffs
+              FROM l FULL JOIN r ON l.doc_id = r.doc_id
+            )
+            SELECT doc_id,
+              CASE WHEN lk IS NULL THEN 'added'
+                   WHEN rk IS NULL THEN 'removed'
+                   WHEN len(diffs) > 0 THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                        AND len(diffs) > 0
+                   THEN array_to_string(diffs, ',') ELSE '' END
+                AS changed_cols
+            FROM j
         """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300

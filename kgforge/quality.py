@@ -205,3 +205,64 @@ def check_referential_integrity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("constraint")
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation of two versions of a table (CDC /
+    regression diff): full-outer join on ``keys`` classifying every
+    key as ``added`` (only in right), ``removed`` (only in left),
+    ``changed`` (both present, some compared column differs,
+    NULL-safe) or ``unchanged``. ``changed_cols`` lists the differing
+    column names comma-joined, in ``compare_cols`` order ('' unless
+    changed). ``compare_cols`` defaults to the non-key columns shared
+    by both sides.
+
+    Scale shape: exactly ONE shuffle — the full-outer key join (zero
+    if both sides are bucketed on the keys); the per-column compare is
+    a narrow NULL-safe equality mask. This is the validation step for
+    catalog upserts and incremental rebuilds: diff(incremental, full
+    rebuild) must come back all-unchanged.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in left.columns if c in set(right.columns) and c not in keys
+        ]
+    l = left.select(*keys, *compare_cols, F.lit(1).alias("_in_l"))
+    r = right.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_r"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"_r_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = l.join(r, cond, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(c).eqNullSafe(F.col(f"_r_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("_in_l").isNull(), F.lit("added"))
+        .when(F.col("_in_r").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[F.coalesce(F.col(k), F.col(f"_r_{k}")).alias(k) for k in keys],
+        status.alias("status"),
+        F.when(status == "changed", F.array_join(diffs, ","))
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )

@@ -98,3 +98,44 @@ def test_check_expectations_rejects_empty_rules(spark):
 
     with _pt.raises(ValueError, match="at least one rule"):
         Q.check_expectations(spark.range(3), [])
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4, 5],
+                "a": ["x", "y", "z", "w", None],
+                "b": [10, 20, 30, 40, 50],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 6, 5],
+                "a": ["x", "Y", None, "new", None],   # 2 changed, 3 changed(a->NULL)
+                "b": [10, 20, 31, 60, 50],            # 3 changed b too
+            }
+        )
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in Q.table_diff(left, right, ["k"]).collect()
+    }
+    assert got == {
+        1: ("unchanged", ""),
+        2: ("changed", "a"),
+        3: ("changed", "a,b"),
+        4: ("removed", ""),
+        5: ("unchanged", ""),  # NULL == NULL under eqNullSafe
+        6: ("added", ""),
+    }
+    # explicit compare_cols subset: b-only diff ignores a
+    got_b = {
+        r["k"]: r["status"]
+        for r in Q.table_diff(left, right, ["k"], ["b"]).collect()
+    }
+    assert got_b[2] == "unchanged" and got_b[3] == "changed"
