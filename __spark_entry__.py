@@ -1275,6 +1275,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textops.pack_sequences(docs, seq_len=256)
 
+    def docs_assign_splits(spark, sf):
+        # deterministic 80/10/10 train/valid/test assignment
+        # (sampling.assign_splits): md5-keyed integer per-mille gate —
+        # zero shuffles, replayed bit-exactly by the oracle.
+        from kgforge.sampling import assign_splits
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        return assign_splits(
+            docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42
+        )
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -2938,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q4_priority_late_orders": q4_priority_late_orders,
         "dq_table_diff": dq_table_diff,
+        "docs_assign_splits": docs_assign_splits,
     }
 
 
@@ -4390,6 +4402,17 @@ def oracle_sql() -> dict[str, str]:
                    THEN array_to_string(diffs, ',') ELSE '' END
                 AS changed_cols
             FROM j
+        """,
+        "docs_assign_splits": """
+            SELECT doc_id, CAST(b AS BIGINT) AS bucket,
+                   CASE WHEN b < 800 THEN 'train'
+                        WHEN b < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                ('0x' || substr(md5(CAST('42' || ':' || doc_id AS VARCHAR)),
+                                1, 15))::UBIGINT % 1000 AS b
+              FROM documents)
         """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300

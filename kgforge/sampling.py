@@ -373,3 +373,49 @@ def weighted_sample(
         .orderBy("sample_key", key_col)
         .limit(int(k))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fracs: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/valid/test split assignment: each row lands
+    in a split with probability ``fracs[name]``, decided ONLY by
+    ``md5(seed:key)`` — no RNG state, no shuffle, independent of
+    partitioning, stable under re-runs and engine changes (the same
+    contract as the stratified md5 gate and ``weighted_sample``).
+
+    The gate is all-integer: the first 15 md5 hex digits as a 60-bit
+    int, modulo 1000, compared against cumulative per-mille
+    boundaries (fracs must sum to 1.0 within 1e-9 and each be a
+    multiple of 0.001 — the resolution of the gate). Insertion order
+    of ``fracs`` fixes the boundary order. Adds ``bucket`` (0..999)
+    and ``split``.
+
+    Scale shape: a narrow JVM-side map over the key column — zero
+    shuffles, zero state; at 100 TB the split is decided during the
+    scan. Rows move between splits only if their KEY changes, so
+    incremental appends never reshuffle existing assignments.
+    """
+    mille = []
+    for name, frac in fracs.items():
+        m = round(frac * 1000)
+        if abs(frac * 1000 - m) > 1e-6:
+            raise ValueError(f"frac {name}={frac} is not a multiple of 0.001")
+        mille.append((name, m))
+    if sum(m for _, m in mille) != 1000:
+        raise ValueError(f"fracs must sum to 1.0, got {fracs}")
+    m = F.md5(F.concat_ws(":", F.lit(int(seed)), F.col(key_col)).cast("binary"))
+    vnum = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    bucket = F.pmod(vnum, F.lit(1000))
+    expr = None
+    cum = 0
+    for name, mm in mille[:-1]:
+        cum += mm
+        branch = (bucket < F.lit(cum), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    last = F.lit(mille[-1][0])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("bucket", bucket.cast("long")).withColumn("split", split)

@@ -140,3 +140,37 @@ def test_weighted_sample_matches_python_replay_and_proportionality(spark):
     got2 = weighted_sample(spark.createDataFrame(pdf), "k", "w", k=n, seed=7).toPandas()
     assert 0 not in set(got2["k"]) and 1 not in set(got2["k"])
     assert len(got2) == n - 2
+
+
+def test_assign_splits_deterministic_and_proportional(spark):
+    import hashlib
+
+    from kgforge.sampling import assign_splits
+
+    n = 2000
+    df = spark.range(n).withColumnRenamed("id", "k")
+    got = assign_splits(
+        df, "k", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=9
+    ).toPandas()
+
+    def bucket(i):
+        return int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:15], 16) % 1000
+
+    for r in got.itertuples(index=False):
+        b = bucket(r.k)
+        assert r.bucket == b
+        assert r.split == ("train" if b < 800 else "valid" if b < 900 else "test")
+    frac = got["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["valid"] - 0.1) < 0.03
+    # partitioning-independent
+    got2 = assign_splits(
+        df.repartition(13), "k", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=9
+    ).toPandas()
+    assert got.sort_values("k").reset_index(drop=True).equals(
+        got2.sort_values("k").reset_index(drop=True)
+    )
+    with pytest.raises(ValueError):
+        assign_splits(df, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        assign_splits(df, "k", {"a": 0.5, "b": 0.4995, "c": 0.0005})
