@@ -1323,6 +1323,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textops.simhash_candidate_pairs(textops.simhash_docs(docs), max_hamming=8)
 
+    def ann_quantize(spark, sf):
+        """Per-vector int8 scalar quantization of the embedding table
+        (similarity.quantize_embeddings): codes against the vector's
+        own [min,max], worst-dimension reconstruction error. Narrow
+        map, zero shuffles; oracle replays the identical double
+        arithmetic (float casts exact, max is order-independent)."""
+        from kgforge.similarity import quantize_embeddings
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return quantize_embeddings(emb)
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         q = emb.where(F.col("vec_id") < 8).select(
@@ -2950,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_late_orders": q4_priority_late_orders,
         "dq_table_diff": dq_table_diff,
         "docs_assign_splits": docs_assign_splits,
+        "ann_quantize": ann_quantize,
     }
 
 
@@ -4413,6 +4425,27 @@ def oracle_sql() -> dict[str, str]:
                 ('0x' || substr(md5(CAST('42' || ':' || doc_id AS VARCHAR)),
                                 1, 15))::UBIGINT % 1000 AS b
               FROM documents)
+        """,
+        "ann_quantize": """
+            SELECT vec_id,
+              CAST(len(embedding) AS BIGINT) AS n_dims,
+              qmin, qmax,
+              array_to_string(list_transform(embedding, x ->
+                CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(round((CAST(x AS DOUBLE) - qmin) / scale)
+                               AS INTEGER) END AS VARCHAR)), ',') AS codes,
+              CASE WHEN scale = 0 THEN 0.0
+                   ELSE list_max(list_transform(embedding, x ->
+                     abs(CAST(x AS DOUBLE)
+                         - (qmin + round((CAST(x AS DOUBLE) - qmin) / scale)
+                            * scale)))) END AS max_abs_err
+            FROM (
+              SELECT vec_id, embedding,
+                CAST(list_min(embedding) AS DOUBLE) AS qmin,
+                CAST(list_max(embedding) AS DOUBLE) AS qmax,
+                (CAST(list_max(embedding) AS DOUBLE)
+                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+              FROM embeddings)
         """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300

@@ -127,3 +127,36 @@ def test_lsh_topk_recall(spark, emb):
     assert hits / tot >= 0.3, f"LSH recall {hits/tot}"
     r1 = got[got["rk"] == 1]
     assert (r1["query_id"] == r1["neighbor_id"]).all()
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    import numpy as np
+    import pandas as pd
+
+    from kgforge.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.normal(size=16).astype("float32") for _ in range(20)]
+    vecs.append(np.full(16, 3.25, dtype="float32"))  # constant vector
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    got = quantize_embeddings(df).toPandas().set_index("vec_id").sort_index()
+    for i, v in enumerate(vecs):
+        v64 = v.astype("float64")
+        qmin, qmax = v64.min(), v64.max()
+        scale = (qmax - qmin) / 255.0
+        row = got.loc[i]
+        assert row["qmin"] == qmin and row["qmax"] == qmax
+        codes = np.array([int(c) for c in row["codes"].split(",")])
+        if scale == 0:
+            assert (codes == 0).all() and row["max_abs_err"] == 0.0
+            continue
+        want_codes = np.floor((v64 - qmin) / scale + 0.5).astype(int)  # half-up
+        assert (codes == want_codes).all()
+        assert codes.min() >= 0 and codes.max() <= 255
+        recon = qmin + codes * scale
+        assert row["max_abs_err"] == np.abs(v64 - recon).max()
+        # the int8 error contract: worst dim off by at most half a step
+        assert row["max_abs_err"] <= scale / 2 + 1e-12
