@@ -1334,6 +1334,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return quantize_embeddings(emb)
 
+    def ann_quantized_topk(spark, sf):
+        """Asymmetric quantized ANN: exact float queries ranked
+        against int8-decoded vectors (similarity.dequantized_vectors
+        + cosine_topk). Rank-only output, same contract as
+        ann_cosine_topk; the oracle decodes with identical double
+        arithmetic and ranks with list_cosine_similarity."""
+        from kgforge.similarity import cosine_topk, dequantized_vectors
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 8).selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        return cosine_topk(dequantized_vectors(emb), q, k=10).select(
+            "query_id", "neighbor_id", "rk"
+        )
+
     def ann_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         q = emb.where(F.col("vec_id") < 8).select(
@@ -2962,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_table_diff": dq_table_diff,
         "docs_assign_splits": docs_assign_splits,
         "ann_quantize": ann_quantize,
+        "ann_quantized_topk": ann_quantized_topk,
     }
 
 
@@ -4446,6 +4463,30 @@ def oracle_sql() -> dict[str, str]:
                 (CAST(list_max(embedding) AS DOUBLE)
                  - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
               FROM embeddings)
+        """,
+        "ann_quantized_topk": """
+            WITH p AS (
+              SELECT vec_id, embedding,
+                CAST(list_min(embedding) AS DOUBLE) AS qmin,
+                (CAST(list_max(embedding) AS DOUBLE)
+                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+              FROM embeddings),
+            e AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                CASE WHEN scale = 0 THEN qmin
+                     ELSE qmin + round((CAST(x AS DOUBLE) - qmin) / scale)
+                          * scale END) AS v
+              FROM p),
+            q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id < 8)
+            SELECT query_id, neighbor_id, rk FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                e.vec_id) AS rk
+              FROM q, e) WHERE rk <= 10
         """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300

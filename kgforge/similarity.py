@@ -489,3 +489,27 @@ def quantize_embeddings(
         F.array_join(codes, ",").alias("codes"),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+def dequantized_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Reconstruct each vector from its own int8 scalar-quantization
+    codes (see :func:`quantize_embeddings`): ``x̂_i = qmin +
+    round((x_i - qmin)/scale) * scale`` — the decoded representation a
+    quantized ANN index actually serves from. Searching against this
+    table (queries kept full-precision) is asymmetric-distance ANN:
+    ~4x less index storage for a small, bounded ranking error.
+
+    Same narrow zero-shuffle map as quantization; every step is exact
+    double arithmetic both engines replay identically.
+    """
+    qmin = F.array_min(F.col(vec_col)).cast("double")
+    scale = (F.array_max(F.col(vec_col)).cast("double") - qmin) / F.lit(255.0)
+    recon = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(scale == 0, qmin).otherwise(
+            qmin + F.round((x.cast("double") - qmin) / scale, 0) * scale
+        ),
+    )
+    return embeddings.select(id_col, recon.alias(vec_col))

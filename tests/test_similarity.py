@@ -160,3 +160,21 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         assert row["max_abs_err"] == np.abs(v64 - recon).max()
         # the int8 error contract: worst dim off by at most half a step
         assert row["max_abs_err"] <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_recall(spark):
+    from kgforge.similarity import dequantized_vectors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    deq = dequantized_vectors(emb)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(deq, q, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9  # int8 decode barely perturbs the ranking
