@@ -2695,6 +2695,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def evt_interval_join(spark, sf):
+        """Bucketed point-in-interval join (joins.interval_join):
+        events against 60 deterministic 3-hour campaign windows on a
+        12-hour stride. The range join runs as an EQUI-join on 1-hour
+        buckets + exact filter; positions are tz-free timestampdiff
+        seconds (NTZ-safe). Oracle = the plain inequality join."""
+        from kgforge.joins import interval_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        points = ev.select(
+            "event_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP'2024-01-01 00:00:00', ts)"
+            ).cast("long").alias("pos"),
+        )
+        iv = spark.range(60).select(
+            F.col("id").alias("campaign_id"),
+            (F.col("id") * 43200).cast("long").alias("start"),
+            (F.col("id") * 43200 + 10800).cast("long").alias("end"),
+        )
+        return interval_join(points, iv, bucket_width=3600).select(
+            "event_id", "campaign_id", "pos"
+        )
+
     def asof_purchases(spark, sf):
         # as-of join (operator Spark lacks natively): each click event
         # picks the user's LATEST purchase at-or-before its timestamp.
@@ -2979,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_assign_splits": docs_assign_splits,
         "ann_quantize": ann_quantize,
         "ann_quantized_topk": ann_quantized_topk,
+        "evt_interval_join": evt_interval_join,
     }
 
 
@@ -4487,6 +4512,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
                                 e.vec_id) AS rk
               FROM q, e) WHERE rk <= 10
+        """,
+        "evt_interval_join": """
+            WITH p AS (
+              SELECT event_id,
+                CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                     AS BIGINT) AS pos
+              FROM events),
+            iv AS (
+              SELECT i AS campaign_id,
+                CAST(i * 43200 AS BIGINT) AS st,
+                CAST(i * 43200 + 10800 AS BIGINT) AS fin
+              FROM unnest(generate_series(0, 59)) t(i))
+            SELECT event_id, campaign_id, pos
+            FROM p JOIN iv ON pos >= st AND pos < fin
         """,
         "cat_tagged_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars < 300

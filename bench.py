@@ -109,6 +109,8 @@ def main() -> int:
         "kg_pagerank",
         "evt_scd2_user_state",  # SCD2 window build over the event log
         "dq_expectations_lineitem",  # single-scan DQ gate on the fact table
+        "docs_pack_sequences",  # two-phase distributed cumsum manifest
+        "docs_pii_scrub",  # scan-bound regex scrub (zero-shuffle path)
     ]
     for name in bench_queries:
         runs = []

@@ -119,3 +119,54 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    pos_col: str = "pos",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Scalable point-in-interval (range) join: keep every (point,
+    interval) pair with ``start <= pos < end`` — event-in-campaign,
+    read-overlaps-gene, trade-in-auction-window. Positions are plain
+    longs; convert timestamps with a tz-free ``timestampdiff`` first
+    (the SCD2 NTZ lesson).
+
+    Spark has no native range join, and the naive formulations are a
+    broadcast-nested-loop (O(|P|·|I|) comparisons) or a theta SMJ.
+    This is the standard bucketization: each point hashes to ONE
+    coarse bucket of width ``bucket_width``; each interval explodes to
+    the ``~len/width + 1`` buckets it overlaps; the join becomes an
+    EQUI-join on the bucket key (shuffle hash join — partitionable,
+    AQE-skew-splittable) followed by the exact inequality filter. A
+    pair can only meet in the point's single bucket, so no dedup is
+    needed. Pick ``bucket_width`` near the median interval length:
+    wider buckets mean fewer interval replicas but more false
+    candidates filtered after the join.
+
+    Empty/degenerate intervals (``end <= start``) match nothing and
+    are dropped before the explode (Spark's ``sequence`` would
+    otherwise count DOWN and fabricate buckets).
+    """
+    w = int(bucket_width)
+    p = points.withColumn("_b", F.floor(F.col(pos_col) / w))
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w),
+                F.floor((F.col(end_col) - 1) / w),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_b")
+        .where(
+            (F.col(pos_col) >= F.col(start_col))
+            & (F.col(pos_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )
