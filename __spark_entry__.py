@@ -2541,6 +2541,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("double").alias("cum_revenue"),
         )
 
+    def cat_snapshot_diff(spark, sf):
+        # composition: WHAT changed between two catalog snapshots —
+        # time-travel reads of commit 1 (base) and commit 2 (the
+        # dq_table_diff perturbation) fed through quality.table_diff.
+        # Proves snapshot isolation AND read-back fidelity: the oracle
+        # diffs the two versions straight from the source table, so
+        # any catalog corruption would break the hash.
+        import tempfile
+
+        from kgforge import quality
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        right = docs.where(F.col("doc_id") % 11 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 13 == 0, F.lit(5)).otherwise(F.lit(0))
+            ).cast("long").alias("n_chars"),
+        ).unionByName(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("en").alias("lang"),
+                F.lit(42).cast("long").alias("n_chars"),
+            )
+        )
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_catdiff_"))
+        t.overwrite(docs)
+        t.overwrite(right)
+        return quality.table_diff(
+            t.read(spark, snapshot_id=1),
+            t.read(spark, snapshot_id=2),
+            ["doc_id"],
+            ["lang", "n_chars"],
+        )
+
     def cat_time_travel(spark, sf):
         # Iceberg-lite catalog semantics under oracle check: snapshot 1
         # commits the short documents, snapshot 2 OVERWRITES with all of
@@ -3004,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantize": ann_quantize,
         "ann_quantized_topk": ann_quantized_topk,
         "evt_interval_join": evt_interval_join,
+        "cat_snapshot_diff": cat_snapshot_diff,
     }
 
 
@@ -3152,6 +3194,42 @@ _KG_GRAPH_CTES = f"""
             SELECT a AS u, b AS v FROM und
             UNION ALL SELECT b AS u, a AS v FROM und
         )"""
+
+
+_TABLE_DIFF_SQL = """
+            WITH l AS (SELECT doc_id, lang, n_chars FROM documents),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+                CAST(n_chars + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END
+                     AS BIGINT) AS n_chars
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 100000, 'en', CAST(42 AS BIGINT)
+              FROM documents WHERE doc_id < 5
+            ),
+            j AS (
+              SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                l.doc_id AS lk, r.doc_id AS rk,
+                list_filter(
+                  [CASE WHEN l.lang IS DISTINCT FROM r.lang
+                        THEN 'lang' END,
+                   CASE WHEN l.n_chars IS DISTINCT FROM r.n_chars
+                        THEN 'n_chars' END],
+                  x -> x IS NOT NULL) AS diffs
+              FROM l FULL JOIN r ON l.doc_id = r.doc_id
+            )
+            SELECT doc_id,
+              CASE WHEN lk IS NULL THEN 'added'
+                   WHEN rk IS NULL THEN 'removed'
+                   WHEN len(diffs) > 0 THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                        AND len(diffs) > 0
+                   THEN array_to_string(diffs, ',') ELSE '' END
+                AS changed_cols
+            FROM j
+        """
 
 
 def _sssp_chain_sql(rounds: int, n_seeds: int) -> str:
@@ -4423,40 +4501,10 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
-        "dq_table_diff": """
-            WITH l AS (SELECT doc_id, lang, n_chars FROM documents),
-            r AS (
-              SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
-                CAST(n_chars + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END
-                     AS BIGINT) AS n_chars
-              FROM documents WHERE doc_id % 11 <> 0
-              UNION ALL
-              SELECT doc_id + 100000, 'en', CAST(42 AS BIGINT)
-              FROM documents WHERE doc_id < 5
-            ),
-            j AS (
-              SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
-                l.doc_id AS lk, r.doc_id AS rk,
-                list_filter(
-                  [CASE WHEN l.lang IS DISTINCT FROM r.lang
-                        THEN 'lang' END,
-                   CASE WHEN l.n_chars IS DISTINCT FROM r.n_chars
-                        THEN 'n_chars' END],
-                  x -> x IS NOT NULL) AS diffs
-              FROM l FULL JOIN r ON l.doc_id = r.doc_id
-            )
-            SELECT doc_id,
-              CASE WHEN lk IS NULL THEN 'added'
-                   WHEN rk IS NULL THEN 'removed'
-                   WHEN len(diffs) > 0 THEN 'changed'
-                   ELSE 'unchanged' END AS status,
-              CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
-                        AND len(diffs) > 0
-                   THEN array_to_string(diffs, ',') ELSE '' END
-                AS changed_cols
-            FROM j
-        """,
+        # cat_snapshot_diff reads the SAME two versions back through
+        # catalog time travel, so one oracle serves both keys.
+        "dq_table_diff": _TABLE_DIFF_SQL,
+        "cat_snapshot_diff": _TABLE_DIFF_SQL,
         "docs_assign_splits": """
             SELECT doc_id, CAST(b AS BIGINT) AS bucket,
                    CASE WHEN b < 800 THEN 'train'
