@@ -1286,6 +1286,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42
         )
 
+    def txt_build_vocab(spark, sf):
+        # tokenizer-fitting step (textops.build_vocab): top-20 word
+        # vocabulary with dense ids by (count desc, token). One count
+        # shuffle + TakeOrdered; the row_number window runs over the
+        # 20-row result only.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.build_vocab(docs, size=20)
+
+    def txt_oov_stats(spark, sf):
+        # per-doc OOV rate against the fitted top-20 vocab
+        # (textops.oov_stats): broadcast vocab, one explode + left
+        # join + doc_id agg.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        vocab = textops.build_vocab(docs, size=20)
+        return textops.oov_stats(docs, vocab)
+
     def docs_corpus_filter(spark, sf):
         # composite training-data cleanup: quality gate AND en-language
         # gate, then exact dedup of the survivors — the operators
@@ -3046,6 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": ann_quantized_topk,
         "evt_interval_join": evt_interval_join,
         "cat_snapshot_diff": cat_snapshot_diff,
+        "txt_build_vocab": txt_build_vocab,
+        "txt_oov_stats": txt_oov_stats,
     }
 
 
@@ -4505,6 +4523,44 @@ def oracle_sql() -> dict[str, str]:
         # catalog time travel, so one oracle serves both keys.
         "dq_table_diff": _TABLE_DIFF_SQL,
         "cat_snapshot_diff": _TABLE_DIFF_SQL,
+        "txt_build_vocab": """
+            SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                        - 1 AS BIGINT) AS token_id,
+                   token, n_occurrences
+            FROM (
+              SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS token
+                    FROM documents)
+              WHERE token <> ''
+              GROUP BY token
+              ORDER BY n_occurrences DESC, token LIMIT 20)
+        """,
+        "txt_oov_stats": """
+            WITH vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS c
+                FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                       '\\s+')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token ORDER BY c DESC, token LIMIT 20)),
+            toks AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS token
+                FROM documents)
+              WHERE token <> '')
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
+            FROM toks t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY doc_id
+        """,
         "docs_assign_splits": """
             SELECT doc_id, CAST(b AS BIGINT) AS bucket,
                    CASE WHEN b < 800 THEN 'train'

@@ -1173,3 +1173,81 @@ def pack_sequences(
         (hi - F.col("_off")).cast("long").alias("tok_to"),
         (hi - lo).cast("long").alias("n_tok_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building / OOV
+# ---------------------------------------------------------------------------
+
+def build_vocab(docs: DataFrame, size: int, text_col: str = "text") -> DataFrame:
+    """Fit a word vocabulary over the corpus: the ``size`` most
+    frequent whitespace-lowercased tokens, densely id'd — the
+    tokenizer-fitting step of an LLM data pipeline (word-level here;
+    a BPE learner iterates the same count table).
+
+    Output: ``(token_id, token, n_occurrences)``; ids assigned by
+    (count desc, token) so the table is a deterministic function of
+    the corpus. Scale shape: explode + ONE count shuffle with
+    map-side partials (the token key space is Zipf-bounded), then a
+    top-``size`` TakeOrdered and a window over the vocabulary-sized
+    result only — the corpus is never globally sorted.
+    """
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(int(size))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    # the row_number window runs over <= `size` rows (post-LIMIT), the
+    # same dictionary-scale single-partition contract as dense_ids
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        "n_occurrences",
+    )
+
+
+def oov_stats(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a fitted
+    :func:`build_vocab` table: ``(doc_id, n_tokens, n_oov,
+    oov_frac)`` — the standard coverage check before committing to a
+    tokenizer.
+
+    The vocab is broadcast (it is vocabulary-sized by construction);
+    the corpus streams through one explode + left join + doc_id
+    aggregation — a single data-sized shuffle.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    ).where(F.col("token") != "")
+    v = vocab.select("token").withColumn("_in", F.lit(1))
+    per = (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_frac"
+        ),
+    )

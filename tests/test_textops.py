@@ -1443,3 +1443,31 @@ def test_shortest_paths_matches_python_bellman_ford(spark):
     assert got == want
     assert got[(0, 3)] == 3  # multi-hop beats the direct edge
     assert got[(3, 0)] == 4  # 3->4->5->0
+
+
+def test_build_vocab_and_oov(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat the dog THE bird",
+                "a cat a dog a fish",
+                "zebra quokka",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    vocab = textops.build_vocab(docs, size=4).toPandas()
+    # counts: the=3, a=3, cat=2, dog=2, then singles
+    assert list(vocab["token"]) == ["a", "the", "cat", "dog"]
+    assert list(vocab["n_occurrences"]) == [3, 3, 2, 2]
+    assert list(vocab["token_id"]) == [0, 1, 2, 3]
+    got = (
+        textops.oov_stats(docs, spark.createDataFrame(vocab))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "n_tokens"] == 6 and got.loc[0, "n_oov"] == 1  # bird
+    assert got.loc[1, "n_oov"] == 1  # fish
+    assert got.loc[2, "n_oov"] == 2 and got.loc[2, "oov_frac"] == 1.0
