@@ -2776,6 +2776,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "campaign_id", "pos"
         )
 
+    def evt_json_extract(spark, sf):
+        """Semi-structured extraction: parse the events.props JSON
+        column JVM-side (get_json_object — no Python, no UDF) and
+        aggregate per extracted key: event count + decimal-exact value
+        sum (the q1 money contract sidesteps float-sum order). The
+        standard lakehouse pattern for schema-on-read event payloads.
+        Oracle: DuckDB json_extract_string replays the same path."""
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.select(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("value"),
+            )
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
     def asof_purchases(spark, sf):
         # as-of join (operator Spark lacks natively): each click event
         # picks the user's LATEST purchase at-or-before its timestamp.
@@ -3064,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_snapshot_diff": cat_snapshot_diff,
         "txt_build_vocab": txt_build_vocab,
         "txt_oov_stats": txt_oov_stats,
+        "evt_json_extract": evt_json_extract,
     }
 
 
@@ -4616,6 +4639,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
                                 e.vec_id) AS rk
               FROM q, e) WHERE rk <= 10
+        """,
+        "evt_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY k
         """,
         "evt_interval_join": """
             WITH p AS (
