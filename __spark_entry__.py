@@ -1286,6 +1286,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=42
         )
 
+    def docs_training_export(spark, sf):
+        """END-TO-END training-data export — the LLM-pipeline user
+        story composed from the per-op pieces: quality∧lang gates →
+        exact dedup (training_corpus_filter) → hash-gated 90/10 split
+        (assign_splits, train side kept) → sequence-packing manifest
+        at seq_len=128 (pack_sequences). One dedup shuffle + the
+        two-phase cumsum; everything else narrow or broadcast. The
+        oracle replays the entire composition in SQL."""
+        from kgforge.sampling import assign_splits
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        surv = textops.training_corpus_filter(docs).select("doc_id")
+        clean = docs.join(surv, "doc_id").select("doc_id", "text")
+        train = (
+            assign_splits(clean, "doc_id", {"train": 0.9, "valid": 0.1}, seed=7)
+            .where(F.col("split") == "train")
+            .select("doc_id", "text")
+        )
+        return textops.pack_sequences(train, seq_len=128)
+
     def txt_build_vocab(spark, sf):
         # tokenizer-fitting step (textops.build_vocab): top-20 word
         # vocabulary with dense ids by (count desc, token). One count
@@ -3087,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_build_vocab": txt_build_vocab,
         "txt_oov_stats": txt_oov_stats,
         "evt_json_extract": evt_json_extract,
+        "docs_training_export": docs_training_export,
     }
 
 
@@ -4546,6 +4567,76 @@ def oracle_sql() -> dict[str, str]:
         # catalog time travel, so one oracle serves both keys.
         "dq_table_diff": _TABLE_DIFF_SQL,
         "cat_snapshot_diff": _TABLE_DIFF_SQL,
+        "docs_training_export": """
+            WITH q AS (
+              SELECT doc_id FROM documents
+              WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+                AND length(text) >= 20
+                AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) < 0.2
+            ),
+            lc AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|is|was|with)\\b')) AS n_en,
+                len(regexp_extract_all(lower(text),
+                  '\\b(le|la|les|et|est|une|dans)\\b')) AS n_fr,
+                len(regexp_extract_all(lower(text),
+                  '\\b(der|die|das|und|ist|mit|ein)\\b')) AS n_de,
+                len(regexp_extract_all(lower(text),
+                  '\\b(el|los|las|es|una|con|para)\\b')) AS n_es
+              FROM documents
+            ),
+            lang AS (
+              SELECT doc_id FROM lc
+              WHERE (CASE WHEN n_en >= greatest(n_fr, n_de, n_es, 1) THEN 'en'
+                   WHEN n_fr >= greatest(n_de, n_es, 1) THEN 'fr'
+                   WHEN n_de >= greatest(n_es, 1) THEN 'de'
+                   WHEN n_es >= 1 THEN 'es'
+                   ELSE 'und' END) = 'en'
+            ),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN q USING (doc_id) JOIN lang USING (doc_id)
+            ),
+            ded AS (
+              SELECT min(doc_id) AS doc_id FROM kept
+              GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            ),
+            train AS (
+              SELECT d.doc_id, d.text FROM documents d JOIN ded USING (doc_id)
+              WHERE ('0x' || substr(md5(CAST('7' || ':' || d.doc_id
+                                           AS VARCHAR)), 1, 15))::UBIGINT
+                    % 1000 < 900
+            ),
+            tok AS (
+              SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                  AS n_tok
+              FROM train WHERE trim(text) <> ''
+            ),
+            spans AS (
+              SELECT doc_id, n_tok,
+                sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                  AS off,
+                sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+              FROM tok
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(seq_id * 128, off) - off AS BIGINT)
+                     AS tok_from,
+                   CAST(least((seq_id + 1) * 128, fin) - off AS BIGINT)
+                     AS tok_to,
+                   CAST(least((seq_id + 1) * 128, fin)
+                        - greatest(seq_id * 128, off) AS BIGINT)
+                     AS n_tok_in_seq
+            FROM spans,
+                 unnest(generate_series(CAST(off // 128 AS BIGINT),
+                                        CAST((fin - 1) // 128 AS BIGINT)))
+                   AS u(seq_id)
+        """,
         "txt_build_vocab": """
             SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
                         - 1 AS BIGINT) AS token_id,

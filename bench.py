@@ -111,6 +111,7 @@ def main() -> int:
         "dq_expectations_lineitem",  # single-scan DQ gate on the fact table
         "docs_pack_sequences",  # two-phase distributed cumsum manifest
         "docs_pii_scrub",  # scan-bound regex scrub (zero-shuffle path)
+        "docs_training_export",  # filter→dedup→split→pack composition
     ]
     for name in bench_queries:
         runs = []
