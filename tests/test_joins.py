@@ -41,3 +41,37 @@ def test_interval_join_matches_bruteforce(spark):
         ).collect()
     }
     assert got2 == want
+
+
+def test_interval_join_plan_is_equi_join_not_nested_loop(spark):
+    """The bucketization must surface as an EQUI-join on the bucket
+    key — never a BroadcastNestedLoopJoin / cartesian theta join (the
+    naive range-join plans that melt at scale)."""
+    import pandas as pd
+
+    from kgforge.joins import interval_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": range(100), "pos": range(0, 10_000, 100)}).astype("int64")
+    )
+    ivs = spark.createDataFrame(
+        pd.DataFrame(
+            {"iid": range(10), "start": range(0, 5000, 500)}
+        ).assign(end=lambda d: d["start"] + 300).astype("int64")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the chosen strategy is visible: the
+        # bucket key must make a shuffled EQUI join legal
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            interval_join(pts, ivs, bucket_width=512)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

@@ -1471,3 +1471,15 @@ def test_build_vocab_and_oov(spark):
     assert got.loc[0, "n_tokens"] == 6 and got.loc[0, "n_oov"] == 1  # bird
     assert got.loc[1, "n_oov"] == 1  # fish
     assert got.loc[2, "n_oov"] == 2 and got.loc[2, "oov_frac"] == 1.0
+
+
+def test_pii_scrub_plan_has_no_exchange(spark):
+    """PII scrub is a pure narrow map: zero Exchanges in the physical
+    plan (the 100 TB argument is 'scan-bound', so pin it)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+    )
+    plan = (
+        textops.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
