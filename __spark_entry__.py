@@ -260,6 +260,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_start", "pred", F.col("n_triples").cast("long").alias("n_triples")
         )
 
+    def str_sliding_counts(spark, sf):
+        # sliding-window (30m window / 10m slide) per-type event rates
+        # (streaming.sliding_window_counts — F.window with a slide is
+        # the same operator in batch and streaming; the stream variant
+        # bounds state via the 1h watermark). Oracle replays the 3x
+        # window expansion with time_bucket arithmetic.
+        from kgforge.streaming import sliding_window_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return sliding_window_counts(ev).select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
     def dedup_simhash_pigeonhole(spark, sf):
         # pigeonhole invariant of 4 x 16-bit banding: any pair within
         # hamming distance 3 has >=1 intact band, so it can NEVER be
@@ -3108,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_oov_stats": txt_oov_stats,
         "evt_json_extract": evt_json_extract,
         "docs_training_export": docs_training_export,
+        "str_sliding_counts": str_sliding_counts,
     }
 
 
@@ -4730,6 +4746,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
                                 e.vec_id) AS rk
               FROM q, e) WHERE rk <= 10
+        """,
+        "str_sliding_counts": """
+            SELECT ws AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM (
+              SELECT event_type, ts,
+                time_bucket(INTERVAL 10 MINUTE, ts)
+                  - k * (INTERVAL 10 MINUTE) AS ws
+              FROM events, unnest(generate_series(0, 2)) t(k))
+            WHERE ts >= ws AND ts < ws + INTERVAL 30 MINUTE
+            GROUP BY ws, event_type
         """,
         "evt_json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

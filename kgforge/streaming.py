@@ -282,3 +282,36 @@ def stream_to_catalog(
     )
     q.awaitTermination()
     return q
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "1 hour",
+    key: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SLIDING-window counts: each event contributes to the
+    ``window/slide`` overlapping windows covering it (the trend-line /
+    moving-rate aggregation tumbling windows can't express). Same
+    operator in batch and streaming (``F.window`` with a slide);
+    under a stream the watermark bounds state to windows younger than
+    ``watermark`` past the max seen event time.
+
+    Scale: one shuffle on (window, key) with map-side partials; the
+    window/slide expansion multiplies rows by a small constant (3 for
+    30m/10m) BEFORE the partial agg, so the shuffle still carries
+    aggregated counts.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key,
+            "n_events",
+        )
+    )

@@ -342,3 +342,55 @@ def test_stream_to_catalog_commits_batches_idempotently(spark, tmp_path):
     first = t.snapshots()[0]
     early = t.read(spark, snapshot_id=first["snapshot_id"]).count()
     assert 0 < early <= 40
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """Sliding windows: the streaming drain (file source, availableNow,
+    complete mode) equals the batch run of the SAME operator, and each
+    event lands in exactly window/slide windows."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2025-06-01T00:00:00")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(300),
+            "ts": [
+                base + pd.Timedelta(seconds=int(s))
+                for s in np.sort(rng.integers(0, 6 * 3600, 300))
+            ],
+            "event_type": [["a", "b", "c"][i % 3] for i in range(300)],
+        }
+    )
+    src = tmp_path / "ev_parquet"
+    spark.createDataFrame(ev).repartition(3).write.parquet(str(src))
+    batch = streaming.sliding_window_counts(
+        spark.read.parquet(str(src)), window="30 minutes", slide="10 minutes"
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # each event contributes to exactly 3 windows
+    assert sum(want.values()) == 3 * len(ev)
+    st = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = streaming.sliding_window_counts(
+        st, window="30 minutes", slide="10 minutes"
+    ).select("window_start", "event_type", "n_events")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from sliding_counts").collect()
+    }
+    assert got == want
