@@ -1483,3 +1483,45 @@ def test_pii_scrub_plan_has_no_exchange(spark):
         textops.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_late_round5_ops_handle_empty_inputs(spark):
+    """Empty-input battery for the late round-5 operators: no raises,
+    no null rows, sensible zero-row (or zero-count) outputs."""
+    from kgforge.graphstats import shortest_paths
+    from kgforge.joins import interval_join
+    from kgforge.quality import table_diff
+    from kgforge.sampling import assign_splits, weighted_sample
+    from kgforge.similarity import dequantized_vectors, quantize_embeddings
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert textops.pii_scrub(empty_docs).count() == 0
+    assert textops.strip_boilerplate(empty_docs, min_docs=2).count() == 0
+    assert textops.pack_sequences(empty_docs, 16).count() == 0
+    assert textops.build_vocab(empty_docs, 10).count() == 0
+    vocab = spark.createDataFrame([], "token_id long, token string, n_occurrences long")
+    assert textops.oov_stats(empty_docs, vocab).count() == 0
+
+    kv = spark.createDataFrame([], "k long, w double")
+    assert weighted_sample(kv, "k", "w", k=5).count() == 0
+    assert assign_splits(kv, "k", {"a": 0.5, "b": 0.5}).count() == 0
+
+    some = spark.createDataFrame([(1, "x")], "k long, a string")
+    none = spark.createDataFrame([], "k long, a string")
+    d = {r["k"]: r["status"] for r in table_diff(some, none, ["k"]).collect()}
+    assert d == {1: "removed"}
+    d2 = {r["k"]: r["status"] for r in table_diff(none, some, ["k"]).collect()}
+    assert d2 == {1: "added"}
+
+    e_edges = spark.createDataFrame([], "u long, v long, w long")
+    src = spark.createDataFrame([(0,)], "src long")
+    got = shortest_paths(e_edges, src, n_rounds=2).collect()
+    assert [(r["src"], r["v"], r["dist"]) for r in got] == [(0, 0, 0)]
+
+    pts = spark.createDataFrame([], "pid long, pos long")
+    ivs = spark.createDataFrame([(0, 5, 5)], "iid long, start long, end long")
+    assert interval_join(pts, ivs).count() == 0  # empty pts AND empty interval
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert quantize_embeddings(emb).count() == 0
+    assert dequantized_vectors(emb).count() == 0
