@@ -2948,6 +2948,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_id", "session_seq")
         )
 
+    def evt_funnel(spark, sf):
+        """Ordered view->click->purchase funnel (eventops.funnel_counts):
+        chained running-min(CASE) windows over ONE user-key Exchange —
+        never a self-join per step. The oracle replays the identical
+        chained windows in SQL, so the at-or-after semantics (total
+        (ts, event_id) per-user order) match exactly."""
+        from kgforge import eventops
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eventops.funnel_counts(ev, ["view", "click", "purchase"])
+
+    def evt_retention_cohorts(spark, sf):
+        """Weekly cohort retention (eventops.retention_cohorts): ONE
+        user-key shuffle collecting each user's distinct active-week set
+        (calendar-bounded state) + min week, then a cohort-sized agg.
+        Oracle is the textbook distinct-activity + first-week join —
+        counts agree regardless of plan shape."""
+        from kgforge import eventops
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eventops.retention_cohorts(ev)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3124,6 +3146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_json_extract": evt_json_extract,
         "docs_training_export": docs_training_export,
         "str_sliding_counts": str_sliding_counts,
+        "evt_funnel": evt_funnel,
+        "evt_retention_cohorts": evt_retention_cohorts,
     }
 
 
@@ -5978,5 +6002,58 @@ def oracle_sql() -> dict[str, str]:
                                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
+        """,
+        "evt_funnel": """
+            WITH s0 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER w AS seen0
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s1 AS (
+              SELECT user_id, event_type, ts, event_id, seen0,
+                     min(CASE WHEN event_type = 'click'
+                              AND seen0 IS NOT NULL THEN ts END)
+                       OVER w AS seen1
+              FROM s0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s2 AS (
+              SELECT user_id, seen0, seen1,
+                     min(CASE WHEN event_type = 'purchase'
+                              AND seen1 IS NOT NULL THEN ts END)
+                       OVER w AS seen2
+              FROM s1
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            per_user AS (
+              SELECT user_id,
+                     max(CASE WHEN seen0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+                     max(CASE WHEN seen1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+                     max(CASE WHEN seen2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+              FROM s2 GROUP BY user_id)
+            SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+                   CAST(sum(r0) AS BIGINT) AS n_users FROM per_user
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'click', CAST(sum(r1) AS BIGINT)
+            FROM per_user
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase', CAST(sum(r2) AS BIGINT)
+            FROM per_user
+        """,
+        "evt_retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            coh AS (
+              SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY user_id)
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS BIGINT)
+                     AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM act a JOIN coh c ON a.user_id = c.user_id
+            GROUP BY 1, 2
         """,
     }

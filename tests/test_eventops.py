@@ -1,0 +1,123 @@
+"""Funnel + retention semantics on hand-built logs: ordered-step
+chaining (a purchase BEFORE the click must not count), monotone step
+counts, cohort/offset arithmetic, and empty-input behavior."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kgforge.eventops import funnel_counts, retention_cohorts
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+
+
+def test_funnel_requires_step_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", _ts(1, 9), 1),
+        (1, "click", _ts(1, 10), 2),
+        (1, "purchase", _ts(1, 11), 3),
+        # user 2: purchase BEFORE its click -> reaches click only
+        (2, "view", _ts(2, 9), 4),
+        (2, "purchase", _ts(2, 10), 5),
+        (2, "click", _ts(2, 11), 6),
+        # user 3: click with no prior view -> reaches nothing
+        (3, "click", _ts(3, 9), 7),
+        (3, "purchase", _ts(3, 10), 8),
+        # user 4: view only
+        (4, "view", _ts(4, 9), 9),
+        # user 5: late purchase after an early full chain + noise
+        (5, "view", _ts(5, 9), 10),
+        (5, "error", _ts(5, 10), 11),
+        (5, "click", _ts(5, 11), 12),
+        (5, "purchase", _ts(5, 12), 13),
+    ]
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"view": 4, "click": 3, "purchase": 2}
+
+
+def test_funnel_same_ts_ties_use_event_id_order(spark):
+    # view and click share a timestamp; event_id orders view first, so
+    # the click qualifies (at-or-after in the TOTAL order).
+    rows = [
+        (1, "view", _ts(1, 9), 1),
+        (1, "click", _ts(1, 9), 2),
+        # user 2: ids reversed -> the click precedes its view, disqualified
+        (2, "click", _ts(1, 9), 3),
+        (2, "view", _ts(1, 9), 4),
+    ]
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(_events(spark, rows), ["view", "click"]).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
+def test_funnel_counts_monotone_on_fixture(spark):
+    ev = spark.createDataFrame(
+        [(u, t, _ts(1 + i % 20, i % 24), i) for i, (u, t) in enumerate(
+            (u, ["view", "click", "purchase", "error"][(u * 7 + j) % 4])
+            for u in range(25) for j in range(8)
+        )],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    rows = funnel_counts(ev, ["view", "click", "purchase"]).orderBy("step").collect()
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] >= 1
+
+
+def test_retention_cohorts_offsets(spark):
+    # user 1 first active week of Jan 1 (Mon), again 2 weeks later;
+    # user 2 same cohort, week 0 only; user 3 cohort of Jan 8.
+    rows = [
+        (1, "view", _ts(2), 1),    # week of Jan 1
+        (1, "view", _ts(3), 2),    # same week -> single week-0 activity
+        (1, "click", _ts(16), 3),  # week of Jan 15 -> offset 2
+        (2, "view", _ts(5), 4),    # week of Jan 1
+        (3, "view", _ts(9), 5),    # week of Jan 8
+    ]
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_eventops_empty_inputs(spark):
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    fun = funnel_counts(empty, ["view", "click"]).collect()
+    assert {(r["step_name"], r["n_users"]) for r in fun} == {
+        ("view", 0), ("click", 0),
+    }
+    assert retention_cohorts(empty).count() == 0
+
+
+def test_funnel_single_shuffle_plan(spark):
+    # the chained windows must ride ONE Exchange on the user key — a
+    # per-step self-join would show several data-sized Exchanges.
+    ev = _events(spark, [(1, "view", _ts(1), 1)])
+    plan = funnel_counts(
+        ev, ["view", "click", "purchase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchange == 1, plan
