@@ -2970,6 +2970,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return eventops.retention_cohorts(ev)
 
+    def kg_assortativity(spark, sf):
+        """Degree assortativity of the constructed KG
+        (graphstats.degree_assortativity): Pearson r between endpoint
+        degrees across edges, computed from EXACT decimal(38,0)
+        sufficient statistics + one fixed double expression — the
+        oracle replays the identical formula, so the double matches
+        bit-for-bit with no float-sum-order hazard."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.degree_assortativity(tri)
+
+    def kg_reciprocity(spark, sf):
+        """Edge reciprocity (graphstats.reciprocity): fraction of
+        distinct non-loop pairs with the reverse edge present — ONE
+        canonical-pair shuffle (no swapped self-join)."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.reciprocity(tri)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3148,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_sliding_counts": str_sliding_counts,
         "evt_funnel": evt_funnel,
         "evt_retention_cohorts": evt_retention_cohorts,
+        "kg_assortativity": kg_assortativity,
+        "kg_reciprocity": kg_reciprocity,
     }
 
 
@@ -6055,5 +6084,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_active
             FROM act a JOIN coh c ON a.user_id = c.user_id
             GROUP BY 1, 2
+        """,
+        "kg_assortativity": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN e es ON g.subj_canon = es.name
+                JOIN e eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            deg AS (
+                SELECT e, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT h AS e FROM tri UNION ALL SELECT t AS e FROM tri
+                ) GROUP BY e
+            ),
+            xy AS (
+                SELECT dh.degree AS dx, dt.degree AS dy
+                FROM tri JOIN deg dh ON tri.h = dh.e
+                         JOIN deg dt ON tri.t = dt.e
+            ),
+            st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+                       sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+                       sum(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+                       sum(CAST(dx * dx AS DECIMAL(38,0))) AS sx2,
+                       sum(CAST(dy * dy AS DECIMAL(38,0))) AS sy2
+                FROM xy
+            )
+            SELECT n AS n_edges,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS assortativity
+            FROM st
+        """,
+        "kg_reciprocity": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN e es ON g.subj_canon = es.name
+                JOIN e eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            p AS (
+                SELECT least(h, t) AS a, greatest(h, t) AS b,
+                       CAST(h < t AS INT) AS fwd, CAST(h > t AS INT) AS rev
+                FROM tri WHERE h <> t
+            ),
+            g2 AS (SELECT a, b, max(fwd) AS f, max(rev) AS r
+                   FROM p GROUP BY a, b),
+            tot AS (
+                SELECT CAST(coalesce(sum(f + r), 0) AS BIGINT) AS n_edges,
+                       CAST(coalesce(sum(CASE WHEN f = 1 AND r = 1
+                                              THEN 2 ELSE 0 END), 0) AS BIGINT)
+                         AS n_reciprocal
+                FROM g2
+            )
+            SELECT n_edges, n_reciprocal,
+                   CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                     AS reciprocity
+            FROM tot
         """,
     }

@@ -47,6 +47,101 @@ def degree_histogram(triples: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(triples: DataFrame) -> DataFrame:
+    """Degree assortativity of the KG: the Pearson correlation between
+    the total degrees of the two endpoints across all directed edges
+    (Newman 2002's r; > 0 = hubs link to hubs, < 0 = hub-to-leaf).
+    Self-loops and relation multiplicity are kept — degrees are total
+    endpoint appearances, the same notion :func:`entity_degrees` and
+    :func:`degree_histogram` report, so the three stats agree.
+
+    Output: one row ``(n_edges BIGINT, assortativity DOUBLE)``
+    (NULL assortativity when either endpoint degree is constant).
+
+    Determinism at the bit level: the correlation is computed from five
+    EXACT sufficient statistics (decimal(38,0) sums of bigint degree
+    products — no float accumulation order anywhere), then one fixed
+    double-precision expression over them, so any engine replaying the
+    same formula reproduces the value exactly. Plan shape: the degree
+    table (entity-count sized) joins the edge list twice on the
+    endpoint keys — two shuffles, both on keys the downstream already
+    hashes; no driver materialization.
+    """
+    deg = entity_degrees(triples).select("e", "degree")
+    edges = triples.select("h", "t")
+    xy = (
+        edges.join(deg.withColumnRenamed("e", "h").withColumnRenamed("degree", "dx"), "h")
+        .join(deg.withColumnRenamed("e", "t").withColumnRenamed("degree", "dy"), "t")
+        .select("dx", "dy")
+    )
+    dec = "decimal(38,0)"
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sx2"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return stats.select(
+        F.col("n").alias("n_edges"),
+        F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy),
+        ).alias("assortativity"),
+    )
+
+
+def reciprocity(triples: DataFrame) -> DataFrame:
+    """Edge reciprocity of the directed KG: of the distinct non-loop
+    entity pairs ``(h, t)``, the fraction whose reverse ``(t, h)`` is
+    also present (relation labels ignored — this is the structural
+    "does the graph link back" measure; per-relation inverses are
+    :func:`inverse_relations`).
+
+    Output: one row ``(n_edges, n_reciprocal, reciprocity)``; the ratio
+    is an exact-integer division so it is engine-independent.
+
+    Plan shape: ONE shuffle. Instead of the textbook dedup + swapped
+    self-join (which references the deduped edge list three times — and
+    a twice-referenced DataFrame executes twice, docs/PLANS.md), each
+    edge maps to its canonical unordered pair ``(least, greatest)``
+    with a direction flag; one ``groupBy(pair)`` then knows both
+    whether the forward and the reverse edge exist. Single scan, single
+    Exchange, constant per-group state.
+    """
+    p = triples.where(F.col("h") != F.col("t")).select(
+        F.least("h", "t").alias("a"),
+        F.greatest("h", "t").alias("b"),
+        (F.col("h") < F.col("t")).cast("int").alias("fwd"),
+        (F.col("h") > F.col("t")).cast("int").alias("rev"),
+    )
+    g = p.groupBy("a", "b").agg(
+        F.max("fwd").alias("f"), F.max("rev").alias("r")
+    )
+    return g.agg(
+        F.coalesce(F.sum(F.col("f") + F.col("r")), F.lit(0))
+        .cast("long")
+        .alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when((F.col("f") == 1) & (F.col("r") == 1), 2).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_reciprocal"),
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.try_divide(
+            F.col("n_reciprocal").cast("double"), F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
 def undirected_edges(triples: DataFrame) -> DataFrame:
     """Distinct undirected entity-adjacency ``(a, b)`` with ``a < b``
     (relation labels and direction dropped, self-loops removed)."""

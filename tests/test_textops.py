@@ -1525,3 +1525,63 @@ def test_late_round5_ops_handle_empty_inputs(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert quantize_embeddings(emb).count() == 0
     assert dequantized_vectors(emb).count() == 0
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    """Exact-sufficient-stat assortativity == numpy.corrcoef over the
+    endpoint-degree pairs of the same edge list."""
+    import numpy as np
+
+    from kgforge.graphstats import degree_assortativity
+
+    rng = np.random.default_rng(83)
+    h = rng.integers(0, 20, 70)
+    t = rng.integers(0, 20, 70)
+    tri = spark.createDataFrame(
+        pd.DataFrame({"h": h, "t": t, "r": 0}), "h long, t long, r long"
+    )
+    row = degree_assortativity(tri).collect()[0]
+    deg = {}
+    for x in list(h) + list(t):
+        deg[x] = deg.get(x, 0) + 1
+    xs = np.array([deg[x] for x in h], dtype=float)
+    ys = np.array([deg[x] for x in t], dtype=float)
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert row["n_edges"] == 70
+    assert abs(row["assortativity"] - want) < 1e-9
+
+
+def test_reciprocity_counts(spark):
+    from kgforge.graphstats import reciprocity
+
+    tri = spark.createDataFrame(
+        [
+            (1, 2, 0),  # reciprocal with (2,1)
+            (2, 1, 0),
+            (2, 1, 1),  # relation multiplicity must not double-count
+            (1, 3, 0),  # one-way
+            (4, 4, 0),  # self-loop dropped
+        ],
+        "h long, t long, r long",
+    )
+    row = reciprocity(tri).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert abs(row["reciprocity"] - 2 / 3) < 1e-12
+
+    empty = spark.createDataFrame([], "h long, t long, r long")
+    erow = reciprocity(empty).collect()[0]
+    assert (erow["n_edges"], erow["n_reciprocal"]) == (0, 0)
+    assert erow["reciprocity"] is None
+
+    easy = degree_assortativity_empty_guard(spark)
+    assert easy is None
+
+
+def degree_assortativity_empty_guard(spark):
+    from kgforge.graphstats import degree_assortativity
+
+    empty = spark.createDataFrame([], "h long, t long, r long")
+    row = degree_assortativity(empty).collect()[0]
+    assert row["n_edges"] == 0
+    assert row["assortativity"] is None
+    return None
