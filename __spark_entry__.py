@@ -2997,6 +2997,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graphstats.reciprocity(tri)
 
+    def txt_bpe_pairs(spark, sf):
+        """First BPE-merge candidate table (textops.bpe_pair_counts):
+        top-20 adjacent word pairs via slice+arrays_zip (narrow, no
+        per-doc shuffle, no interpreted-HOF re-evaluation) + one count
+        agg + TakeOrdered. Oracle: 1-based list indexing over the same
+        regex split."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.bpe_pair_counts(docs, k=20)
+
+    def dedup_survivorship(spark, sf):
+        """Keep-longest survivorship per near-dup group
+        (textops.survivorship_pick over neardup_groups): one join + one
+        max-of-struct argmax agg — no corpus-wide rank window. Oracle
+        replays the recursive-CTE CC + a per-group window."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
+        return textops.survivorship_pick(docs, textops.neardup_groups(docs, pairs))
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3177,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_retention_cohorts": evt_retention_cohorts,
         "kg_assortativity": kg_assortativity,
         "kg_reciprocity": kg_reciprocity,
+        "txt_bpe_pairs": txt_bpe_pairs,
+        "dedup_survivorship": dedup_survivorship,
     }
 
 
@@ -6150,5 +6170,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
                      AS reciprocity
             FROM tot
+        """,
+        "txt_bpe_pairs": """
+            WITH tk AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents),
+            p AS (
+              SELECT tk[i] AS t1, tk[i + 1] AS t2
+              FROM tk, unnest(generate_series(1, len(tk) - 1)) s(i))
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p WHERE t1 <> '' AND t2 <> ''
+            GROUP BY t1, t2
+            ORDER BY n_pairs DESC, t1, t2 LIMIT 20
+        """,
+        "dedup_survivorship": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTES.replace('__NORM__', _NORM_TEXT)},
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk AS (
+                SELECT a AS node, a AS comp FROM edges
+                UNION
+                SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b),
+            cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+            lab AS (
+                SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+            rk AS (
+                SELECT group_id, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY group_id
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY group_id) AS n
+                FROM lab)
+            SELECT group_id, CAST(doc_id AS BIGINT) AS kept_doc_id,
+                   CAST(n_chars AS BIGINT) AS kept_n_chars,
+                   CAST(n AS BIGINT) AS n_docs
+            FROM rk WHERE rn = 1
         """,
     }

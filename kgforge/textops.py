@@ -718,6 +718,83 @@ def neardup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Adjacent-token-pair frequency table — the candidate table a BPE
+    tokenizer learner reads for its first merge (Sennrich 2016: "count
+    all symbol pairs, merge the most frequent"). Word-level symbols
+    here (the same whitespace-lowercase tokenizer :func:`build_vocab`
+    fits), top-``k`` pairs by (count desc, t1, t2).
+
+    Output: ``(t1, t2, n_pairs)`` — a deterministic function of the
+    corpus (full tie-break), so the LIMIT is stable.
+
+    Plan shape: NO per-document shuffle. Pairs come from zipping the
+    token array against itself shifted by one (``slice`` + ``arrays_zip``
+    — plain codegen'd expressions, not interpreted lambda HOFs, so the
+    split is NOT re-evaluated per reference; docs/PLANS.md §6), all
+    narrow until the one pair-count aggregation (map-side partials over
+    a Zipf-bounded key space) and a TakeOrdered top-k. The window/
+    self-join formulations would shuffle the whole tokenized corpus by
+    doc id first.
+    """
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("tk")
+    )
+    n1 = F.greatest(F.size("tk") - F.lit(1), F.lit(0))
+    shifted = toks.select(
+        F.slice("tk", F.lit(1), n1).alias("t1s"),
+        F.slice("tk", F.lit(2), n1).alias("t2s"),
+    )
+    pairs = (
+        shifted.select(F.explode(F.arrays_zip("t1s", "t2s")).alias("p"))
+        .select(F.col("p.t1s").alias("t1"), F.col("p.t2s").alias("t2"))
+        .where((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "t1", "t2")
+        .limit(int(k))
+    )
+
+
+def survivorship_pick(docs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Survivorship policy over near-duplicate groups: per group keep
+    the LONGEST document (ties -> smallest doc_id) — the content-aware
+    companion to :func:`neardup_groups`'s min-id ``is_canonical``
+    (production dedup keeps the best representative, not an arbitrary
+    one; cf. the keep-longest rule in public corpus pipelines such as
+    CCNet/Gopher dedup).
+
+    ``groups`` is :func:`neardup_groups` output (``doc_id, group_id``);
+    ``docs`` must carry ``doc_id`` and ``n_chars``. Output: one row per
+    group ``(group_id, kept_doc_id, kept_n_chars, n_docs)``.
+
+    Plan shape: one join on doc_id + ONE group aggregation using the
+    max-of-struct argmax (``struct(n_chars, -doc_id)`` compares
+    lexicographically — no rank window over the corpus, map-side
+    partials apply).
+    """
+    joined = groups.select("doc_id", "group_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("_len"), (-F.col("doc_id")).alias("_negid")
+        )
+    ).alias("_best")
+    return (
+        joined.groupBy("group_id")
+        .agg(best, F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "group_id",
+            (-F.col("_best._negid")).cast("long").alias("kept_doc_id"),
+            F.col("_best._len").cast("long").alias("kept_n_chars"),
+            "n_docs",
+        )
+    )
+
+
 def prefix_by_budget(
     df: DataFrame,
     order_cols: list,

@@ -1585,3 +1585,55 @@ def degree_assortativity_empty_guard(spark):
     assert row["n_edges"] == 0
     assert row["assortativity"] is None
     return None
+
+
+def test_bpe_pair_counts_matches_manual(spark):
+    from kgforge.textops import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat"),
+            (2, "  THE cat  "),       # trim + lower + multi-space
+            (3, "one"),               # single token -> no pairs
+            (4, ""),                  # empty -> no pairs
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["t1"], r["t2"]): r["n_pairs"] for r in bpe_pair_counts(docs, k=10).collect()}
+    assert got == {
+        ("the", "cat"): 3,
+        ("cat", "sat"): 1,
+        ("sat", "the"): 1,
+    }
+
+
+def test_bpe_pair_counts_single_count_shuffle(spark):
+    from kgforge.textops import bpe_pair_counts
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bpe_pair_counts(docs)._jdf.queryExecution().executedPlan().toString()
+    # narrow pair generation: the ONLY hash Exchange is the pair count
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_survivorship_pick_keeps_longest(spark):
+    from kgforge.textops import survivorship_pick
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 40), (3, 40), (7, 5)],
+        "doc_id long, n_chars long",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)],
+        "doc_id long, group_id long",
+    )
+    got = {
+        r["group_id"]: (r["kept_doc_id"], r["kept_n_chars"], r["n_docs"])
+        for r in survivorship_pick(docs, groups).collect()
+    }
+    # group 1: docs 2 and 3 tie at 40 chars -> smallest doc_id wins
+    assert got == {1: (2, 40, 3), 7: (7, 5, 1)}
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n_chars long")
+    empty_groups = spark.createDataFrame([], "doc_id long, group_id long")
+    assert survivorship_pick(empty_docs, empty_groups).count() == 0
