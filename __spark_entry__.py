@@ -3015,6 +3015,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
         return textops.survivorship_pick(docs, textops.neardup_groups(docs, pairs))
 
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape: HAVING-filtered per-order quantity agg
+        joined back to orders + customer. The qty agg shuffles on
+        l_orderkey — the SAME key the orders join needs, so the
+        Exchange is reused; quantities sum in exact decimal."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        qty = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qd"))
+            .where(F.col("qd") > 250)
+        )
+        return (
+            qty.join(o, qty.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(
+                "c_name",
+                "o_orderkey",
+                F.col("o_totalprice"),
+                F.col("qd").cast("double").alias("total_qty"),
+            )
+        )
+
+    def q14_promo_share(spark, sf):
+        """TPC-H Q14 shape: monthly promo-revenue share. Part is the
+        broadcast dimension; revenue in exact decimal, the percentage
+        as one fixed double expression (100.0 * promo / total) replayed
+        identically by the oracle."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount")
+        ).cast("decimal(4,2)")
+        base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            F.col("p_type"),
+            rev.alias("rev"),
+        )
+        agg = base.groupBy("month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev").alias("_total"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).alias("_promo"),
+        )
+        return agg.select(
+            "month",
+            "n_items",
+            F.col("_total").cast("double").alias("total_rev"),
+            (
+                (F.lit(100.0) * F.col("_promo").cast("double"))
+                / F.col("_total").cast("double")
+            ).alias("promo_pct"),
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3197,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": kg_reciprocity,
         "txt_bpe_pairs": txt_bpe_pairs,
         "dedup_survivorship": dedup_survivorship,
+        "q18_large_orders": q18_large_orders,
+        "q14_promo_share": q14_promo_share,
     }
 
 
@@ -6206,5 +6266,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS BIGINT) AS kept_n_chars,
                    CAST(n AS BIGINT) AS n_docs
             FROM rk WHERE rn = 1
+        """,
+        "q18_large_orders": """
+            WITH qty AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS qd
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+            SELECT c_name, o_orderkey, o_totalprice,
+                   CAST(qd AS DOUBLE) AS total_qty
+            FROM qty
+            JOIN orders ON qty.l_orderkey = orders.o_orderkey
+            JOIN customer ON orders.o_custkey = customer.c_custkey
+        """,
+        "q14_promo_share": """
+            WITH base AS (
+              SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                     p_type,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            agg AS (
+              SELECT month,
+                     CAST(count(*) AS BIGINT) AS n_items,
+                     sum(rev) AS total_d,
+                     sum(CASE WHEN p_type = 'PROMO' THEN rev
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_d
+              FROM base GROUP BY month)
+            SELECT month, n_items,
+                   CAST(total_d AS DOUBLE) AS total_rev,
+                   (100.0 * CAST(promo_d AS DOUBLE)) / CAST(total_d AS DOUBLE)
+                     AS promo_pct
+            FROM agg
         """,
     }
