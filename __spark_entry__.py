@@ -3073,6 +3073,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("promo_pct"),
         )
 
+    def txt_phrase_search(spark, sf):
+        """Exact-phrase full-text search (textops.phrase_search over the
+        positional inverted index): ONE scan + one (doc, base) shuffle
+        for any phrase length via the broadcast slot-join — not k-1
+        posting self-joins. Oracle replays postings + slots in SQL."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.phrase_search(docs, "table hash")
+
+    def evt_anomaly_zscore(spark, sf):
+        """Per-event-type 3-sigma outlier gate (quality.value_anomalies):
+        two-pass broadcast plan — exact decimal moments per group, then
+        a broadcast flag pass — instead of a whole-stream window over a
+        5-key partition (maximal skew). Mean/std/threshold are one fixed
+        double expression over exact decimals; the oracle replays it."""
+        from kgforge import quality
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return quality.value_anomalies(ev, "event_type", "value", z=3.0)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3257,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivorship": dedup_survivorship,
         "q18_large_orders": q18_large_orders,
         "q14_promo_share": q14_promo_share,
+        "txt_phrase_search": txt_phrase_search,
+        "evt_anomaly_zscore": evt_anomaly_zscore,
     }
 
 
@@ -6298,5 +6319,53 @@ def oracle_sql() -> dict[str, str]:
                    (100.0 * CAST(promo_d AS DOUBLE)) / CAST(total_d AS DOUBLE)
                      AS promo_pct
             FROM agg
+        """,
+        "txt_phrase_search": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents),
+            u AS (
+              SELECT doc_id, tk[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+              FROM tk, unnest(generate_series(1, len(tk))) s(i)
+              WHERE tk[i] <> ''),
+            slots(token, slot) AS (
+              VALUES ('table', CAST(0 AS BIGINT)),
+                     ('hash', CAST(1 AS BIGINT))),
+            hits AS (
+              SELECT u.doc_id, u.pos - s.slot AS base, s.slot
+              FROM u JOIN slots s ON u.token = s.token),
+            full_m AS (
+              SELECT doc_id, base FROM hits
+              GROUP BY doc_id, base HAVING count(DISTINCT slot) = 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM full_m GROUP BY doc_id
+        """,
+        "evt_anomaly_zscore": """
+            WITH st AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     sum(CAST(value AS DECIMAL(12,2))) AS sx,
+                     sum(CAST(value AS DECIMAL(12,2))
+                         * CAST(value AS DECIMAL(12,2))) AS sx2
+              FROM events GROUP BY event_type),
+            m AS (
+              SELECT event_type, n_events,
+                     CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE)
+                       AS mean_value,
+                     sqrt(greatest(
+                       (CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n_events AS DOUBLE))
+                       / CAST(n_events AS DOUBLE), 0.0)) AS std_value
+              FROM st)
+            SELECT m.event_type AS group_key, m.n_events, m.mean_value,
+                   m.std_value,
+                   CAST(sum(CASE WHEN abs(
+                          CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE)
+                          - m.mean_value) > 3.0 * m.std_value
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY 1, 2, 3, 4
         """,
     }

@@ -266,3 +266,62 @@ def table_diff(
         .otherwise(F.lit(""))
         .alias("changed_cols"),
     )
+
+
+def value_anomalies(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier gate: for each ``group_col`` value,
+    count rows whose ``value_col`` sits more than ``z`` population
+    standard deviations from the group mean — the statistical
+    drop-validation a pipeline runs on metric-bearing event streams
+    (sudden sensor spikes, corrupted ingestion batches).
+
+    Output: ``(group_key, n_events, mean_value, std_value, n_anomalies)``.
+
+    Scale + determinism: the textbook single-pass window formulation
+    would shuffle the WHOLE stream by a handful of group keys (maximal
+    skew); instead this is the two-pass broadcast plan — one scan
+    aggregates EXACT decimal moments per group (sum and sum-of-squares
+    of the decimal(12,2)-cast values: no float accumulation order
+    anywhere, map-side partials, group-count-sized result), the tiny
+    stats table broadcasts back for the flag pass. Mean/std/threshold
+    are one fixed double expression over the exact moments, so any
+    engine replaying the formula reproduces the counts hash-exactly.
+    """
+    d = F.col(value_col).cast("decimal(12,2)")
+    stats = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(d).alias("_sx"),
+        F.sum(d * d).alias("_sx2"),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("_sx").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    stats = stats.select(
+        "_g",
+        "n_events",
+        (sx / n).alias("mean_value"),
+        F.sqrt(F.greatest((sx2 - sx * sx / n) / n, F.lit(0.0))).alias(
+            "std_value"
+        ),
+    )
+    flagged = df.join(
+        F.broadcast(stats), df[group_col] == F.col("_g")
+    ).withColumn(
+        "_is_anom",
+        (
+            F.abs(d.cast("double") - F.col("mean_value"))
+            > F.lit(float(z)) * F.col("std_value")
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(
+            F.col(group_col).alias("group_key"), "n_events", "mean_value", "std_value"
+        )
+        .agg(F.sum("_is_anom").cast("long").alias("n_anomalies"))
+        .select("group_key", "n_events", "mean_value", "std_value", "n_anomalies")
+    )

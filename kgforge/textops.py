@@ -758,6 +758,63 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col: str = "text") -> Dat
     )
 
 
+def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted index over the corpus: ``(token, doc_id,
+    pos)`` postings with 0-based token positions (same whitespace-
+    lowercase tokenizer the vocab/BPE ops fit). This is the build side
+    of full-text search; persist it partitioned/bucketed by ``token``
+    and term lookups become partition-pruned scans.
+
+    Narrow: one posexplode, no shuffle (the consumer decides the
+    clustering)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+        .select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text") -> DataFrame:
+    """Exact-phrase search via positional postings: documents where the
+    tokenized ``phrase`` occurs as consecutive tokens, with occurrence
+    counts — ``(doc_id, n_occurrences)``.
+
+    Plan shape: ONE scan and ONE data-sized shuffle, for ANY phrase
+    length (the final per-doc agg runs over match-count-sized data).
+    The classic positional-intersection plan self-joins the posting
+    list k-1 times (k scans of the index, k-1 shuffles); instead each
+    posting for a phrase term joins a broadcast ``(term, slot)`` table
+    and maps to its candidate base position ``pos - slot``, so an
+    occurrence at base b exists iff ALL k slots appear in group
+    ``(doc_id, b)`` — one groupBy with a distinct-slot count. Repeated
+    phrase terms are handled (a token row fans out once per slot it
+    could fill)."""
+    terms = [t for t in phrase.lower().strip().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: phrase must contain tokens")
+    spark = docs.sparkSession
+    slots = spark.createDataFrame(
+        [(t, j) for j, t in enumerate(terms)], "token string, slot long"
+    )
+    postings = inverted_index(docs, text_col=text_col)
+    hits = postings.join(F.broadcast(slots), "token").select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("base"), "slot"
+    )
+    full = (
+        hits.groupBy("doc_id", "base")
+        .agg(F.countDistinct("slot").alias("_k"))
+        .where(F.col("_k") == len(terms))
+    )
+    return full.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
 def survivorship_pick(docs: DataFrame, groups: DataFrame) -> DataFrame:
     """Survivorship policy over near-duplicate groups: per group keep
     the LONGEST document (ties -> smallest doc_id) — the content-aware

@@ -1637,3 +1637,58 @@ def test_survivorship_pick_keeps_longest(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, n_chars long")
     empty_groups = spark.createDataFrame([], "doc_id long, group_id long")
     assert survivorship_pick(empty_docs, empty_groups).count() == 0
+
+
+def test_phrase_search_counts_overlaps_and_repeats(spark):
+    from kgforge.textops import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the cat"),
+            (3, "a a a"),           # overlapping occurrences of "a a"
+            (4, "no match here"),
+            (5, "THE  cat"),        # case + multi-space
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, "the cat").collect()}
+    assert got == {1: 2, 2: 1, 5: 1}
+
+    rep = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, "a a").collect()}
+    assert rep == {3: 2}
+
+    tri = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, "on the cat").collect()}
+    assert tri == {1: 1}
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert phrase_search(empty, "the cat").count() == 0
+
+
+def test_value_anomalies_matches_numpy(spark):
+    import numpy as np
+
+    from kgforge.quality import value_anomalies
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.exponential(50.0, 400), 2)
+    grp = ["a" if i % 2 == 0 else "b" for i in range(400)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_type": grp, "value": vals}),
+        "event_type string, value double",
+    )
+    got = {r["group_key"]: r for r in value_anomalies(df, z=3.0).collect()}
+    for g in ("a", "b"):
+        v = vals[[i for i in range(400) if grp[i] == g]]
+        mean, std = float(v.mean()), float(v.std())
+        want = int((np.abs(v - mean) > 3.0 * std).sum())
+        assert got[g]["n_events"] == 200
+        assert abs(got[g]["mean_value"] - mean) < 1e-9
+        assert abs(got[g]["std_value"] - std) < 1e-9
+        assert got[g]["n_anomalies"] == want
+
+    empty = spark.createDataFrame([], "event_type string, value double")
+    assert value_anomalies(empty).count() == 0
