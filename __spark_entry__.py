@@ -3092,6 +3092,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return quality.value_anomalies(ev, "event_type", "value", z=3.0)
 
+    def q_salted_customer_orders(spark, sf):
+        """Explicit skew-salted fact-dim join (joins.salted_join):
+        orders spread over 8 deterministic salts, customer replicated
+        8x, join on (key, salt) — the known-hot-key pattern the
+        pipeline's conv_id writes use, surfaced as a reusable relational
+        operator. Output equals the plain equi-join (the oracle)."""
+        from kgforge.joins import salted_join
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        return salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(
+            "o_orderkey", "o_custkey", "c_name", "c_acctbal"
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3278,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "txt_phrase_search": txt_phrase_search,
         "evt_anomaly_zscore": evt_anomaly_zscore,
+        "q_salted_customer_orders": q_salted_customer_orders,
     }
 
 
@@ -6367,5 +6382,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM events e JOIN m ON e.event_type = m.event_type
             GROUP BY 1, 2, 3, 4
+        """,
+        "q_salted_customer_orders": """
+            SELECT o_orderkey, o_custkey, c_name, c_acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
     }

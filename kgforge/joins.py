@@ -170,3 +170,51 @@ def interval_join(
         )
         .drop("_b")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: join a LARGE, possibly hot-keyed ``left``
+    against a smaller-but-not-broadcastable ``right`` without letting a
+    hot key collapse one shuffle partition.
+
+    Each left row gets a deterministic salt in ``[0, n_salts)`` hashed
+    from ALL its columns (partition-independent — never a stateful
+    RNG), spreading a hot key's rows across ``n_salts`` reducers; the
+    right side replicates each row ``n_salts`` times (explode of a
+    literal salt array), so the join key becomes ``(key, salt)`` and
+    every left row still meets its right match exactly once. Output
+    equals the plain equi-join row-for-row (duplicate right keys fan
+    out identically).
+
+    Cost model: right-side replication costs ``n_salts × |right|``
+    shuffle rows — the price of bounding the hottest reducer at
+    ``hot_key_rows / n_salts``. AQE's skew-join split handles the
+    sort-merge case adaptively; this explicit form is for when the
+    skew is KNOWN up front (the pipeline's conv_id hot keys), works
+    under any join strategy, and keeps the fan-out auditable in the
+    plan (one explode + one Exchange on (key, salt)).
+
+    ``how``: ``inner`` or ``left``. Left-join semantics survive the
+    salt: each left row carries exactly ONE salt value, so an unmatched
+    left row emits exactly one null-extended row, never one per salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join: how must be 'inner' or 'left'")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lsalted = left.withColumn("_salt", salt.cast("int"))
+    rsalted = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(int(n_salts))])),
+    )
+    cond = (lsalted[left_key] == rsalted[right_key]) & (
+        lsalted["_salt"] == rsalted["_salt"]
+    )
+    joined = lsalted.join(rsalted, cond, how)
+    return joined.drop(lsalted["_salt"]).drop(rsalted["_salt"])

@@ -75,3 +75,46 @@ def test_interval_join_plan_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from kgforge.joins import salted_join
+
+    # hot key 7: 300 left rows; key 99 has no right match
+    left = spark.createDataFrame(
+        [(7, i) for i in range(300)] + [(1, 1000), (2, 1001), (99, 1002)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (1, "a"), (2, "b"), (2, "b2")],  # dup right key fans out
+        "rk long, name string",
+    )
+    plain = {(r["k"], r["payload"], r["name"])
+             for r in left.join(right, left.k == right.rk).collect()}
+    salted = {(r["k"], r["payload"], r["name"])
+              for r in salted_join(left, right, "k", "rk", n_salts=16).collect()}
+    assert salted == plain
+    assert len(salted) == 300 + 1 + 2
+
+    lplain = {(r["k"], r["payload"], r["name"])
+              for r in left.join(right, left.k == right.rk, "left").collect()}
+    lsalted = {(r["k"], r["payload"], r["name"])
+               for r in salted_join(left, right, "k", "rk", n_salts=16,
+                                    how="left").collect()}
+    assert lsalted == lplain  # unmatched key 99 appears exactly once
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.joins import salted_join
+
+    left = spark.createDataFrame([(7, i) for i in range(400)], "k long, payload long")
+    salt = F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(16)).cast("int")
+    n_salts_used = left.withColumn("_s", salt).select("_s").distinct().count()
+    assert n_salts_used >= 12  # the hot key's rows spread over most salts
+
+    right = spark.createDataFrame([(7, "hot")], "rk long, name string")
+    plan = salted_join(left, right, "k", "rk", n_salts=16)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "explode" in plan  # the right-side replication is in the plan
