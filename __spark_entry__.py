@@ -3123,6 +3123,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).where(F.col("token") != "")
         return sketches.heavy_hitters(toks, "token", k=50)
 
+    def evt_funnel_windowed(spark, sf):
+        """Conversion-window funnel (funnel_counts(max_gap_hours=48)):
+        each step must land within 48h of the previous step's first
+        completion — the windowFunnel variant; same single user-key
+        Exchange. Oracle replays the chained windows with the interval
+        bound."""
+        from kgforge import eventops
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eventops.funnel_counts(
+            ev, ["view", "click", "purchase"], max_gap_hours=48
+        )
+
+    def evt_session_stats(spark, sf):
+        """Session profile (eventops.session_stats): bounce rate, mean
+        events/duration per 30-min-gap session. Microsecond-offset
+        positions keep every gap/duration an exact integer (Spark
+        timestampdiff vs DuckDB date_diff agree at storage resolution);
+        averages are single double divisions."""
+        from kgforge import eventops
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eventops.session_stats(ev, gap_sec=1800)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3311,6 +3335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_anomaly_zscore": evt_anomaly_zscore,
         "q_salted_customer_orders": q_salted_customer_orders,
         "txt_heavy_tokens": txt_heavy_tokens,
+        "evt_funnel_windowed": evt_funnel_windowed,
+        "evt_session_stats": evt_session_stats,
     }
 
 
@@ -6416,5 +6442,83 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT CAST(sum(n_count) AS BIGINT) AS n_total FROM f)
             SELECT f.value, f.n_count, n.n_total
             FROM f, n WHERE f.n_count * 50 > n.n_total
+        """,
+        "evt_funnel_windowed": """
+            WITH s0 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER w AS seen0
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s1 AS (
+              SELECT user_id, event_type, ts, event_id, seen0,
+                     min(CASE WHEN event_type = 'click'
+                              AND seen0 IS NOT NULL
+                              AND ts <= seen0 + INTERVAL 172800 SECOND
+                              THEN ts END) OVER w AS seen1
+              FROM s0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s2 AS (
+              SELECT user_id, seen0, seen1,
+                     min(CASE WHEN event_type = 'purchase'
+                              AND seen1 IS NOT NULL
+                              AND ts <= seen1 + INTERVAL 172800 SECOND
+                              THEN ts END) OVER w AS seen2
+              FROM s1
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            per_user AS (
+              SELECT user_id,
+                     max(CASE WHEN seen0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+                     max(CASE WHEN seen1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+                     max(CASE WHEN seen2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+              FROM s2 GROUP BY user_id)
+            SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+                   CAST(sum(r0) AS BIGINT) AS n_users FROM per_user
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'click', CAST(sum(r1) AS BIGINT)
+            FROM per_user
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase', CAST(sum(r2) AS BIGINT)
+            FROM per_user
+        """,
+        "evt_session_stats": """
+            WITH b AS (
+              SELECT user_id, event_id,
+                     date_diff('microsecond',
+                               TIMESTAMP '2000-01-01 00:00:00', ts) AS pos
+              FROM events),
+            marks AS (
+              SELECT user_id, event_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY pos, event_id)),
+            sess AS (
+              SELECT user_id, pos,
+                     sum(new_s) OVER (PARTITION BY user_id
+                        ORDER BY pos, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_id
+              FROM marks),
+            per_s AS (
+              SELECT user_id, sess_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     max(pos) - min(pos) AS dur
+              FROM sess GROUP BY user_id, sess_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_bounces,
+                   CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bounce_rate,
+                   CAST(coalesce(sum(n), 0) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_events,
+                   (CAST(coalesce(sum(dur), 0) AS DOUBLE) / 1000000.0)
+                     / CAST(count(*) AS DOUBLE) AS avg_duration_sec,
+                   CAST(max(dur) AS DOUBLE) / 1000000.0 AS max_duration_sec
+            FROM per_s
         """,
     }

@@ -28,10 +28,14 @@ def funnel_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_cols: Sequence[str] = ("event_id",),
+    max_gap_hours: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel user counts: for each step i, the number of users
     with a ``steps[i]`` event at-or-after their first qualifying
-    ``steps[i-1]`` event (chained; step 0 is unconditional).
+    ``steps[i-1]`` event (chained; step 0 is unconditional). With
+    ``max_gap_hours`` set, step i must ALSO land within that many hours
+    of the first qualifying step i-1 event (the windowed-funnel /
+    conversion-window variant; per-step gap, not total span).
 
     Output: ``(step, step_name, n_users)`` — one row per step, counts
     monotone non-increasing by construction.
@@ -61,6 +65,12 @@ def funnel_counts(
         qual = F.col(type_col) == F.lit(step)
         if prev_seen is not None:
             qual = qual & prev_seen.isNotNull()
+            if max_gap_hours is not None:
+                qual = qual & (
+                    F.col(ts_col)
+                    <= prev_seen
+                    + F.expr(f"INTERVAL {int(max_gap_hours * 3600)} SECONDS")
+                )
         seen = f"_seen_{i}"
         cur = cur.withColumn(seen, F.min(F.when(qual, F.col(ts_col))).over(w))
         seen_cols.append(seen)
@@ -128,4 +138,72 @@ def retention_cohorts(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Corpus-level session profile: sessionize by inactivity gap, then
+    report one row ``(n_sessions, n_bounces, bounce_rate, avg_events,
+    avg_duration_sec, max_duration_sec)`` — the engagement summary a
+    product team reads next to the funnel.
+
+    Exactness contract: timestamps become MICROSECOND offsets from a
+    fixed epoch (bigint — Spark's ``timestampdiff(MICROSECOND, …)`` and
+    DuckDB's ``date_diff('microsecond', …)`` agree exactly at the
+    storage resolution, unlike second-granularity diffs, where Spark
+    truncates and DuckDB counts boundary crossings), so gaps, durations
+    and their sums are exact integers; the two averages are single
+    double divisions over them. Plan shape: ONE data-sized shuffle on
+    the user key (the session window), a per-session agg riding the
+    same partitioning, then a session-count-sized global agg.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    pos = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP'2000-01-01 00:00:00', {ts_col})"
+    ).cast("long")
+    gap_us = int(gap_sec) * 1_000_000
+    cur = events.withColumn("_pos", pos).withColumn(
+        "_new",
+        F.when(
+            F.lag("_pos").over(w).isNull()
+            | ((F.col("_pos") - F.lag("_pos").over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cur = cur.withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = cur.groupBy(user_col, "_sess").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        (F.max("_pos") - F.min("_pos")).alias("_dur_us"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.coalesce(F.sum((F.col("_n") == 1).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.try_divide(
+            F.coalesce(F.sum((F.col("_n") == 1).cast("int")), F.lit(0)).cast(
+                "double"
+            ),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("bounce_rate"),
+        F.try_divide(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("avg_events"),
+        F.try_divide(
+            (F.coalesce(F.sum("_dur_us"), F.lit(0)) / F.lit(1000000.0)),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("avg_duration_sec"),
+        (F.max("_dur_us") / F.lit(1000000.0)).alias("max_duration_sec"),
     )

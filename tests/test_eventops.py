@@ -121,3 +121,56 @@ def test_funnel_single_shuffle_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning(user_id")
     assert n_exchange == 1, plan
+
+
+def test_windowed_funnel_enforces_gap(spark):
+    from kgforge.eventops import funnel_counts
+
+    rows = [
+        # user 1: click 1h after view -> inside a 2h window
+        (1, "view", _ts(1, 9), 1),
+        (1, "click", _ts(1, 10), 2),
+        # user 2: click 3 days after view -> outside the 2h window
+        (2, "view", _ts(2, 9), 3),
+        (2, "click", _ts(5, 9), 4),
+        # user 3: first view too early, but a SECOND view does not help:
+        # the window anchors on the FIRST qualifying prior step
+        (3, "view", _ts(3, 0), 5),
+        (3, "view", _ts(3, 22), 6),
+        (3, "click", _ts(3, 23), 7),
+    ]
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["view", "click"], max_gap_hours=2
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 1}
+
+
+def test_session_stats_manual(spark):
+    from kgforge.eventops import session_stats
+
+    rows = [
+        # user 1: two sessions — [9:00, 9:10] (2 events) and [11:00] (bounce)
+        (1, "view", _ts(1, 9, 0), 1),
+        (1, "click", _ts(1, 9, 10), 2),
+        (1, "view", _ts(1, 11, 0), 3),
+        # user 2: one 3-event session 10:00-10:40 (gaps 20min <= 30min)
+        (2, "view", _ts(2, 10, 0), 4),
+        (2, "click", _ts(2, 10, 20), 5),
+        (2, "purchase", _ts(2, 10, 40), 6),
+    ]
+    r = session_stats(_events(spark, rows), gap_sec=1800).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_bounces"] == 1
+    assert abs(r["bounce_rate"] - 1 / 3) < 1e-12
+    assert abs(r["avg_events"] - 6 / 3) < 1e-12
+    assert abs(r["avg_duration_sec"] - (600 + 0 + 2400) / 3) < 1e-9
+    assert abs(r["max_duration_sec"] - 2400.0) < 1e-9
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    er = session_stats(empty).collect()[0]
+    assert er["n_sessions"] == 0 and er["n_bounces"] == 0
