@@ -50,6 +50,37 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(new_docs: DataFrame, existing: DataFrame) -> DataFrame:
+    """Incremental corpus ingestion dedup: of a NEW document batch,
+    keep only rows whose normalized-text fingerprint is (a) absent from
+    the ``existing`` corpus and (b) the batch-local survivor (min
+    doc_id per fingerprint) — the step an append-only training corpus
+    runs on every drop instead of re-deduplicating the whole corpus.
+
+    Output: ``(doc_id, fingerprint)`` of the rows to append.
+
+    Plan shape: the existing side reduces to DISTINCT fingerprints
+    (hash agg, map-side partials) before a LEFT ANTI join on the
+    16-byte md5 key — never a full-text comparison and never a rescan
+    of existing payloads; the batch-local survivor pick is one more agg
+    on the same key, so both shuffles hash the same column. At 100 TB
+    the existing fingerprint set is the natural bucketed table: write
+    it bucketed by fingerprint once and the anti join is co-located.
+    """
+    new_fp = new_docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    seen = existing.select(
+        F.md5(normalize_text("text")).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+    fresh = new_fp.join(seen, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+
+
 def fingerprint_docs(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of normalized text (+ lengths)."""
     return docs.select(

@@ -1692,3 +1692,30 @@ def test_value_anomalies_matches_numpy(spark):
 
     empty = spark.createDataFrame([], "event_type string, value double")
     assert value_anomalies(empty).count() == 0
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    from kgforge.textops import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique old")],
+        "doc_id long, text string",
+    )
+    new_b = spark.createDataFrame(
+        [
+            (10, "Hello   WORLD"),   # normalizes to an existing doc -> dropped
+            (11, "brand new"),
+            (12, "brand  NEW"),      # batch-internal dup of 11 -> survivor 11
+            (13, "another one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in incremental_exact_dedup(new_b, existing).collect()}
+    assert got == {11, 13}
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_exact_dedup(empty, existing).count() == 0
+    # empty existing corpus -> plain batch dedup
+    assert {
+        r["doc_id"] for r in incremental_exact_dedup(new_b, empty).collect()
+    } == {10, 11, 13}
