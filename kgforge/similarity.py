@@ -513,3 +513,174 @@ def dequantized_vectors(
         ),
     )
     return embeddings.select(id_col, recon.alias(vec_col))
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    (L2-normalized) vector into ``m`` subvectors and k-means each
+    subspace independently — ``m × log2(ksub)`` bits per vector instead
+    of ``32 × dim``, the compression that makes billion-vector ANN fit
+    in RAM. Normalizing first makes subspace L2 distance sum to the
+    full ``2 - 2·cos``, so PQ ranking is monotone with the cosine
+    ranking the rest of this module uses.
+
+    Same construction contract as :func:`ivf_centroids`: a BOUNDED
+    deterministic sample (first ``sample_size`` ids), seeded init,
+    fixed Lloyd iterations — reproducible codebooks, shape
+    ``(m, ksub, dim/m)``.
+    """
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, : len(C)] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, codes array<int>)`` — each (normalized) vector's nearest
+    sub-centroid per subspace; one vectorized distance matmul per
+    subspace per Arrow batch, narrow (no shuffle). Ties in subspace
+    distance resolve to the lowest code (argmin), so codes are
+    partitioning-independent."""
+    from .session import ensure_min_partitions
+
+    embeddings = ensure_min_partitions(embeddings)
+    B = codebooks
+    m, _, dsub = B.shape
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.zeros((len(X), m), dtype="int32")
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay full-precision;
+    each encoded corpus vector scores as the sum of m table lookups
+    (``lut[q, j, codes[j]]`` = squared distance from the query's j-th
+    subvector to that sub-centroid).
+
+    Scale shape: the query batch is broadcast-sized (house ANN
+    contract); per Arrow batch the scorer does m fancy-indexing adds
+    and keeps only its LOCAL top-k per query, so the final exact
+    window ranks ``partitions × k`` candidates per query — the corpus
+    is never globally sorted and the full |corpus| × |queries| score
+    table never materializes. Ranking ties break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    B = pq_fit(
+        embeddings, m=m, ksub=ksub, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(embeddings, B, id_col=id_col, vec_col=vec_col)
+    qpdf = queries.select(query_id_col, vec_col).orderBy(query_id_col).toPandas()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qpdf[query_id_col].to_numpy()
+    dsub = B.shape[2]
+    # luts[q, j, c] = ||Q[q, j-th sub] - B[j, c]||^2
+    luts = np.stack(
+        [
+            ((Q[:, j * dsub:(j + 1) * dsub][:, None, :] - B[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(B.shape[0])
+        ],
+        axis=1,
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            d = np.zeros((len(C), len(Q)))
+            for j in range(B.shape[0]):
+                d += luts[:, j, C[:, j]].T
+            kk = min(k, len(C))
+            out = []
+            for qi in range(len(Q)):
+                # local prune must use the SAME (distance, id) order as
+                # the global window, or a tie at the cut would make the
+                # result depend on partitioning
+                idx = np.lexsort((ids, np.round(d[:, qi], 9)))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qids[qi],
+                            "neighbor_id": ids[idx],
+                            "approx_d2": np.round(d[idx, qi], 9),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = codes.mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, approx_d2 double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy("approx_d2", "neighbor_id")
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk")
+    )

@@ -178,3 +178,64 @@ def test_quantized_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9  # int8 decode barely perturbs the ranking
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark):
+    """ADC scores == numpy distance to the reconstructed (decoded)
+    vectors, and the top-k ranking is partitioning-independent."""
+    import numpy as np
+    import pandas as pd
+
+    from kgforge.similarity import pq_encode, pq_fit, pq_topk
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<float>",
+    )
+    B = pq_fit(emb, m=4, ksub=8, sample_size=60)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, B).collect()}
+
+    Xn = X.astype("float64")
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    # nearest-sub-centroid codes match numpy argmin per subspace
+    for i in (0, 17, 59):
+        for j in range(4):
+            d2 = ((Xn[i, j * 4:(j + 1) * 4] - B[j]) ** 2).sum(axis=1)
+            assert codes[i][j] == int(d2.argmin())
+
+    q = emb.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    top_a = [(r["query_id"], r["neighbor_id"], r["rk"])
+             for r in pq_topk(emb, q, k=5, m=4, ksub=8).orderBy(
+                 "query_id", "rk").collect()]
+    top_b = [(r["query_id"], r["neighbor_id"], r["rk"])
+             for r in pq_topk(emb.repartition(7), q, k=5, m=4, ksub=8).orderBy(
+                 "query_id", "rk").collect()]
+    assert top_a == top_b
+
+    # ADC ranking equals brute-force over decoded vectors (numpy replay)
+    recon = np.stack([
+        np.concatenate([B[j][codes[i][j]] for j in range(4)]) for i in range(60)
+    ])
+    q0 = Xn[0]
+    d = ((recon - q0) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(60), np.round(d, 9)))[:5]
+    got0 = [n for (qq, n, _) in top_a if qq == 0]
+    assert got0 == list(order)
+
+
+def test_pq_fit_rejects_bad_split(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from kgforge.similarity import pq_fit
+
+    X = np.zeros((4, 10), dtype="float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(4), "embedding": list(map(list, X))}),
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError):
+        pq_fit(emb, m=3, ksub=4, sample_size=4)
