@@ -3186,6 +3186,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.round(F.col("_h") / F.col("_n"), 6).alias("recall_at_10"))
         )
 
+    def evt_scd2_join(spark, sf):
+        """Point-in-time dimension join (temporal.scd2_join): each
+        purchase event gains the user's SCD2 state version valid at its
+        timestamp, composed as an as-of join (ONE window pass) — never
+        an interval-inequality join. Oracle is the interval join over
+        the same SCD2 CTE."""
+        from kgforge import temporal
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        scd = temporal.scd2_build(
+            ev, ["user_id"], ["event_type"], "ts", ["event_id"]
+        )
+        facts = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        return temporal.scd2_join(
+            facts, scd, "user_id", "ts", ["event_type", "version"]
+        ).select(
+            "user_id",
+            "event_id",
+            F.col("event_type_at_ts").alias("state_at_purchase"),
+            F.col("version_at_ts").alias("state_version"),
+        )
+
+    def evt_trailing_7d(spark, sf):
+        """RANGE-frame rolling feature (eventops.trailing_value_sum):
+        per event, the user's exact decimal value sum over the trailing
+        7 days — time-axis frames over microsecond integer positions,
+        one user-key Exchange. Oracle replays the identical RANGE
+        window."""
+        from kgforge import eventops
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return eventops.trailing_value_sum(ev, days=7)
+
+    def evt_type_pivot(spark, sf):
+        """Pivot (long->wide): per-user event counts as one column per
+        event type, explicit value list so the schema is deterministic
+        and the pivot stays a single pass with map-side partials.
+        Oracle = conditional sums."""
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        types = ["click", "error", "purchase", "signup", "view"]
+        out = (
+            ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+        )
+        return out.select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3378,6 +3430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_session_stats": evt_session_stats,
         "dedup_incremental": dedup_incremental,
         "ann_pq_topk_recall": ann_pq_topk_recall,
+        "evt_scd2_join": evt_scd2_join,
+        "evt_trailing_7d": evt_trailing_7d,
+        "evt_type_pivot": evt_type_pivot,
     }
 
 
@@ -6576,5 +6631,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk_recall": """
             SELECT CAST(0.7125 AS DOUBLE) AS recall_at_10
+        """,
+        "evt_scd2_join": f"""
+            WITH scd AS ({_SCD2_SQL}),
+            facts AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase')
+            SELECT f.user_id, f.event_id,
+                   s.event_type AS state_at_purchase,
+                   s.version AS state_version
+            FROM facts f LEFT JOIN scd s
+              ON f.user_id = s.user_id
+             AND s.valid_from <= f.ts
+             AND (s.valid_to IS NULL OR s.valid_to > f.ts)
+        """,
+        "evt_trailing_7d": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                     PARTITION BY user_id ORDER BY pos
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing_sum
+            FROM (
+              SELECT user_id, event_id, value,
+                     date_diff('microsecond',
+                               TIMESTAMP '2000-01-01 00:00:00', ts) AS pos
+              FROM events)
+        """,
+        "evt_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
     }

@@ -207,3 +207,43 @@ def session_stats(
         ).alias("avg_duration_sec"),
         (F.max("_dur_us") / F.lit(1000000.0)).alias("max_duration_sec"),
     )
+
+
+def trailing_value_sum(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window feature: for every event, the exact
+    decimal sum of the user's ``value`` over the preceding ``days``
+    days INCLUDING the event — a RANGE frame over microsecond integer
+    positions (event-count frames can't express "last 7 days"; range
+    frames size the window by the time axis). The standard rolling
+    feature a training pipeline joins leakage-free at label time.
+
+    Plan shape: one Exchange on the user key, one sort, one running
+    range frame — per-user state is the frame content, bounded by the
+    user's event rate x window, never the full history. Sums are
+    decimal-exact (no float order), emitted as double.
+    """
+    pos = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP'2000-01-01 00:00:00', {ts_col})"
+    ).cast("long")
+    span = int(days) * 86_400_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_pos")
+        .rangeBetween(-span, 0)
+    )
+    return (
+        events.withColumn("_pos", pos)
+        .withColumn(
+            "trailing_sum",
+            F.sum(F.col(value_col).cast("decimal(12,2)")).over(w)
+            .cast("double"),
+        )
+        .select(user_col, id_col, "trailing_sum")
+    )

@@ -74,3 +74,34 @@ def snapshot_at(scd2: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    scd2: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time dimension join: each fact row gains the SCD2
+    attribute version valid AT its timestamp (``valid_from <= ts <
+    valid_to``) — the leakage-safe feature join (features as-of the
+    label time) that the SCD2 build exists to serve.
+
+    Because a key's intervals partition time contiguously, "the
+    version covering ts" == "the latest valid_from at-or-before ts",
+    so this composes :func:`kgforge.joins.asof_join` — union + ONE
+    window pass on the key, never an interval-inequality join that
+    explodes per-key candidates. Facts older than the key's first
+    version keep NULL attributes. Output: facts plus
+    ``<attr>_at_<ts_col>`` columns.
+    """
+    from .joins import asof_join
+
+    right = scd2.select(
+        F.col(key), F.col("valid_from").alias(ts_col), *attr_cols
+    )
+    out = asof_join(facts, right, key, ts_col, list(attr_cols))
+    for a in attr_cols:
+        out = out.withColumnRenamed(f"{a}_right", f"{a}_at_{ts_col}")
+    return out.drop(f"{ts_col}_right")

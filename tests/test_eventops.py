@@ -174,3 +174,22 @@ def test_session_stats_manual(spark):
     )
     er = session_stats(empty).collect()[0]
     assert er["n_sessions"] == 0 and er["n_bounces"] == 0
+
+
+def test_trailing_value_sum_range_frame(spark):
+    from kgforge.eventops import trailing_value_sum
+
+    rows = [
+        (1, "view", _ts(1), 1, 10.0),
+        (1, "view", _ts(5), 2, 20.0),   # day 5: day 1 within 7d -> 30
+        (1, "view", _ts(9), 3, 40.0),   # day 9: days 5,9 within 7d -> 60
+        (1, "view", _ts(20), 4, 5.0),   # nothing trailing -> 5
+        (2, "view", _ts(9), 5, 7.0),    # other user isolated
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_type string, ts timestamp, event_id long, value double",
+    )
+    got = {r["event_id"]: r["trailing_sum"]
+           for r in trailing_value_sum(ev, days=7).collect()}
+    assert got == {1: 10.0, 2: 30.0, 3: 60.0, 4: 5.0, 5: 7.0}

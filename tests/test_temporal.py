@@ -96,3 +96,25 @@ def test_snapshot_at_one_interval_per_key(spark):
 def test_scd2_empty_input(spark):
     empty = spark.createDataFrame([], "k long, state string, ts timestamp, eid long")
     assert scd2_build(empty, ["k"], ["state"], "ts", ["eid"]).count() == 0
+
+
+def test_scd2_join_picks_interval_at_fact_time(spark):
+    from kgforge.temporal import scd2_build, scd2_join
+
+    changes = _fixture(spark)
+    scd = scd2_build(changes, ["k"], ["state"], "ts", ["eid"])
+    facts = spark.createDataFrame(
+        [
+            (1, 101, _ts(2, 12)),  # inside version A (days 1-3)
+            (1, 102, _ts(3)),      # exactly at the A->B boundary -> B
+            (1, 103, _ts(9)),      # after the last change -> current A
+            (2, 104, _ts(3, 1)),   # key 2 inside state X
+            (9, 105, _ts(5)),      # unknown key -> NULL state
+        ],
+        "k long, fid long, ts timestamp",
+    )
+    got = {
+        r["fid"]: r["state_at_ts"]
+        for r in scd2_join(facts, scd, "k", "ts", ["state"]).collect()
+    }
+    assert got == {101: "A", 102: "B", 103: "A", 104: "X", 105: None}
