@@ -3238,6 +3238,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
         )
 
+    def kg_rule_mining(spark, sf):
+        """AMIE-style composition rules r1(x,z) ∧ r2(z,y) ⇒ r3(x,y)
+        over the constructed KG (graphstats.mine_composition_rules):
+        one wedge join + one (x,y) head join, aggregated on
+        relation-tuple keys; confidence is an exact integer ratio."""
+        from kgforge import graphstats
+
+        _, _, e2id, r2id = _dicts(spark)
+        tri = materialize.to_id_triples(_golden(spark, sf), e2id, r2id).selectExpr(
+            "s as h", "o as t", "p as r"
+        )
+        return graphstats.mine_composition_rules(tri, min_support=5)
+
+    def docs_chunks(spark, sf):
+        """RAG-style overlapping chunker (textops.chunk_documents):
+        64-token windows on a 48 stride, fully narrow (sequence +
+        explode + slice, no shuffle, no lambda HOFs). Oracle replays
+        with generate_series + list_slice."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3433,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_scd2_join": evt_scd2_join,
         "evt_trailing_7d": evt_trailing_7d,
         "evt_type_pivot": evt_type_pivot,
+        "kg_rule_mining": kg_rule_mining,
+        "docs_chunks": docs_chunks,
     }
 
 
@@ -6670,5 +6693,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "kg_rule_mining": f"""
+            WITH e AS ({_DENSE_E}), r AS ({_DENSE_R}),
+            tri AS (
+                SELECT DISTINCT es.id AS h, rr.id AS p, eo.id AS t
+                FROM {_GOLD} g
+                JOIN e es ON g.subj_canon = es.name
+                JOIN e eo ON g.obj_canon = eo.name
+                JOIN r rr ON g.pred = rr.name
+            ),
+            body AS (
+                SELECT DISTINCT a.h AS x, a.p AS r1, b.p AS r2, b.t AS y
+                FROM tri a JOIN tri b ON a.t = b.h),
+            bs AS (
+                SELECT r1, r2, CAST(count(*) AS BIGINT) AS body_size
+                FROM body GROUP BY r1, r2),
+            heads AS (SELECT DISTINCT h AS x, p AS r3, t AS y FROM tri),
+            sup AS (
+                SELECT r1, r2, r3, CAST(count(*) AS BIGINT) AS support
+                FROM body JOIN heads USING (x, y) GROUP BY r1, r2, r3)
+            SELECT s.r1, s.r2, s.r3, b.body_size, s.support,
+                   CAST(s.support AS DOUBLE) / CAST(b.body_size AS DOUBLE)
+                     AS confidence
+            FROM sup s JOIN bs b USING (r1, r2)
+            WHERE s.support >= 5
+        """,
+        "docs_chunks": """
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents WHERE trim(text) <> ''),
+            st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(0, greatest(len(tk) - 17, 0), 48))
+                       AS start
+              FROM tk)
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(least(64, len(tk) - start) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(tk, start + 1, start + 64), ' ')
+                     AS chunk_text
+            FROM st
         """,
     }

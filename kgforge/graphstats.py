@@ -1283,3 +1283,57 @@ def shortest_paths(
             .localCheckpoint()
         )
     return dist
+
+
+def mine_composition_rules(triples: DataFrame, min_support: int = 5) -> DataFrame:
+    """AMIE-style horn-rule mining over the KG: for every relation
+    composition ``r1(x,z) ∧ r2(z,y) ⇒ r3(x,y)``, the body size
+    (#distinct (x,y) pairs connected by an r1-r2 path), the rule
+    support (#those pairs where r3(x,y) also holds) and the standard
+    confidence support/body — the rule-discovery pass (Galárraga et
+    al., AMIE, WWW 2013) a KG owner runs to find redundant or
+    predictable relations.
+
+    Output: ``(r1, r2, r3, body_size, support, confidence)`` for rules
+    with ``support >= min_support``; confidence is an exact integer
+    ratio emitted as double.
+
+    Plan shape: the 2-hop body is ONE self equi-join on the entity key
+    (the same wedge join the triangle/k-hop ops use), de-duplicated to
+    (x, r1, r2, y) BEFORE the head join so multiple witnesses z never
+    multiply the head probe; the head match is a second equi-join on
+    (x, y). Aggregations group on relation pairs/triples — a key space
+    of |R|^2 / |R|^3, parameter-scale. Hot entities bound the wedge
+    join exactly as in triangle counting; a degree cap can pre-filter
+    hubs if a corpus needs it (not applied here: rule support on hub
+    wedges is real signal, unlike near-dup blocking).
+    """
+    a = triples.select(
+        F.col("h").alias("x"), F.col("r").alias("r1"), F.col("t").alias("z")
+    )
+    b = triples.select(
+        F.col("h").alias("z"), F.col("r").alias("r2"), F.col("t").alias("y")
+    )
+    body = a.join(b, "z").select("x", "r1", "r2", "y").dropDuplicates(
+        ["x", "r1", "r2", "y"]
+    )
+    body_sizes = body.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("body_size")
+    )
+    heads = triples.select(
+        F.col("h").alias("x"), F.col("r").alias("r3"), F.col("t").alias("y")
+    ).dropDuplicates(["x", "r3", "y"])
+    matched = body.join(heads, ["x", "y"]).groupBy("r1", "r2", "r3").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return (
+        matched.where(F.col("support") >= int(min_support))
+        .join(body_sizes, ["r1", "r2"])
+        .select(
+            "r1", "r2", "r3", "body_size", "support",
+            F.try_divide(
+                F.col("support").cast("double"),
+                F.col("body_size").cast("double"),
+            ).alias("confidence"),
+        )
+    )

@@ -1416,3 +1416,46 @@ def oov_stats(
             "oov_frac"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping chunker: split each document into
+    ``chunk_tokens``-token windows on a ``chunk_tokens - overlap``
+    stride — the preprocessing step between a cleaned corpus and an
+    embedding index. Output: ``(doc_id, chunk_idx, n_tokens,
+    chunk_text)``; a trailing window that would add no new tokens
+    (start + overlap >= n) is not emitted, so chunks are a
+    deterministic function of the text alone.
+
+    Plan shape: fully narrow — tokenize (plain split, no lambda HOFs),
+    ``sequence`` of starts, one explode, ``slice`` + ``array_join``
+    per chunk. No shuffle at all; the chunk table lands partitioned
+    exactly like the corpus.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = docs.where(F.trim(F.col(text_col)) != "").select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_tk")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_tk") - F.lit(overlap) - F.lit(1), F.lit(0)),
+        F.lit(stride),
+    )
+    rows = base.select("doc_id", "_tk", F.explode(starts).alias("_start"))
+    return rows.select(
+        "doc_id",
+        (F.col("_start") / F.lit(stride)).cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_tk") - F.col("_start")
+        ).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("_tk", F.col("_start") + F.lit(1), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

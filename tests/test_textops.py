@@ -1719,3 +1719,60 @@ def test_incremental_exact_dedup_semantics(spark):
     assert {
         r["doc_id"] for r in incremental_exact_dedup(new_b, empty).collect()
     } == {10, 11, 13}
+
+
+def test_mine_composition_rules_bruteforce(spark):
+    """Rule support/confidence == exhaustive Python over a toy KG."""
+    from itertools import product
+
+    from kgforge.graphstats import mine_composition_rules
+
+    tri = [
+        (0, 1, 0), (1, 2, 1), (0, 2, 2),      # 0-(r0)->1-(r1)->2 and r2 closes
+        (3, 4, 0), (4, 5, 1), (3, 5, 2),
+        (6, 7, 0), (7, 8, 1),                  # body only, no closing r2
+        (0, 1, 2),                             # extra head noise
+    ]
+    df = spark.createDataFrame(tri, "h long, t long, r long")
+    got = {
+        (r["r1"], r["r2"], r["r3"]): (r["body_size"], r["support"],
+                                       r["confidence"])
+        for r in mine_composition_rules(df, min_support=1).collect()
+    }
+    edges = set(tri)
+    body = {}
+    for (h1, t1, r1), (h2, t2, r2) in product(edges, edges):
+        if t1 == h2:
+            body.setdefault((r1, r2), set()).add((h1, t2))
+    want = {}
+    for (r1, r2), pairs in body.items():
+        for r3 in {r for (_, _, r) in edges}:
+            sup = sum(1 for (x, y) in pairs if (x, y, r3) in edges)
+            if sup >= 1:
+                want[(r1, r2, r3)] = (len(pairs), sup, sup / len(pairs))
+    assert got == want
+
+
+def test_chunk_documents_windows(spark):
+    from kgforge.textops import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out}
+    # doc 1: 10 tokens, stride 3, starts 0,3,6 (9 would add nothing new
+    # beyond overlap... start <= n-overlap-1=8 -> 0,3,6)
+    assert got == {
+        (1, 0): (4, "w0 w1 w2 w3"),
+        (1, 1): (4, "w3 w4 w5 w6"),
+        (1, 2): (4, "w6 w7 w8 w9"),
+        (2, 0): (2, "one two"),
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
