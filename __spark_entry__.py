@@ -3259,6 +3259,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
 
+    def evt_forward_fill(spark, sf):
+        """Time-series gap fill: every event carries the user's most
+        recent purchase value forward (last-non-null IGNORE NULLS over
+        the running user window) — the classic sparse-signal densifier;
+        one user-key Exchange, no self-join. Oracle replays the same
+        window with DuckDB's last_value IGNORE NULLS."""
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w)
+        return ev.select(
+            "user_id", "event_id", filled.alias("last_purchase_value")
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3456,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_type_pivot": evt_type_pivot,
         "kg_rule_mining": kg_rule_mining,
         "docs_chunks": docs_chunks,
+        "evt_forward_fill": evt_forward_fill,
     }
 
 
@@ -6734,5 +6757,14 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(tk, start + 1, start + 64), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "evt_forward_fill": """
+            SELECT user_id, event_id,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS last_purchase_value
+            FROM events
         """,
     }
