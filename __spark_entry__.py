@@ -3281,6 +3281,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "event_id", filled.alias("last_purchase_value")
         )
 
+    def a1_datasource_triples(spark, sf):
+        """OpenKE txt ingestion through a REGISTERED Spark 4 Python
+        DataSource (kgforge.datasource.OpenKETriplesDataSource):
+        byte-range partition planning like Hadoop text splits — no
+        driver-side file read, no pandas import path. Oracle is the
+        parquet twin of the same fixture."""
+        from kgforge.datasource import OpenKETriplesDataSource
+
+        try:
+            spark.dataSource.register(OpenKETriplesDataSource)
+        except Exception:
+            pass  # already registered in this session
+        return (
+            spark.read.format("openke_triples")
+            .option("path", os.path.join(OKE, "txt", "train2id.txt"))
+            .option("partitions", 6)
+            .load()
+        )
+
+    def a1_datasource_dict(spark, sf):
+        """entity2id.txt through the openke_dict Python DataSource
+        (same byte-range split planning); oracle is the parquet twin."""
+        from kgforge.datasource import OpenKEDictDataSource
+
+        try:
+            spark.dataSource.register(OpenKEDictDataSource)
+        except Exception:
+            pass  # already registered in this session
+        return (
+            spark.read.format("openke_dict")
+            .option("path", os.path.join(OKE, "txt", "entity2id.txt"))
+            .option("partitions", 3)
+            .load()
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3479,6 +3514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mining": kg_rule_mining,
         "docs_chunks": docs_chunks,
         "evt_forward_fill": evt_forward_fill,
+        "a1_datasource_triples": a1_datasource_triples,
+        "a1_datasource_dict": a1_datasource_dict,
     }
 
 
@@ -6766,5 +6803,11 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS last_purchase_value
             FROM events
+        """,
+        "a1_datasource_triples": f"""
+            SELECT h, t, r FROM read_parquet('{OKE}/train2id.parquet')
+        """,
+        "a1_datasource_dict": f"""
+            SELECT name, id FROM read_parquet('{OKE}/entity2id.parquet')
         """,
     }

@@ -1,0 +1,114 @@
+"""Tests for the Spark 4 Python DataSource readers (kgforge.datasource).
+
+The byte-range planner must behave like Hadoop text splits: every line
+is owned by exactly ONE partition (the one containing its first byte),
+regardless of how many partitions are requested — including degenerate
+cases (more partitions than bytes, a file smaller than one split).
+"""
+
+import os
+
+import pytest
+
+from kgforge.datasource import (
+    OpenKEDictDataSource,
+    OpenKETriplesDataSource,
+    _iter_lines,
+    _plan_ranges,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OKE_TXT = os.path.join(REPO, "fixtures", "openke", "txt")
+
+
+def _read_all(path, n_parts):
+    """Replay the split-ownership rule locally: concat of per-range
+    iterators in range order."""
+    out = []
+    for rng in _plan_ranges(path, n_parts):
+        out.extend(_iter_lines(path, rng.start, rng.end))
+    return out
+
+
+class TestByteRangePlanning:
+    def test_ranges_tile_the_file_exactly(self):
+        path = os.path.join(OKE_TXT, "train2id.txt")
+        size = os.path.getsize(path)
+        for n in (1, 2, 7, 32):
+            ranges = _plan_ranges(path, n)
+            assert ranges[0].start == 0
+            assert ranges[-1].end == size
+            for a, b in zip(ranges, ranges[1:]):
+                assert a.end == b.start  # disjoint, gap-free
+
+    def test_every_line_read_exactly_once_any_partition_count(self):
+        path = os.path.join(OKE_TXT, "train2id.txt")
+        with open(path, "rb") as f:
+            truth = [ln.decode() for ln in f.read().splitlines(keepends=True)]
+        for n in (1, 2, 3, 5, 13, 64):
+            assert _read_all(path, n) == truth, f"n_partitions={n}"
+
+    def test_more_partitions_than_bytes(self, tmp_path):
+        p = tmp_path / "tiny.txt"
+        p.write_text("2\n1 2 3\n4 5 6\n")
+        lines = _read_all(str(p), 1000)
+        assert lines == ["2\n", "1 2 3\n", "4 5 6\n"]
+
+    def test_file_without_trailing_newline(self, tmp_path):
+        p = tmp_path / "notrail.txt"
+        p.write_text("1\n7 8 9")
+        for n in (1, 2, 8):
+            assert _read_all(str(p), n) == ["1\n", "7 8 9"]
+
+
+class TestSparkRegistration:
+    @pytest.fixture(autouse=True)
+    def _register(self, spark):
+        for ds in (OpenKETriplesDataSource, OpenKEDictDataSource):
+            try:
+                spark.dataSource.register(ds)
+            except Exception:
+                pass  # already registered this session
+
+    def test_triples_match_parquet_twin(self, spark):
+        df = (
+            spark.read.format("openke_triples")
+            .option("path", os.path.join(OKE_TXT, "train2id.txt"))
+            .option("partitions", 5)
+            .load()
+        )
+        want = spark.read.parquet(
+            os.path.join(REPO, "fixtures", "openke", "train2id.parquet")
+        )
+        got = {tuple(r) for r in df.collect()}
+        assert got == {tuple(r) for r in want.select("h", "t", "r").collect()}
+        assert df.rdd.getNumPartitions() == 5
+
+    def test_count_header_is_skipped_not_trusted(self, spark):
+        df = (
+            spark.read.format("openke_triples")
+            .option("path", os.path.join(OKE_TXT, "valid2id.txt"))
+            .load()
+        )
+        with open(os.path.join(OKE_TXT, "valid2id.txt")) as f:
+            declared = int(f.readline())
+            actual = sum(1 for _ in f)
+        assert df.count() == actual == declared
+
+    def test_dict_reader_matches_parquet_twin(self, spark):
+        df = (
+            spark.read.format("openke_dict")
+            .option("path", os.path.join(OKE_TXT, "entity2id.txt"))
+            .option("partitions", 3)
+            .load()
+        )
+        want = spark.read.parquet(
+            os.path.join(REPO, "fixtures", "openke", "entity2id.parquet")
+        )
+        assert {tuple(r) for r in df.collect()} == {
+            tuple(r) for r in want.select("name", "id").collect()
+        }
+
+    def test_missing_path_raises(self, spark):
+        with pytest.raises(Exception, match="path"):
+            spark.read.format("openke_triples").load().count()
