@@ -3316,6 +3316,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .load()
         )
 
+    def a15_relation_ranks(spark, sf):
+        """Relation prediction — rank the true r among ALL relations per
+        test (h, t): the third eval direction beside head/tail ranks.
+        Candidate side is the |R|-sized relation table (broadcast nested
+        loop, no candidate shuffle); raw + filtered protocol identical
+        to the entity ranks. Oracle replays the same |test| x |R| scoring
+        relationally over the long embedding tables."""
+        split, emb, known = _openke_emb()
+        return ev.relation_prediction_ranks(
+            spark, spark.createDataFrame(split["test2id"]), emb, known
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3516,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_forward_fill": evt_forward_fill,
         "a1_datasource_triples": a1_datasource_triples,
         "a1_datasource_dict": a1_datasource_dict,
+        "a15_relation_ranks": a15_relation_ranks,
     }
 
 
@@ -6809,5 +6822,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a1_datasource_dict": f"""
             SELECT name, id FROM read_parquet('{OKE}/entity2id.parquet')
+        """,
+        "a15_relation_ranks": f"""
+            WITH
+              test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+              known AS ({_KNOWN}),
+              ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+              rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+              rs AS (
+                SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+                       sum(abs(he.val + cr.val - te.val)) AS score
+                FROM test tt
+                JOIN ent he ON he.id = tt.h
+                JOIN ent te ON te.id = tt.t AND te.k = he.k
+                JOIN rel cr ON cr.k = he.k
+                GROUP BY tt.h, tt.t, tt.r, cr.id
+              ),
+              tr AS (SELECT h, t, r, score FROM rs WHERE cand = r),
+              ranks AS (
+                SELECT rs.h, rs.t, rs.r,
+                  1 + count(*) FILTER (WHERE rs.score < tr.score)
+                      AS rank_rel_raw,
+                  1 + count(*) FILTER (WHERE rs.score < tr.score
+                                         AND k.h IS NULL)
+                      AS rank_rel_filt
+                FROM rs
+                JOIN tr ON rs.h = tr.h AND rs.t = tr.t AND rs.r = tr.r
+                LEFT JOIN known k ON k.h = rs.h AND k.t = rs.t
+                                 AND k.r = rs.cand AND k.r <> rs.r
+                GROUP BY rs.h, rs.t, rs.r
+              )
+            SELECT * FROM ranks
         """,
     }

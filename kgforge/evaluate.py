@@ -587,6 +587,74 @@ def link_prediction_ranks_relfilter(
     )
 
 
+def relation_prediction_ranks(
+    spark: SparkSession,
+    test: DataFrame,
+    emb,
+    known,
+    norm: int = 1,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Relation prediction: rank the TRUE relation among ALL relations
+    for each test pair — "what links h to t?", the third axis of the
+    link-prediction protocol beside the head/tail ranks (A15/A16).
+    Output ``(h, t, r, rank_rel_raw, rank_rel_filt)``; strict-< and the
+    known-triple filtered correction follow the entity-rank protocol
+    exactly (a known ``(h, cand, t)`` with ``cand != r`` never counts
+    against the filtered rank).
+
+    Fully relational like :func:`link_prediction_ranks_blocked`, but
+    the candidate side is the RELATION table — model-parameter-sized
+    (|R| rows), so the candidate product is a broadcast nested loop:
+    |test| x |R| rows with no shuffle of the test side beyond its
+    embedding joins, then ONE rank aggregation. At any corpus scale
+    |R| stays dictionary-sized, which makes relation prediction the
+    cheapest eval direction (the entity ranks pay |test| x |E|).
+
+    TransE, L1 or L2; pass ``score_decimals`` (6) with ``norm=2`` —
+    the same cross-engine float-ordering story as the entity ranks.
+    Other kernels compose the same way (swap the scoring fold); the
+    flagship kernel is what the contract pins.
+    """
+    dfs = _emb_dfs(spark, emb)
+    ent = dfs["ent"]
+    rel = dfs["rel"]
+    t = (
+        test.select("h", "t", "r")
+        .join(ent.select(F.col("id").alias("h"), F.col("vec").alias("hvec")), "h")
+        .join(ent.select(F.col("id").alias("t"), F.col("vec").alias("tvec")), "t")
+        .join(
+            F.broadcast(rel.select(F.col("id").alias("r"), F.col("vec").alias("rvec"))),
+            "r",
+        )
+    )
+    t = _with_score(t, "transe", norm, score_decimals, "hvec", "tvec", "s_true").drop(
+        "rvec"
+    )
+    cand = t.crossJoin(
+        F.broadcast(rel.select(F.col("id").alias("cand"), F.col("vec").alias("rvec")))
+    )
+    cand = _with_score(cand, "transe", norm, score_decimals, "hvec", "tvec", "s_cand")
+
+    if isinstance(known, pd.DataFrame):
+        known_df = spark.createDataFrame(known[["h", "t", "r"]].drop_duplicates())
+    else:
+        known_df = known.select("h", "t", "r").dropDuplicates()
+    kn = known_df.select("h", "t", F.col("r").alias("cand")).withColumn(
+        "_k", F.lit(1)
+    )
+    scored = cand.join(kn, ["h", "t", "cand"], "left").withColumn(
+        "skip", (F.col("_k") == 1) & (F.col("cand") != F.col("r"))
+    )
+    lt = F.col("s_cand") < F.col("s_true")
+    return scored.groupBy("h", "t", "r").agg(
+        (1 + F.sum(lt.cast("long"))).alias("rank_rel_raw"),
+        (1 + F.sum((lt & ~F.coalesce("skip", F.lit(False))).cast("long"))).alias(
+            "rank_rel_filt"
+        ),
+    )
+
+
 def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
     """A17: MR / MRR / Hits@10/3/1, raw + filtered, head+tail averaged.
 

@@ -56,6 +56,54 @@ def _oracle_ranks(test: pd.DataFrame, model="transe", norm=1) -> pd.DataFrame:
     )
 
 
+def _oracle_relation_ranks(test: pd.DataFrame, norm=1) -> pd.DataFrame:
+    """Loop oracle for relation prediction: rank true r among all |R|
+    relation candidates, strict <, filtered skips known (h, cand, t)
+    except the target itself. No code shared with kgforge.evaluate."""
+    known_set = set(map(tuple, KNOWN[["h", "t", "r"]].itertuples(index=False)))
+    rows = []
+    for h, t, r in test[["h", "t", "r"]].itertuples(index=False):
+        def sc(rr):
+            return float(
+                kernels.score_batch(
+                    "transe", EMB,
+                    np.array([h]), np.array([rr]), np.array([t]), norm,
+                )[0]
+            )
+        true = sc(r)
+        raw = filt = 1
+        for cand in range(N_REL):
+            if sc(cand) < true:
+                raw += 1
+                if cand == r or (h, t, cand) not in known_set:
+                    filt += 1
+        rows.append((h, t, r, raw, filt))
+    return pd.DataFrame(
+        rows, columns=["h", "t", "r", "rank_rel_raw", "rank_rel_filt"]
+    )
+
+
+def test_relation_ranks_match_oracle(spark):
+    from kgforge.evaluate import relation_prediction_ranks
+
+    test = SPLIT["test2id"]
+    got = (
+        relation_prediction_ranks(spark, spark.createDataFrame(test), EMB, KNOWN)
+        .toPandas()
+        .sort_values(["h", "t", "r"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_relation_ranks(test)
+        .drop_duplicates(["h", "t", "r"])
+        .sort_values(["h", "t", "r"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
+
+
 @pytest.mark.parametrize("model", ["transe", "transd", "distmult", "complex", "rotate"])
 def test_ranks_match_oracle(spark, model):
     test = SPLIT["test2id"].head(15)
