@@ -3328,6 +3328,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, spark.createDataFrame(split["test2id"]), emb, known
         )
 
+    def txt_collocations(spark, sf):
+        """PMI-scored bigram collocations (Church & Hanks): one window
+        pass pairs adjacent tokens, one groupBy to the Zipf-bounded
+        pair-count table, unigrams and totals derived from it without
+        a second corpus pass. Oracle replays the identical counting and
+        the identical left-associated double ratio, rounded to 6."""
+        from kgforge import textops
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.collocations(docs, min_count=3)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3529,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_datasource_triples": a1_datasource_triples,
         "a1_datasource_dict": a1_datasource_dict,
         "a15_relation_ranks": a15_relation_ranks,
+        "txt_collocations": txt_collocations,
     }
 
 
@@ -6853,5 +6865,43 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY rs.h, rs.t, rs.r
               )
             SELECT * FROM ranks
+        """,
+        "txt_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS w1,
+                     unnest(range(1, len(l) + 1)) AS pos
+              FROM (SELECT doc_id,
+                           list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS l
+                    FROM documents)
+            ),
+            big AS (
+              SELECT doc_id, pos, w1,
+                     lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM toks
+            ),
+            pc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+              FROM big GROUP BY w1, w2
+            ),
+            uni AS (
+              SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c FROM pc GROUP BY w1
+            ),
+            tot AS (
+              SELECT CAST(sum(n_pair) AS BIGINT) AS n_tok,
+                     CAST(sum(n_pair) FILTER (WHERE w2 IS NOT NULL) AS BIGINT)
+                         AS n_pairs
+              FROM pc
+            )
+            SELECT p.w1, p.w2, p.n_pair,
+                   round(ln((CAST(p.n_pair AS DOUBLE) * t.n_tok * t.n_tok)
+                            / (CAST(u1.c AS DOUBLE) * u2.c * t.n_pairs)),
+                         6) AS pmi
+            FROM pc p
+            JOIN uni u1 ON u1.w1 = p.w1
+            JOIN uni u2 ON u2.w1 = p.w2
+            CROSS JOIN tot t
+            WHERE p.w2 IS NOT NULL AND p.n_pair >= 3
         """,
     }

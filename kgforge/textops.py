@@ -1459,3 +1459,65 @@ def chunk_documents(
             F.slice("_tk", F.col("_start") + F.lit(1), F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """PMI-scored bigram collocations over the corpus — the standard
+    "which word pairs stick together" analysis (Church & Hanks 1990)
+    an LLM-data owner runs to find multiword units and template
+    boilerplate. ``pmi = ln(p(x,y) / (p(x) p(y)))`` with ``p(x,y) =
+    c_xy / N_pairs`` and ``p(x) = c_x / N_tok``.
+
+    Output: ``(w1, w2, n_pair, pmi)`` for adjacent lowercased
+    whitespace-token pairs with ``n_pair >= min_count``.
+
+    Scale shape: tokenize + ONE doc-keyed window pass pairs each token
+    with its successor (``lead``; no self-join), then ONE data-sized
+    groupBy collapses to the pair-count table — Zipf-bounded, vastly
+    smaller than the corpus. That table is ``localCheckpoint``-ed
+    because everything downstream derives from it three ways (pair
+    rows, unigram counts, corpus totals) and a twice-referenced
+    DataFrame executes twice (docs/PLANS.md round-3 audit). Unigram
+    counts need NO second corpus pass: every token occurrence is a
+    ``w1`` exactly once (the last token of a doc carries a NULL
+    ``w2``), so summing pair counts per ``w1`` reproduces them.
+
+    Determinism: counts are exact integers; the PMI ratio is computed
+    with an identical left-associated double expression in the SQL
+    oracle and rounded to 6 decimals, the repo's standard cross-engine
+    float recipe (pagerank rounds the same way).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "w1"),
+    ).where(F.col("w1") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select("doc_id", "pos", "w1", F.lead("w1").over(w).alias("w2"))
+    pc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pc.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("c"))
+    totals = pc.agg(
+        F.sum("n_pair").cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("n_pair")))
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    out = (
+        pc.where(F.col("w2").isNotNull() & (F.col("n_pair") >= int(min_count)))
+        .join(uni.select(F.col("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("n_tok") * F.col("n_tok")
+    ) / (F.col("c1").cast("double") * F.col("c2") * F.col("n_pairs"))
+    return out.select(
+        "w1", "w2", "n_pair", F.round(F.log(ratio), 6).alias("pmi")
+    )

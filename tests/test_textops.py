@@ -1776,3 +1776,52 @@ def test_chunk_documents_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_collocations_match_python_replay(spark):
+    """PMI collocations vs an independent pure-Python count: bigram
+    counts, unigram counts, and ln-ratio PMI must agree exactly (the
+    Spark side rounds to 6; the replay rounds the same way)."""
+    import math
+    from collections import Counter
+
+    from kgforge.textops import collocations
+
+    texts = [
+        (1, "new york city is in new york state"),
+        (2, "the new york times covers new york"),
+        (3, "times square is in new york city"),
+        (4, ""),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    pair_c, uni_c, n_pairs, n_tok = Counter(), Counter(), 0, 0
+    for _, txt in texts:
+        toks = [w for w in txt.lower().strip().split() if w]
+        uni_c.update(toks)
+        n_tok += len(toks)
+        for a, b in zip(toks, toks[1:]):
+            pair_c[(a, b)] += 1
+            n_pairs += 1
+    want = {
+        (a, b): (
+            c,
+            round(
+                math.log(
+                    (float(c) * n_tok * n_tok)
+                    / (float(uni_c[a]) * uni_c[b] * n_pairs)
+                ),
+                6,
+            ),
+        )
+        for (a, b), c in pair_c.items()
+        if c >= 2
+    }
+
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in collocations(docs, min_count=2).collect()
+    }
+    assert got == want
+    assert ("new", "york") in got and got[("new", "york")][0] == 5
