@@ -3339,6 +3339,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textops.collocations(docs, min_count=3)
 
+    def str_datasource_tail(spark, sf):
+        """Streaming ingestion through the registered openke_triples_stream
+        Python DataSource: tail a directory of OpenKE txt files (offsets =
+        per-file byte positions, whole lines only) and drain to a memory
+        sink. Full drain == the batch read; oracle is the UNION ALL of the
+        parquet twins of the two tailed files."""
+        import shutil
+        import tempfile
+        import uuid
+
+        from kgforge.datasource import OpenKETriplesStreamDataSource
+
+        try:
+            spark.dataSource.register(OpenKETriplesStreamDataSource)
+        except Exception:
+            pass  # already registered in this session
+        d = tempfile.mkdtemp(prefix="kgforge_tail_")
+        for f in ("valid2id.txt", "test2id.txt"):
+            shutil.copy(os.path.join(OKE, "txt", f), os.path.join(d, f))
+        st = (
+            spark.readStream.format("openke_triples_stream")
+            .option("path", d)
+            .load()
+        )
+        name = "tail_" + uuid.uuid4().hex[:8]
+        q = (
+            st.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+        return spark.table(name)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3541,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_datasource_dict": a1_datasource_dict,
         "a15_relation_ranks": a15_relation_ranks,
         "txt_collocations": txt_collocations,
+        "str_datasource_tail": str_datasource_tail,
     }
 
 
@@ -6903,5 +6940,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.w1 = p.w2
             CROSS JOIN tot t
             WHERE p.w2 IS NOT NULL AND p.n_pair >= 3
+        """,
+        "str_datasource_tail": f"""
+            SELECT h, t, r FROM read_parquet('{OKE}/valid2id.parquet')
+            UNION ALL
+            SELECT h, t, r FROM read_parquet('{OKE}/test2id.parquet')
         """,
     }

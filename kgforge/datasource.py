@@ -31,7 +31,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _ByteRange(InputPartition):
@@ -141,3 +146,86 @@ class _DictReader(DataSourceReader):
             if len(cells) != 2:
                 continue
             yield cells[0], int(cells[1])
+
+
+class OpenKETriplesStreamDataSource(DataSource):
+    """``spark.readStream.format("openke_triples_stream")`` — tail a
+    directory of OpenKE ``*2id.txt`` files as a structured stream.
+
+    Offsets are ``{"files": {name: byte_position}}``: each micro-batch
+    consumes the bytes appended since the last offset, cut at the last
+    complete line (a half-written line is left for the next batch), and
+    newly appearing ``.txt`` files are picked up automatically. Replays
+    between committed offsets re-read the exact byte ranges, so the
+    source is exactly-once under Spark's offset log.
+
+    This is the *simple* (driver-side) stream reader — the right tool
+    for control-plane tailing (dictionary updates, incremental triple
+    drops at dictionary scale). Bulk historical loads should go through
+    the batch ``openke_triples`` reader, whose byte-range splits fan
+    out across executors.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "openke_triples_stream"
+
+    def schema(self) -> str:
+        return "h bigint, t bigint, r bigint"
+
+    def simpleStreamReader(self, schema) -> "_TriplesStreamReader":
+        return _TriplesStreamReader(self.options)
+
+
+def _parse_triples(data: bytes):
+    for line in data.splitlines():
+        cells = line.split()
+        if len(cells) != 3:
+            continue  # count header (1 cell) or blank line
+        yield int(cells[0]), int(cells[1]), int(cells[2])
+
+
+class _TriplesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("openke_triples_stream: option 'path' is required")
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _read_range(self, fname: str, start_pos: int, end_pos: int) -> bytes:
+        with open(os.path.join(self.dir, fname), "rb") as f:
+            f.seek(start_pos)
+            return f.read(end_pos - start_pos)
+
+    def read(self, start: dict):
+        seen = dict(start.get("files", {}))
+        end = {"files": dict(seen)}
+        rows: list[tuple[int, int, int]] = []
+        for fname in sorted(os.listdir(self.dir)):
+            if not fname.endswith(".txt"):
+                continue
+            prev = int(seen.get(fname, 0))
+            with open(os.path.join(self.dir, fname), "rb") as f:
+                f.seek(prev)
+                data = f.read()
+            cut = data.rfind(b"\n") + 1  # whole lines only
+            if cut > 0:
+                rows.extend(_parse_triples(data[:cut]))
+                end["files"][fname] = prev + cut
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = start.get("files", {})
+        rows: list[tuple[int, int, int]] = []
+        for fname, end_pos in sorted(end.get("files", {}).items()):
+            prev = int(s.get(fname, 0))
+            if int(end_pos) > prev:
+                rows.extend(
+                    _parse_triples(self._read_range(fname, prev, int(end_pos)))
+                )
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint log

@@ -112,3 +112,53 @@ class TestSparkRegistration:
     def test_missing_path_raises(self, spark):
         with pytest.raises(Exception, match="path"):
             spark.read.format("openke_triples").load().count()
+
+
+class TestStreamingTail:
+    def test_tail_picks_up_appends_and_new_files(self, spark, tmp_path):
+        from kgforge.datasource import OpenKETriplesStreamDataSource
+
+        try:
+            spark.dataSource.register(OpenKETriplesStreamDataSource)
+        except Exception:
+            pass
+        d = tmp_path / "stream_in"
+        d.mkdir()
+        (d / "a.txt").write_text("2\n1 2 0\n3 4 1\n")
+
+        st = (
+            spark.readStream.format("openke_triples_stream")
+            .option("path", str(d))
+            .load()
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName("tail_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {tuple(r) for r in spark.table("tail_test").collect()}
+            assert got == {(1, 2, 0), (3, 4, 1)}
+
+            # append to the existing file (one complete, one partial line)
+            with open(d / "a.txt", "a") as f:
+                f.write("5 6 0\n7 8")  # "7 8" has no newline yet
+            # and drop a brand-new file
+            (d / "b.txt").write_text("1\n9 9 2\n")
+            q.processAllAvailable()
+            got = {tuple(r) for r in spark.table("tail_test").collect()}
+            assert (5, 6, 0) in got and (9, 9, 2) in got
+            assert not any(r[0] == 7 for r in got)  # partial line held back
+
+            # complete the partial line
+            with open(d / "a.txt", "a") as f:
+                f.write(" 1\n")
+            q.processAllAvailable()
+            got = {tuple(r) for r in spark.table("tail_test").collect()}
+            assert (7, 8, 1) in got
+            # nothing double-read: 4 data rows in a.txt + 1 in b.txt
+            assert spark.table("tail_test").count() == 5
+        finally:
+            q.stop()
