@@ -1521,3 +1521,49 @@ def collocations(
     return out.select(
         "w1", "w2", "n_pair", F.round(F.log(ratio), 6).alias("pmi")
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log unigram probability — the
+    "unigram perplexity" quality signal (the cheap stand-in for the
+    CCNet/Wikipedia-LM perplexity filter): documents made of rare
+    tokens score high, templated/common-token documents score low.
+    ``p(w) = c_w / N`` is the corpus MLE; output ``(doc_id, n_tokens,
+    avg_nll)`` with ``avg_nll = round(-mean ln p(w), 6)``.
+
+    Scale shape: ONE corpus-sized shuffle — tokenize and collapse to
+    per-(doc, token) counts first (the corpus never flows again), then
+    the unigram table is a token-keyed aggregate OF THOSE COUNTS and
+    joins back to them, so the base scan runs once and everything after
+    the first groupBy is doc-vocabulary-sized. Final rounding to 6
+    decimals is the repo's standard cross-engine float recipe (the
+    token-level ln values are bit-identical; only the per-doc sum's
+    accumulation order can differ in the last ulp).
+    """
+    dtc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = dtc.groupBy("w").agg(F.sum("cnt").cast("long").alias("c"))
+    total = uni.agg(F.sum("c").cast("long").alias("n"))
+    nll = -F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        dtc.join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt").cast("double") * nll) / F.sum("cnt"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

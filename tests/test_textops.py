@@ -1825,3 +1825,46 @@ def test_collocations_match_python_replay(spark):
     }
     assert got == want
     assert ("new", "york") in got and got[("new", "york")][0] == 5
+
+
+def test_unigram_logprob_matches_python_replay(spark):
+    """avg_nll vs a pure-Python corpus-MLE replay; rare tokens must
+    score strictly higher than common-token documents."""
+    import math
+    from collections import Counter
+
+    from kgforge.textops import unigram_logprob
+
+    texts = [
+        (1, "the the the the"),
+        (2, "the quick brown fox"),
+        (3, "zyzzyva qat"),
+        (4, "the fox"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    uni = Counter()
+    per_doc = {}
+    for did, txt in texts:
+        toks = [w for w in txt.lower().strip().split() if w]
+        uni.update(toks)
+        per_doc[did] = toks
+    n = sum(uni.values())
+    want = {
+        did: (
+            len(toks),
+            round(sum(-math.log(uni[w] / n) for w in toks) / len(toks), 6),
+        )
+        for did, toks in per_doc.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in unigram_logprob(docs).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) < 1e-9, did
+    # ordering property: all-rare doc > mixed doc > all-common doc
+    assert got[3][1] > got[2][1] > got[1][1]
