@@ -3386,6 +3386,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return textops.unigram_logprob(docs)
 
+    def q19_discount_revenue(spark, sf):
+        """TPC-H Q19 shape: revenue under an OR of conjunctive band
+        predicates that mix part and lineitem columns. The disjunction
+        itself cannot reach either scan, so the coarse implied bounds
+        ARE stated explicitly: part prefilters to the brand/size
+        envelope (broadcast side shrinks before the join), lineitem
+        prefilters to the quantity envelope (pushed to the fact scan).
+        Revenue in exact decimal; one broadcast join, one scalar agg."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            F.col("l_quantity").between(1, 50)
+        )
+        p = (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .where(
+                F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+                & F.col("p_size").between(1, 40)
+            )
+        )
+        j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        bands = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(1, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#7")
+                & F.col("p_size").between(5, 20)
+                & F.col("l_quantity").between(10, 35)
+            )
+            | (
+                (F.col("p_brand") == "Brand#13")
+                & F.col("p_size").between(10, 40)
+                & F.col("l_quantity").between(20, 50)
+            )
+        )
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount")
+        ).cast("decimal(4,2)")
+        return j.where(bands).agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+
+    def q7_volume_shipping(spark, sf):
+        """TPC-H Q7 shape: revenue flow between two nations, both
+        directions, by ship year. Nation/supplier/customer ride
+        broadcast; the one data-sized shuffle is lineitem joining
+        orders on l_orderkey. Decimal-exact revenue, BIGINT year."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+        )
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        n1 = n.select(
+            F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = n.select(
+            F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+        )
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount")
+        ).cast("decimal(4,2)")
+        j = (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+            .where(
+                (
+                    (F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2")
+                )
+                | (
+                    (F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1")
+                )
+            )
+        )
+        return (
+            j.groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("long").alias("l_year"),
+            )
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3590,6 +3681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_collocations": txt_collocations,
         "str_datasource_tail": str_datasource_tail,
         "txt_unigram_logprob": txt_unigram_logprob,
+        "q19_discount_revenue": q19_discount_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
     }
 
 
@@ -6980,5 +7073,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u ON u.w = d.w
             CROSS JOIN tot t
             GROUP BY d.doc_id
+        """,
+        "q19_discount_revenue": """
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                     AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 20
+                     AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 40
+                     AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
         """,
     }
