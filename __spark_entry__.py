@@ -3477,6 +3477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum(rev).cast("double").alias("revenue"))
         )
 
+    def ann_knn_label_accuracy(spark, sf):
+        """Leave-one-out k-NN label accuracy over the labeled embedding
+        table (majority of 10 neighbors, ties to the smaller label) —
+        the embedding-quality probe. Queries broadcast, one window
+        rank, vote + accuracy aggregations; oracle replays identically."""
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return similarity.knn_label_accuracy(emb, k=10, n_queries=64)
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3683,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": txt_unigram_logprob,
         "q19_discount_revenue": q19_discount_revenue,
         "q7_volume_shipping": q7_volume_shipping,
+        "ann_knn_label_accuracy": ann_knn_label_accuracy,
     }
 
 
@@ -7104,5 +7113,39 @@ def oracle_sql() -> dict[str, str]:
               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             GROUP BY 1, 2, 3
+        """,
+        "ann_knn_label_accuracy": """
+            WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+                  FROM e WHERE vec_id < 64),
+            top AS (
+              SELECT query_id, true_label, nlabel FROM (
+                SELECT q.query_id, q.true_label, e.label AS nlabel,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                    e.vec_id) AS rk
+                FROM q JOIN e ON e.vec_id <> q.query_id)
+              WHERE rk <= 10
+            ),
+            votes AS (SELECT query_id, true_label, nlabel, count(*) AS c
+                      FROM top GROUP BY 1, 2, 3),
+            pred AS (
+              SELECT query_id, true_label, nlabel AS pred_label FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, nlabel) AS pr
+                FROM votes)
+              WHERE pr = 1
+            )
+            SELECT true_label AS label,
+                   CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN pred_label = true_label
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   CAST(sum(CASE WHEN pred_label = true_label
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                       AS accuracy
+            FROM pred GROUP BY 1
         """,
     }

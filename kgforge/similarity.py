@@ -684,3 +684,72 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
+
+
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy over a labeled
+    embedding table — the standard "are these embeddings any good"
+    probe: each query vector is classified by the majority label of its
+    k nearest neighbors (itself excluded; ties broken toward the
+    smaller label, ranks toward the smaller id), then accuracy is
+    reported per true label. Output: ``(label, n_queries, n_correct,
+    accuracy)``.
+
+    Plan shape: the query sample is broadcast against the embedding
+    table (one scan, no shuffle of the big side), ranks are one
+    query-keyed window, votes and accuracy are two tiny aggregations.
+    Exact brute-force scoring is the contract here (it doubles as the
+    SQL-oracle companion); at |E| beyond the scan budget, swap the
+    scored candidate table for ``ivf_topk``/``lsh_topk`` output and
+    keep the identical vote: the downstream majority/accuracy logic is
+    agnostic to how neighbors were found.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("nlabel"),
+        F.col(vec_col).alias("_evec"),
+    )
+    q = embeddings.where(F.col(id_col) < int(n_queries)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "nlabel",
+            cosine_expr(F.col("_qvec"), F.col("_evec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    top = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= int(k)
+    )
+    votes = top.groupBy("query_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), "nlabel")
+    pred = votes.withColumn("pr", F.row_number().over(wv)).where(F.col("pr") == 1)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum((F.col("nlabel") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct").cast("double") / F.col("n_queries")
+        )
+    )

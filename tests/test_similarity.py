@@ -239,3 +239,32 @@ def test_pq_fit_rejects_bad_split(spark):
     )
     with _pytest.raises(ValueError):
         pq_fit(emb, m=3, ksub=4, sample_size=4)
+
+
+def test_knn_label_accuracy_separated_clusters(spark):
+    """Two well-separated clusters classify perfectly; a deliberately
+    mislabeled vector inside a cluster is voted down by its neighbors."""
+    import numpy as np
+
+    from kgforge.similarity import knn_label_accuracy
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):  # label 0 around +e0, label 1 around -e0
+        base = np.zeros(8)
+        base[0] = 1.0 if i % 2 == 0 else -1.0
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    # vec 20: sits in cluster 0 but carries label 1 → its own prediction
+    # is 0 (counts as wrong for label 1), and it cannot flip any
+    # neighborhood with k=5
+    v = np.zeros(8); v[0] = 1.0
+    rows.append((20, [float(x) for x in v + rng.normal(0, 0.05, 8)], 1))
+
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r.label: (r.n_queries, r.n_correct)
+        for r in knn_label_accuracy(emb, k=5, n_queries=21).collect()
+    }
+    assert got[0] == (10, 10)        # clean cluster: perfect
+    assert got[1] == (11, 10)        # only the planted mislabel misses
