@@ -40,9 +40,10 @@ from pyspark.sql.datasource import (
 
 
 class _ByteRange(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, start: int, end: int, path: str | None = None):
         self.start = start
         self.end = end
+        self.path = path
 
 
 def _iter_lines(path: str, start: int, end: int) -> Iterator[str]:
@@ -71,11 +72,28 @@ def _iter_lines(path: str, start: int, end: int) -> Iterator[str]:
 
 
 def _plan_ranges(path: str, n_partitions: int) -> list[_ByteRange]:
+    """Byte-range splits for one file, or per-file splits for a
+    directory of ``.txt`` shards (the sink's output layout) — splits
+    are spread across files proportionally, one split minimum each."""
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".txt") and not f.startswith("_")
+        )
+        per_file = max(1, int(n_partitions) // max(1, len(files)))
+        out: list[_ByteRange] = []
+        for f in files:
+            fp = os.path.join(path, f)
+            out.extend(
+                _ByteRange(r.start, r.end, fp)
+                for r in _plan_ranges(fp, per_file)
+            )
+        return out
     size = os.path.getsize(path)
     n = max(1, int(n_partitions))
     step = max(1, size // n)
     cuts = list(range(0, size, step)) + [size]
-    return [_ByteRange(a, b) for a, b in zip(cuts, cuts[1:]) if b > a]
+    return [_ByteRange(a, b, path) for a, b in zip(cuts, cuts[1:]) if b > a]
 
 
 class OpenKETriplesDataSource(DataSource):
@@ -106,7 +124,7 @@ class _TriplesReader(DataSourceReader):
         return _plan_ranges(self.path, self.n)
 
     def read(self, part: _ByteRange):
-        for line in _iter_lines(self.path, part.start, part.end):
+        for line in _iter_lines(part.path or self.path, part.start, part.end):
             cells = line.split()
             if len(cells) != 3:
                 continue  # the count header (1 cell) or blank tail

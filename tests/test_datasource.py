@@ -60,6 +60,21 @@ class TestByteRangePlanning:
         for n in (1, 2, 8):
             assert _read_all(str(p), n) == ["1\n", "7 8 9"]
 
+    def test_directory_of_shards_plans_per_file(self, tmp_path):
+        d = tmp_path / "shards"
+        d.mkdir()
+        (d / "part-0.txt").write_text("2\n1 2 0\n3 4 1\n")
+        (d / "part-1.txt").write_text("1\n5 6 0\n")
+        (d / "_SUCCESS").write_text("")  # marker files must be skipped
+        (d / "notes.log").write_text("ignore me\n")
+        ranges = _plan_ranges(str(d), 4)
+        paths = {r.path for r in ranges}
+        assert paths == {str(d / "part-0.txt"), str(d / "part-1.txt")}
+        lines = []
+        for rng in sorted(ranges, key=lambda r: (r.path, r.start)):
+            lines.extend(_iter_lines(rng.path, rng.start, rng.end))
+        assert lines == ["2\n", "1 2 0\n", "3 4 1\n", "1\n", "5 6 0\n"]
+
 
 class TestSparkRegistration:
     @pytest.fixture(autouse=True)
@@ -108,6 +123,19 @@ class TestSparkRegistration:
         assert {tuple(r) for r in df.collect()} == {
             tuple(r) for r in want.select("name", "id").collect()
         }
+
+    def test_directory_batch_read(self, spark, tmp_path):
+        d = tmp_path / "txt_dir"
+        d.mkdir()
+        (d / "part-0.txt").write_text("2\n1 2 0\n3 4 1\n")
+        (d / "part-1.txt").write_text("1\n5 6 0\n")
+        df = (
+            spark.read.format("openke_triples")
+            .option("path", str(d))
+            .option("partitions", 4)
+            .load()
+        )
+        assert {tuple(r) for r in df.collect()} == {(1, 2, 0), (3, 4, 1), (5, 6, 0)}
 
     def test_missing_path_raises(self, spark):
         with pytest.raises(Exception, match="path"):
