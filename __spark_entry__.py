@@ -3485,6 +3485,280 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return similarity.knn_label_accuracy(emb, k=10, n_queries=64)
 
+    def q13_customer_distribution(spark, sf):
+        """TPC-H Q13 shape: customer order-count distribution. The LEFT
+        join keeps zero-order customers (the row count the inner join
+        silently drops is the business answer here); two agg exchanges,
+        the second over a |distinct counts|-sized input. Counts BIGINT
+        on both engines."""
+        c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_custkey", "o_orderkey"
+        )
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count(F.lit(1)).cast("long").alias("custdist")
+        )
+
+    def q17_small_quantity_revenue(spark, sf):
+        """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+        brand's parts. The per-part average is a groupBy (map-side
+        partial) whose |parts|-sized result BROADCASTS back onto the
+        fact rows — the decorrelated form of Q17's correlated subquery,
+        no window over the fact table. Float discipline: l_quantity sums
+        as DECIMAL (exact), the 0.2*avg cutoff is one double division —
+        bit-identical on both engines."""
+        p = (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .where(F.col("p_brand") == "Brand#23")
+            .select("p_partkey")
+        )
+        li = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .select("l_partkey", "l_quantity", "l_extendedprice")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        )
+        cut = li.groupBy("l_partkey").agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("qty_cut")
+        ).select(F.col("l_partkey").alias("_ck"), "qty_cut")
+        small = li.join(F.broadcast(cut), F.col("l_partkey") == F.col("_ck")).where(
+            F.col("l_quantity") < F.col("qty_cut")
+        )
+        return small.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+
+    def q21_lone_failing_supplier(spark, sf):
+        """TPC-H Q21 shape (adapted to this schema's columns): on
+        multi-supplier orders, suppliers who were the ONLY one whose
+        line was returned (l_returnflag = 'R') — EXISTS becomes a
+        left-semi join, NOT EXISTS a left-anti join, both shuffling on
+        the one natural key (l_orderkey). Supplier rides broadcast."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey", "l_returnflag"
+        )
+        failed = (
+            li.where(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_suppkey")
+            .dropDuplicates()
+        )
+        all_pairs = li.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+        ).dropDuplicates()
+        failed2 = failed.select(
+            F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+        )
+        multi = failed.join(
+            all_pairs,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        lone = multi.join(
+            failed2,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+            "s_suppkey", "s_name"
+        )
+        return (
+            lone.join(F.broadcast(s), lone.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        )
+
+    def q22_idle_customers(spark, sf):
+        """TPC-H Q22 shape: above-average-balance customers with little
+        order activity (at most 2 orders — this generator gives every
+        customer at least one, so the literal "never ordered" set is
+        empty), by nation. The global cutoff is a 1-row agg that rides
+        a broadcast cross join (never a collect); low activity is a
+        left-anti join against the >2-order custkeys. Cutoff
+        arithmetic: DECIMAL-exact sum then one double division —
+        engine-identical."""
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        cutoff = c.where(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bal_cut")
+        )
+        active = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 2)
+            .select("o_custkey")
+        )
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        rich = c.join(F.broadcast(cutoff)).where(F.col("c_acctbal") > F.col("bal_cut"))
+        idle = rich.join(active, rich.c_custkey == active.o_custkey, "left_anti")
+        return (
+            idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("numcust"),
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("totacctbal"),
+            )
+        )
+
+    def evt_markov_transitions(spark, sf):
+        """First-order Markov transition matrix over the event stream:
+        P(next event type | event type) per user-ordered sequence. One
+        user_id shuffle for the lead() window; the conditional
+        probabilities divide two exact counts (deterministic doubles).
+        The (ts, event_id) sort key makes tied timestamps unambiguous."""
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        ).where(F.col("dst").isNotNull())
+        counts = seq.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions")
+        )
+        per_src = Window.partitionBy("src")
+        return counts.select(
+            "src",
+            "dst",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(per_src)
+            ).alias("prob"),
+        )
+
+    def dq_drift_psi(spark, sf):
+        """Distribution drift between two time slices of orders
+        (Population Stability Index over 10 fixed-width o_totalprice
+        buckets, Laplace-smoothed so empty buckets stay finite). ONE
+        scan: each row lands in (bucket, period) via conditional
+        expressions, a single groupBy, and the per-period totals ride a
+        broadcast. psi_term rounded at 1e-10 for ln() parity."""
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            F.least(
+                F.lit(9), F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            )
+            .cast("long")
+            .alias("bucket"),
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            .alias("is_expected"),
+        )
+        agg = o.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_expected"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expected"),
+            F.sum(F.when(F.col("is_expected"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_actual"),
+        )
+        totals = agg.agg(
+            F.sum("n_expected").cast("double").alias("tot_e"),
+            F.sum("n_actual").cast("double").alias("tot_a"),
+        )
+        k = F.lit(10.0)
+        smoothed = agg.join(F.broadcast(totals)).select(
+            "bucket",
+            "n_expected",
+            "n_actual",
+            (
+                (F.col("n_expected") + F.lit(0.5))
+                / (F.col("tot_e") + F.lit(0.5) * k)
+            ).alias("p_expected"),
+            (
+                (F.col("n_actual") + F.lit(0.5))
+                / (F.col("tot_a") + F.lit(0.5) * k)
+            ).alias("p_actual"),
+        )
+        return smoothed.select(
+            "bucket",
+            "n_expected",
+            "n_actual",
+            F.round(
+                (F.col("p_actual") - F.col("p_expected"))
+                * F.log(F.col("p_actual") / F.col("p_expected")),
+                10,
+            ).alias("psi_term"),
+        )
+
+    def cat_rollback(spark, sf):
+        """Iceberg rollback_to_snapshot: a bad append is undone by a
+        metadata-only commit that re-points at the good snapshot's
+        files (O(1) at any table size — nothing is read or rewritten).
+        Oracle replays the good snapshot's predicate; the bad rows must
+        NOT appear."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_rb_"))
+        t.overwrite(docs.where(F.col("n_chars") < 400), partition_by=("lang",))
+        t.append(  # the "bad" commit rollback must erase from reads
+            docs.where(F.col("n_chars") >= 400), partition_by=("lang",)
+        )
+        m = t.rollback(1)
+        assert m["summary"]["operation"] == "rollback"
+        assert t.read(spark, snapshot_id=2).count() > 0  # history intact
+        return t.read(spark).select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+
+    def b7b_fuzzy_aliases(spark, sf):
+        """Edit-distance alias matching over the gazetteer (the
+        entity-resolution companion to B7's MinHash path): surface
+        pairs within Levenshtein distance 2 after case-folding. The
+        self-join is BLOCKED on (first char, ±2 length band) so the
+        candidate set is bands-sized, never all-pairs — the documented
+        recall trade (a first-character edit crosses blocks) that makes
+        edit-distance ER feasible at dictionary scale."""
+        gaz = (
+            spark.read.parquet(os.path.join(_fixture_dir(sf), "gazetteer.parquet"))
+            .select(
+                F.col("surface").alias("surface_a"),
+                F.lower("surface").alias("_la"),
+                F.col("canonical").alias("_ca"),
+            )
+            .dropDuplicates(["surface_a"])
+        )
+        right = gaz.select(
+            F.col("surface_a").alias("surface_b"),
+            F.col("_la").alias("_lb"),
+            F.col("_ca").alias("_cb"),
+        )
+        pairs = gaz.join(
+            right,
+            (F.substring("_la", 1, 1) == F.substring("_lb", 1, 1))
+            & (
+                F.abs(F.length("_la") - F.length("_lb")) <= F.lit(2)
+            )
+            & (F.col("surface_a") < F.col("surface_b")),
+        )
+        return pairs.where(F.levenshtein("_la", "_lb") <= 2).select(
+            "surface_a",
+            "surface_b",
+            F.levenshtein("_la", "_lb").cast("long").alias("edit_dist"),
+            (F.col("_ca") == F.col("_cb")).alias("same_canonical"),
+        )
+
     return {
         # Entry order is driver-visible: the correctness gate snapshots the
         # FIRST 50 entries only (CORRECTNESS_r01..r03 key sets). The first 50
@@ -3692,6 +3966,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discount_revenue": q19_discount_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "ann_knn_label_accuracy": ann_knn_label_accuracy,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_lone_failing_supplier": q21_lone_failing_supplier,
+        "q22_idle_customers": q22_idle_customers,
+        "evt_markov_transitions": evt_markov_transitions,
+        "dq_drift_psi": dq_drift_psi,
+        "cat_rollback": cat_rollback,
+        "b7b_fuzzy_aliases": b7b_fuzzy_aliases,
     }
 
 
@@ -7147,5 +7429,120 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
                        AS accuracy
             FROM pred GROUP BY 1
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "q17_small_quantity_revenue": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'
+            ), cut AS (
+              SELECT l_partkey AS ck,
+                     0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                                 AS DOUBLE) / count(*)) AS qty_cut
+              FROM li GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM li JOIN cut ON l_partkey = ck
+            WHERE l_quantity < qty_cut
+        """,
+        "q21_lone_failing_supplier": """
+            WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_returnflag = 'R')
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM f JOIN supplier ON f.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.l_orderkey = f.l_orderkey
+                            AND p.l_suppkey <> f.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM f f2
+                              WHERE f2.l_orderkey = f.l_orderkey
+                                AND f2.l_suppkey <> f.l_suppkey)
+            GROUP BY s_name
+        """,
+        "q22_idle_customers": """
+            WITH cut AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*) AS bal_cut
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer CROSS JOIN cut
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > bal_cut
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                GROUP BY o_custkey HAVING count(*) > 2)
+            GROUP BY n_name
+        """,
+        "evt_markov_transitions": """
+            WITH seq AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst
+              FROM events
+            ), counts AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src, dst, n_transitions,
+                   CAST(n_transitions AS DOUBLE)
+                   / sum(n_transitions) OVER (PARTITION BY src) AS prob
+            FROM counts
+        """,
+        "dq_drift_psi": """
+            WITH b AS (
+              SELECT least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT))
+                         AS bucket,
+                     (o_orderdate < TIMESTAMP '1998-01-01') AS is_expected
+              FROM orders
+            ), agg AS (
+              SELECT bucket,
+                     CAST(sum(CASE WHEN is_expected THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_expected,
+                     CAST(sum(CASE WHEN is_expected THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_actual
+              FROM b GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n_expected) AS DOUBLE) AS tot_e,
+                     CAST(sum(n_actual) AS DOUBLE) AS tot_a
+              FROM agg
+            )
+            SELECT bucket, n_expected, n_actual,
+                   round(((n_actual + 0.5) / (tot_a + 0.5 * 10.0)
+                          - (n_expected + 0.5) / (tot_e + 0.5 * 10.0))
+                         * ln(((n_actual + 0.5) / (tot_a + 0.5 * 10.0))
+                              / ((n_expected + 0.5) / (tot_e + 0.5 * 10.0))),
+                         10) AS psi_term
+            FROM agg CROSS JOIN tot
+        """,
+        "cat_rollback": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE n_chars < 400
+        """,
+        "b7b_fuzzy_aliases": f"""
+            WITH g AS (
+              SELECT DISTINCT surface, lower(surface) AS l, canonical
+              FROM {_GAZ}
+            )
+            SELECT a.surface AS surface_a, b.surface AS surface_b,
+                   CAST(levenshtein(a.l, b.l) AS BIGINT) AS edit_dist,
+                   (a.canonical = b.canonical) AS same_canonical
+            FROM g a JOIN g b
+              ON substr(a.l, 1, 1) = substr(b.l, 1, 1)
+             AND abs(length(a.l) - length(b.l)) <= 2
+             AND a.surface < b.surface
+            WHERE levenshtein(a.l, b.l) <= 2
         """,
     }

@@ -273,6 +273,37 @@ class IcebergLiteTable:
             json.dump(m, f, indent=1)
         return m
 
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg ``rollback_to_snapshot``: make the table read as it
+        did at ``snapshot_id`` by committing a NEW snapshot that reuses
+        the target's data files — metadata-only, O(1) regardless of
+        table size (no data is read or rewritten, which is what makes
+        rollback the instant undo for a bad append/upsert/delete at any
+        scale). The bad commits stay in history (time travel to them
+        still works until :meth:`expire_snapshots`), so the operation
+        is itself auditable and reversible."""
+        target = self.snapshot(snapshot_id)
+        if target is None:
+            raise FileNotFoundError(f"snapshot {snapshot_id} does not exist")
+        cur = self.current_snapshot_id() or 0
+        new_id = cur + 1
+        manifest = dict(target)
+        manifest["snapshot_id"] = new_id
+        manifest["parent_id"] = cur or None
+        manifest["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        manifest["summary"] = {
+            **(target.get("summary") or {}),
+            "operation": "rollback",
+            "rolled_back_to": snapshot_id,
+        }
+        with open(os.path.join(self.meta, f"snap-{new_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, self._hint_path())
+        return manifest
+
     # -- named refs (tags) ----------------------------------------------------
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:

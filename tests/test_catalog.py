@@ -250,3 +250,25 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
         t.create_tag("nope", snapshot_id=99)
     with pytest.raises(ValueError):
         t.create_tag("../escape")
+
+
+def test_rollback_is_metadata_only_and_auditable(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [1, 2, 3]), partition_by=("part",))
+    good = {tuple(r) for r in t.read(spark).collect()}
+    t.append(_df(spark, [40, 50]), partition_by=("part",))  # the "bad" commit
+    m = t.rollback(1)
+    # a NEW snapshot (history intact), reading exactly the target's rows
+    assert m["snapshot_id"] == 3 and m["parent_id"] == 2
+    assert m["summary"]["operation"] == "rollback"
+    assert m["summary"]["rolled_back_to"] == 1
+    assert {tuple(r) for r in t.read(spark).collect()} == good
+    # the bad commit is still time-travelable until expiry
+    assert t.read(spark, snapshot_id=2).count() == 5
+    # metadata-only: no new data dir was written
+    assert not os.path.isdir(os.path.join(t.root, "data", "v3"))
+    # expiring down to the rollback keeps the dirs it references alive
+    t.expire_snapshots(keep_last=1)
+    assert {tuple(r) for r in t.read(spark).collect()} == good
+    with pytest.raises(FileNotFoundError):
+        t.rollback(99)
