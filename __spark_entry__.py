@@ -3722,6 +3722,185 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
         )
 
+    def q8_market_share(spark, sf):
+        """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+        revenue per order year — the widest join tree in the pack
+        (lineitem + 6 dimension joins, every dim BROADCAST, the fact
+        table never shuffles until the year agg). The share divides two
+        DECIMAL-exact sums per group; conditional numerator, no second
+        pass."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .where(F.col("p_type") == "ECONOMY")
+            .select("p_partkey")
+        )
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        c = spark.read.parquet(f"{sf}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet").where(
+            F.col("r_name") == "AMERICA"
+        )
+        cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("_cnk")
+        )
+        sn = n.select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+        )
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount")
+        ).cast("decimal(4,2)")
+        j = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        )
+        return (
+            j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).alias("_nat"),
+                F.sum(rev).alias("_tot"),
+            )
+            .select(
+                "o_year",
+                (
+                    F.col("_nat").cast("double") / F.col("_tot").cast("double")
+                ).alias("mkt_share"),
+            )
+        )
+
+    def q9_product_profit(spark, sf):
+        """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+        0.5 * p_retailprice): profit on red parts by supplier nation and
+        order year. All arithmetic stays DECIMAL until the final double
+        cast — float sum order can't leak in. Part/supplier/nation
+        broadcast; lineitem↔orders is the one data-sized shuffle."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = (
+            spark.read.parquet(f"{sf}/part.parquet")
+            .where(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice")
+        )
+        o = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_orderdate"
+        )
+        s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+        n = spark.read.parquet(f"{sf}/nation.parquet").select(
+            "n_nationkey", "n_name"
+        )
+        profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount")
+        ).cast("decimal(4,2)") - F.lit(0.5).cast("decimal(2,1)") * F.col(
+            "p_retailprice"
+        ).cast("decimal(12,2)") * F.col("l_quantity").cast("decimal(12,2)")
+        j = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        )
+        return j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+    def evt_top_paths(spark, sf):
+        """Frequent daily event-type paths: each (user, day)'s first 8
+        events joined into a '>' path string, then path frequencies.
+        ONE (user, day) shuffle builds the paths — array_sort over a
+        collected (ts, event_id, type) struct, so ordering is exact and
+        partitioning-independent — and the count agg runs on path-sized
+        rows. Paths seen ≥ 3 times only (the support gate)."""
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        paths = (
+            ev.groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(
+                F.array_join(
+                    F.slice(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("ts", "event_id", "event_type")
+                                )
+                            ),
+                            lambda x: x.event_type,
+                        ),
+                        1,
+                        8,
+                    ),
+                    ">",
+                ).alias("path")
+            )
+        )
+        return (
+            paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_user_days"))
+            .where(F.col("n_user_days") >= 3)
+        )
+
+    def kg_entity_cooccurrence(spark, sf):
+        """Entity co-mention graph over the conversations: canonical
+        entity pairs appearing in the SAME conversation, with Jaccard
+        over their conversation sets. Blocked by conv_id (pairs are
+        generated inside each conversation's entity set, never
+        all-pairs) — one conv shuffle, one pair agg, per-entity totals
+        ride a broadcast join. The KG-construction profiling companion:
+        which entities travel together across transcripts."""
+        g = _golden(spark, sf)
+        ent = (
+            g.select("conv_id", F.col("subj_canon").alias("ent"))
+            .unionByName(g.select("conv_id", F.col("obj_canon").alias("ent")))
+            .dropDuplicates()
+        )
+        per_ent = ent.groupBy("ent").agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs")
+        )
+        b = ent.select(F.col("conv_id").alias("_c"), F.col("ent").alias("ent_b"))
+        pairs = (
+            ent.join(
+                b,
+                (F.col("conv_id") == F.col("_c")) & (F.col("ent") < F.col("ent_b")),
+            )
+            .groupBy(F.col("ent").alias("ent_a"), "ent_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_together"))
+            .where(F.col("n_together") >= 2)
+        )
+        na = per_ent.select(
+            F.col("ent").alias("_ea"), F.col("n_convs").alias("n_a")
+        )
+        nb = per_ent.select(
+            F.col("ent").alias("_eb"), F.col("n_convs").alias("n_b")
+        )
+        return (
+            pairs.join(F.broadcast(na), F.col("ent_a") == F.col("_ea"))
+            .join(F.broadcast(nb), F.col("ent_b") == F.col("_eb"))
+            .select(
+                "ent_a",
+                "ent_b",
+                "n_together",
+                (
+                    F.col("n_together").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_together"))
+                ).alias("jaccard"),
+            )
+        )
+
     def b7b_fuzzy_aliases(spark, sf):
         """Edit-distance alias matching over the gazetteer (the
         entity-resolution companion to B7's MinHash path): surface
@@ -3974,6 +4153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_drift_psi": dq_drift_psi,
         "cat_rollback": cat_rollback,
         "b7b_fuzzy_aliases": b7b_fuzzy_aliases,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "evt_top_paths": evt_top_paths,
+        "kg_entity_cooccurrence": kg_entity_cooccurrence,
     }
 
 
@@ -7544,5 +7727,73 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.l) - length(b.l)) <= 2
              AND a.surface < b.surface
             WHERE levenshtein(a.l, b.l) <= 2
+        """,
+        "q8_market_share": """
+            WITH j AS (
+              SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+                         AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            )
+            SELECT CAST(yr AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                                 THEN rev ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(1 - l_discount AS DECIMAL(4,2))
+                            - 0.5 * CAST(p_retailprice AS DECIMAL(12,2))
+                              * CAST(l_quantity AS DECIMAL(12,2)))
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "evt_top_paths": """
+            WITH p AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     array_to_string(
+                       list_slice(list(event_type ORDER BY ts, event_id),
+                                  1, 8), '>') AS path
+              FROM events GROUP BY 1, 2
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+            FROM p GROUP BY 1 HAVING count(*) >= 3
+        """,
+        "kg_entity_cooccurrence": f"""
+            WITH ent AS (
+              SELECT conv_id, subj_canon AS ent FROM {_GOLD}
+              UNION
+              SELECT conv_id, obj_canon FROM {_GOLD}
+            ), per_ent AS (
+              SELECT ent, CAST(count(*) AS BIGINT) AS n FROM ent GROUP BY 1
+            ), pairs AS (
+              SELECT a.ent AS ent_a, b.ent AS ent_b,
+                     CAST(count(*) AS BIGINT) AS n_together
+              FROM ent a JOIN ent b
+                ON a.conv_id = b.conv_id AND a.ent < b.ent
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT ent_a, ent_b, n_together,
+                   CAST(n_together AS DOUBLE) / (na.n + nb.n - n_together)
+                       AS jaccard
+            FROM pairs
+            JOIN per_ent na ON ent_a = na.ent
+            JOIN per_ent nb ON ent_b = nb.ent
         """,
     }
