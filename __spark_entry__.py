@@ -3901,6 +3901,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q15_top_supplier(spark, sf):
+        """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+        revenue — per-supplier DECIMAL-exact revenue (one shuffle), the
+        global max rides back as a broadcast scalar, and the tie-safe
+        equality filter is exact because both sides are the same
+        decimal sum (no double round-trip before comparing)."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        rev = li.groupBy("l_suppkey").agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+            ).alias("_rev")
+        )
+        mx = rev.agg(F.max("_rev").alias("_mx"))
+        s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+            "s_suppkey", "s_name"
+        )
+        return (
+            rev.join(F.broadcast(mx))
+            .where(F.col("_rev") == F.col("_mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .select(
+                "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_rev")
+            )
+        )
+
+    def docs_mix_rebalance(spark, sf):
+        """LLM data mixing: cap every language at ~100 expected docs
+        (data-dependent fractions computed in-engine — see
+        textops.mix_rebalance). The oracle replays the count → fraction
+        → hash-gate chain in SQL and must select the IDENTICAL doc_ids."""
+        from kgforge import textops
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return textops.mix_rebalance(docs, target_per_key=100).select(
+            "doc_id", "lang"
+        )
+
     def b7b_fuzzy_aliases(spark, sf):
         """Edit-distance alias matching over the gazetteer (the
         entity-resolution companion to B7's MinHash path): surface
@@ -4157,6 +4198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "evt_top_paths": evt_top_paths,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
+        "q15_top_supplier": q15_top_supplier,
+        "docs_mix_rebalance": docs_mix_rebalance,
     }
 
 
@@ -7795,5 +7838,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN per_ent na ON ent_a = na.ent
             JOIN per_ent nb ON ent_b = nb.ent
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_rev
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM r)
+        """,
+        "docs_mix_rebalance": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            f AS (SELECT lang,
+                         least(1.0, 100.0 / CAST(n AS DOUBLE)) AS frac
+                  FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE (('0x' || substr(md5(CAST(77 || ':' || d.doc_id AS VARCHAR)),
+                                   1, 15))::UBIGINT::DOUBLE + 1.0)
+                  / 1152921504606846976.0 <= f.frac
         """,
     }

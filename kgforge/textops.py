@@ -682,6 +682,45 @@ def stratified_sample(
     return docs.where(F.md5(F.col(key_col).cast("string").cast("binary")) < gate)
 
 
+def mix_rebalance(
+    docs: DataFrame,
+    target_per_key: int = 100,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 77,
+) -> DataFrame:
+    """Corpus mixture rebalancing with DATA-DEPENDENT fractions: cap
+    every stratum at ``target_per_key`` expected rows (over-represented
+    strata downsample to the target, rare strata pass through whole) —
+    the "mix the training set 1:1:1 across languages/sources" step of
+    an LLM data pipeline.
+
+    Unlike :func:`stratified_sample` (caller-given literal fractions),
+    the keep-fraction here is computed IN-ENGINE from the stratum
+    counts (``least(1.0, target/n)``) and ridden back on a broadcast
+    join, so no fraction ever leaves the plan — the whole operation is
+    one small agg + one broadcast join + a narrow filter; the big table
+    never shuffles. The gate itself is the engine-replayable uniform
+    key (first 15 md5 hex digits of ``seed:key`` → IEEE double), same
+    contract as the weighted sampler — deterministic, partitioning-
+    independent, identical row set on any engine."""
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    frac = counts.select(
+        F.col(strata_col).alias("_k"),
+        F.least(
+            F.lit(1.0), F.lit(float(target_per_key)) / F.col("_n").cast("double")
+        ).alias("_frac"),
+    )
+    m = F.md5(F.concat_ws(":", F.lit(int(seed)), F.col(key_col)).cast("binary"))
+    vnum = F.conv(F.substring(m, 1, 15), 16, 10).cast("double")
+    u01 = (vnum + F.lit(1.0)) / F.lit(1152921504606846976.0)  # 16^15
+    return (
+        docs.join(F.broadcast(frac), docs[strata_col] == F.col("_k"))
+        .where(u01 <= F.col("_frac"))
+        .drop("_k", "_frac")
+    )
+
+
 def training_corpus_filter(docs: DataFrame, lang: str = "en") -> DataFrame:
     """Composite training-data pipeline: quality gate ∧ language gate →
     exact dedup of the survivors — the canonical pre-training corpus

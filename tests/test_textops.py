@@ -1868,3 +1868,23 @@ def test_unigram_logprob_matches_python_replay(spark):
         assert abs(got[did][1] - want[did][1]) < 1e-9, did
     # ordering property: all-rare doc > mixed doc > all-common doc
     assert got[3][1] > got[2][1] > got[1][1]
+
+
+def test_mix_rebalance_caps_strata_and_is_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = textops.mix_rebalance(docs, target_per_key=100)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    src = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n_src in src.items():
+        if n_src <= 100:  # rare strata pass through whole
+            assert by_lang[lang] == n_src, lang
+        else:  # over-represented strata land near the target
+            assert 60 <= by_lang[lang] <= 140, (lang, by_lang[lang])
+    # deterministic and partitioning-independent: same rows either way
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         textops.mix_rebalance(docs.repartition(13), target_per_key=100)
+         .select("doc_id").collect()}
+    assert a == b
