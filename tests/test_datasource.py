@@ -190,3 +190,37 @@ class TestStreamingTail:
             assert spark.table("tail_test").count() == 5
         finally:
             q.stop()
+
+
+def test_split_ownership_property_random():
+    """Property (hypothesis): for ANY file content (weird lines, blank
+    lines, missing trailing newline, multi-byte chars) and ANY
+    partition count, concatenating the per-range readers in range
+    order reproduces the file's lines exactly once — the Hadoop text
+    split ownership rule has no edge cases."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lines_s = st.lists(
+        st.text(alphabet="ab 12é\t", max_size=8).map(lambda s: s.replace("\n", "")),
+        max_size=12,
+    )
+
+    @given(lines=lines_s, trailing=st.booleans(), n=st.integers(1, 40))
+    @settings(max_examples=200, deadline=None)
+    def check(lines, trailing, n):
+        body = "\n".join(lines) + ("\n" if trailing and lines else "")
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", delete=False, encoding="utf-8"
+        ) as f:
+            f.write(body)
+            path = f.name
+        try:
+            got = "".join(_read_all(path, n))
+            assert got == body, (lines, trailing, n)
+        finally:
+            os.unlink(path)
+
+    check()
