@@ -3942,6 +3942,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang"
         )
 
+    def kg_provenance(spark, sf):
+        """Per-entity provenance over the constructed KG: how many
+        conversations and turns each canonical entity is attested in,
+        split by role, plus its predicate diversity — the audit query a
+        KG owner runs to trace any entity back to its sources. One
+        union scan, one entity shuffle."""
+        g = _golden(spark, sf)
+        roles = g.select(
+            F.col("subj_canon").alias("ent"),
+            "conv_id",
+            "turn_idx",
+            "pred",
+            F.lit(1).alias("_subj"),
+        ).unionByName(
+            g.select(
+                F.col("obj_canon").alias("ent"),
+                "conv_id",
+                "turn_idx",
+                "pred",
+                F.lit(0).alias("_subj"),
+            )
+        )
+        return roles.groupBy("ent").agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum("_subj").cast("long").alias("n_as_subj"),
+            F.sum(1 - F.col("_subj")).cast("long").alias("n_as_obj"),
+            F.countDistinct("pred").cast("long").alias("n_preds"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+        )
+
+    def txt_lexical_stats(spark, sf):
+        """Corpus-level lexical profile in exact arithmetic: token and
+        vocabulary sizes, hapax count, modal frequency, type-token
+        ratio (the one division — two exact BIGINTs, engine-identical).
+        One explode scan + one token agg; the stats agg runs over
+        vocab-sized rows."""
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toks = docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        ).where(F.col("token") != "")
+        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        return freq.agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.max("n").cast("long").alias("max_freq"),
+            (
+                F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")
+            ).alias("type_token_ratio"),
+        )
+
     def b7b_fuzzy_aliases(spark, sf):
         """Edit-distance alias matching over the gazetteer (the
         entity-resolution companion to B7's MinHash path): surface
@@ -4200,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "q15_top_supplier": q15_top_supplier,
         "docs_mix_rebalance": docs_mix_rebalance,
+        "kg_provenance": kg_provenance,
+        "txt_lexical_stats": txt_lexical_stats,
     }
 
 
@@ -7862,5 +7918,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substr(md5(CAST(77 || ':' || d.doc_id AS VARCHAR)),
                                    1, 15))::UBIGINT::DOUBLE + 1.0)
                   / 1152921504606846976.0 <= f.frac
+        """,
+        "kg_provenance": f"""
+            WITH roles AS (
+              SELECT subj_canon AS ent, conv_id, turn_idx, pred, 1 AS s
+              FROM {_GOLD}
+              UNION ALL
+              SELECT obj_canon, conv_id, turn_idx, pred, 0 FROM {_GOLD}
+            )
+            SELECT ent,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(s) AS BIGINT) AS n_as_subj,
+                   CAST(sum(1 - s) AS BIGINT) AS n_as_obj,
+                   CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+                   CAST(min(turn_idx) AS BIGINT) AS first_turn
+            FROM roles GROUP BY ent
+        """,
+        "txt_lexical_stats": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                AS token
+              FROM documents),
+            f AS (
+              SELECT token, count(*) AS n
+              FROM t WHERE token <> '' GROUP BY token)
+            SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(max(n) AS BIGINT) AS max_freq,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                       AS type_token_ratio
+            FROM f
         """,
     }
