@@ -927,6 +927,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
+    def a7e_simple_scores(spark, sf):
+        """SimplE kernel scores (Kazemi & Poole 2018): the two CP
+        halves ½(⟨he_h, v_r, te_t⟩ + ⟨he_t, v_r', te_h⟩) over
+        head-role/tail-role entity vectors and forward/inverse relation
+        vectors (head-role and forward reuse the ent/rel tables;
+        tail-role and inverse drawn after every earlier fixture
+        tensor). Negated to the shared lower-is-better convention."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="simple").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a12b_distmult_training(spark, sf):
         """DistMult under the A12 training harness: the deterministic-
         corruption margin loss must fall vs the untrained init for both
@@ -4256,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mix_rebalance": docs_mix_rebalance,
         "kg_provenance": kg_provenance,
         "txt_lexical_stats": txt_lexical_stats,
+        "a7e_simple_scores": a7e_simple_scores,
     }
 
 
@@ -5227,6 +5241,28 @@ _SQL_COMPLEX = f"""
     JOIN enti ehi ON ehi.id = tt.h AND ehi.k = err.k
     JOIN ent etr ON etr.id = tt.t AND etr.k = err.k
     JOIN enti eti ON eti.id = tt.t AND eti.k = err.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# SimplE: ½(⟨he_h, v_r, te_t⟩ + ⟨he_t, v_r', te_h⟩), negated; head-role /
+# forward vectors reuse the ent/rel tables, tail-role / inverse come from
+# the *_tail / *_inv tables
+_SQL_SIMPLE = f"""
+    WITH {_K_BASE},
+    entt AS (SELECT * FROM read_parquet('{OKE}/enttail_long.parquet')),
+    reli AS (SELECT * FROM read_parquet('{OKE}/relinv_long.parquet'))
+    SELECT tt.h, tt.t, tt.r,
+           round(-0.5 * sum(
+               ehh.val * er.val * ett.val
+             + eth.val * eri.val * eht.val
+           ), 9) AS score
+    FROM test tt
+    JOIN rel er ON er.id = tt.r
+    JOIN reli eri ON eri.id = tt.r AND eri.k = er.k
+    JOIN ent ehh ON ehh.id = tt.h AND ehh.k = er.k
+    JOIN entt eht ON eht.id = tt.h AND eht.k = er.k
+    JOIN ent eth ON eth.id = tt.t AND eth.k = er.k
+    JOIN entt ett ON ett.id = tt.t AND ett.k = er.k
     GROUP BY tt.h, tt.t, tt.r
 """
 
@@ -7952,4 +7988,5 @@ def oracle_sql() -> dict[str, str]:
                        AS type_token_ratio
             FROM f
         """,
+        "a7e_simple_scores": _SQL_SIMPLE,
     }

@@ -432,6 +432,12 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
         **(lambda th: {"rot_re": np.cos(th), "rot_im": np.sin(th)})(
             rng.uniform(-np.pi, np.pi, size=(n_rel, dim)).astype("float32")
         ),
+        # SimplE tail-role entity vectors + inverse-relation vectors
+        # (head-role / forward reuse ent/rel). Drawn AFTER every
+        # pre-existing tensor — the append-only fixture discipline that
+        # keeps all committed fixture files byte-identical.
+        "ent_tail": _norm(rng.normal(size=(n_ent, dim))),
+        "rel_inv": _norm(rng.normal(size=(n_rel, dim))),
     }
 
 
@@ -504,6 +510,9 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
     # RotatE rotation pair (cos θ, sin θ — no trig in either engine)
     _long(emb["rot_re"]).to_parquet(os.path.join(d, "rotre_long.parquet"), index=False)
     _long(emb["rot_im"]).to_parquet(os.path.join(d, "rotim_long.parquet"), index=False)
+    # SimplE tail-role / inverse-relation vectors
+    _long(emb["ent_tail"]).to_parquet(os.path.join(d, "enttail_long.parquet"), index=False)
+    _long(emb["rel_inv"]).to_parquet(os.path.join(d, "relinv_long.parquet"), index=False)
     n_r, dim, _ = emb["mat"].shape
     pd.DataFrame(
         {

@@ -120,6 +120,8 @@ EMB_COMPONENTS = (
     # bilinear / rotational families (ComplEx imaginary parts, RotatE
     # precomputed rotation pair)
     "ent_im", "rel_im", "rot_re", "rot_im",
+    # SimplE tail-role entity / inverse-relation vectors
+    "ent_tail", "rel_inv",
 )
 
 

@@ -107,6 +107,24 @@ def rotate(
     return np.sqrt(d_re * d_re + d_im * d_im).sum(axis=-1)
 
 
+def simple_score(
+    h_head: np.ndarray, h_tail: np.ndarray,
+    r: np.ndarray, r_inv: np.ndarray,
+    t_head: np.ndarray, t_tail: np.ndarray,
+) -> np.ndarray:
+    """SimplE (Kazemi & Poole 2018): every entity carries a head-role
+    and a tail-role vector, every relation a forward and an inverse
+    vector; ``score = ½(⟨he_h, v_r, te_t⟩ + ⟨he_t, v_r', te_h⟩)`` —
+    the two halves tie the roles together so the model stays fully
+    expressive while each embedding remains interpretable (CP
+    decomposition made consistent). Negated for the shared
+    lower-is-better ranking convention."""
+    return -0.5 * (
+        (h_head * r * t_tail).sum(axis=-1)
+        + (t_head * r_inv * h_tail).sum(axis=-1)
+    )
+
+
 def score_batch(
     model: str,
     emb: dict[str, np.ndarray],
@@ -145,6 +163,12 @@ def score_batch(
             h, emb["ent_im"][h_ids].astype(np.float64),
             r, emb["rel_im"][r_ids].astype(np.float64),
             t, emb["ent_im"][t_ids].astype(np.float64),
+        )
+    if model == "simple":
+        return simple_score(
+            h, emb["ent_tail"][h_ids].astype(np.float64),
+            r, emb["rel_inv"][r_ids].astype(np.float64),
+            t, emb["ent_tail"][t_ids].astype(np.float64),
         )
     if model == "transh":
         return transh(h, r, t, emb["norm"][r_ids].astype(np.float64), norm)

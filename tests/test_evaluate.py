@@ -104,7 +104,9 @@ def test_relation_ranks_match_oracle(spark):
     )
 
 
-@pytest.mark.parametrize("model", ["transe", "transd", "distmult", "complex", "rotate"])
+@pytest.mark.parametrize(
+    "model", ["transe", "transd", "distmult", "complex", "rotate", "simple"]
+)
 def test_ranks_match_oracle(spark, model):
     test = SPLIT["test2id"].head(15)
     got = (

@@ -95,3 +95,38 @@ def test_rotate_matches_complex_arithmetic():
     want = np.abs(hc * rc - tc).sum(axis=-1)
     got = kernels.score_batch("rotate", EMB, H, R, T)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_simple_matches_paper_loop_and_inversion_identity():
+    """Independent oracle: the two CP halves summed per row; and the
+    SimplE inversion identity — score(h, r, t) computed with (r, r_inv)
+    equals score(t, r, h) computed with the roles of r and r_inv
+    swapped (the inverse relation IS the relation of the reversed
+    triple)."""
+    got = kernels.score_batch("simple", EMB, H, R, T)
+    want = np.array(
+        [
+            -0.5
+            * (
+                float(
+                    np.sum(
+                        EMB["ent"][H[i]].astype(np.float64)
+                        * EMB["rel"][R[i]].astype(np.float64)
+                        * EMB["ent_tail"][T[i]].astype(np.float64)
+                    )
+                )
+                + float(
+                    np.sum(
+                        EMB["ent"][T[i]].astype(np.float64)
+                        * EMB["rel_inv"][R[i]].astype(np.float64)
+                        * EMB["ent_tail"][H[i]].astype(np.float64)
+                    )
+                )
+            )
+            for i in range(B)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    swapped = {**EMB, "rel": EMB["rel_inv"], "rel_inv": EMB["rel"]}
+    rev = kernels.score_batch("simple", swapped, T, R, H)
+    np.testing.assert_allclose(got, rev, rtol=1e-6)
