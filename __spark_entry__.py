@@ -940,6 +940,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
+    def a7f_rescal_scores(spark, sf):
+        """RESCAL kernel scores (Nickel 2011): full bilinear h^T M_r t
+        per relation — DistMult's non-diagonal generalization, reusing
+        the per-relation d×d matrix tensor TransR already carries (no
+        new fixture state). Negated to the shared convention; the
+        oracle computes the double contraction relationally over the
+        (id, i, j, val) matrix table."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="rescal").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a12b_distmult_training(spark, sf):
         """DistMult under the A12 training harness: the deterministic-
         corruption margin loss must fall vs the untrained init for both
@@ -4270,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_provenance": kg_provenance,
         "txt_lexical_stats": txt_lexical_stats,
         "a7e_simple_scores": a7e_simple_scores,
+        "a7f_rescal_scores": a7f_rescal_scores,
     }
 
 
@@ -5263,6 +5277,20 @@ _SQL_SIMPLE = f"""
     JOIN entt eht ON eht.id = tt.h AND eht.k = er.k
     JOIN ent eth ON eth.id = tt.t AND eth.k = er.k
     JOIN entt ett ON ett.id = tt.t AND ett.k = er.k
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# RESCAL: full bilinear h^T M_r t (negated) — a relational double
+# contraction over the (id, i, j, val) matrix table
+_SQL_RESCAL = f"""
+    WITH {_K_BASE},
+    mat AS (SELECT * FROM read_parquet('{OKE}/mat_long.parquet'))
+    SELECT tt.h, tt.t, tt.r,
+           round(-sum(eh.val * m.val * et.val), 9) AS score
+    FROM test tt
+    JOIN mat m ON m.id = tt.r
+    JOIN ent eh ON eh.id = tt.h AND eh.k = m.i
+    JOIN ent et ON et.id = tt.t AND et.k = m.j
     GROUP BY tt.h, tt.t, tt.r
 """
 
@@ -7989,4 +8017,5 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "a7e_simple_scores": _SQL_SIMPLE,
+        "a7f_rescal_scores": _SQL_RESCAL,
     }

@@ -107,6 +107,16 @@ def rotate(
     return np.sqrt(d_re * d_re + d_im * d_im).sum(axis=-1)
 
 
+def rescal(h: np.ndarray, m: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """RESCAL (Nickel 2011): the full bilinear form ``h^T M_r t`` with a
+    dense d×d matrix per relation — the most expressive (and most
+    parameter-hungry) of the bilinear family; DistMult is its diagonal
+    special case. Reuses the per-relation matrix tensor the TransR
+    kernel already carries. Negated for the shared lower-is-better
+    ranking convention."""
+    return -np.einsum("bi,bij,bj->b", h, m, t)
+
+
 def simple_score(
     h_head: np.ndarray, h_tail: np.ndarray,
     r: np.ndarray, r_inv: np.ndarray,
@@ -164,6 +174,8 @@ def score_batch(
             r, emb["rel_im"][r_ids].astype(np.float64),
             t, emb["ent_im"][t_ids].astype(np.float64),
         )
+    if model == "rescal":
+        return rescal(h, emb["mat"][r_ids].astype(np.float64), t)
     if model == "simple":
         return simple_score(
             h, emb["ent_tail"][h_ids].astype(np.float64),

@@ -105,7 +105,8 @@ def test_relation_ranks_match_oracle(spark):
 
 
 @pytest.mark.parametrize(
-    "model", ["transe", "transd", "distmult", "complex", "rotate", "simple"]
+    "model",
+    ["transe", "transd", "distmult", "complex", "rotate", "simple", "rescal"],
 )
 def test_ranks_match_oracle(spark, model):
     test = SPLIT["test2id"].head(15)

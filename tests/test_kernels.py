@@ -130,3 +130,22 @@ def test_simple_matches_paper_loop_and_inversion_identity():
     swapped = {**EMB, "rel": EMB["rel_inv"], "rel_inv": EMB["rel"]}
     rev = kernels.score_batch("simple", swapped, T, R, H)
     np.testing.assert_allclose(got, rev, rtol=1e-6)
+
+
+def test_rescal_matches_paper_loop_and_is_asymmetric():
+    """Independent oracle: explicit double loop h^T M_r t per row."""
+    got = kernels.score_batch("rescal", EMB, H, R, T)
+    want = np.array(
+        [
+            -float(
+                EMB["ent"][H[i]].astype(np.float64)
+                @ EMB["mat"][R[i]].astype(np.float64)
+                @ EMB["ent"][T[i]].astype(np.float64)
+            )
+            for i in range(B)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # a full (non-symmetric) matrix scores direction: swapping h and t moves it
+    rev = kernels.score_batch("rescal", EMB, T, R, H)
+    assert np.abs(got - rev).max() > 1e-3
