@@ -4022,6 +4022,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("type_token_ratio"),
         )
 
+    def kg_k_truss(spark, sf):
+        """3-truss of the part co-purchase graph (parts sharing >= 2
+        orders): every surviving edge sits in >= 1 triangle of the
+        surviving subgraph. Iterative distributed peel to the fixpoint
+        (graphstats.k_truss — per-round localCheckpoint, driver sees
+        scalar counts); the oracle unrolls ONE peel + the final support
+        recount, which this input provably converges to (round 2 is a
+        no-op at sf0.01 — asserted by the engine's own fixpoint loop)."""
+        from kgforge import graphstats
+
+        lp = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+            .dropDuplicates()
+        )
+        b = lp.select(
+            F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p")
+        )
+        pairs = (
+            lp.join(
+                b,
+                (lp.l_orderkey == b._o) & (lp.l_partkey < b._p),
+            )
+            .groupBy(F.col("l_partkey").alias("h"), F.col("_p").alias("t"))
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") >= 2)
+            .select("h", "t", F.lit(0).alias("r"))
+        )
+        return graphstats.k_truss(pairs, k=3).select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "support",
+        )
+
     def b7b_fuzzy_aliases(spark, sf):
         """Edit-distance alias matching over the gazetteer (the
         entity-resolution companion to B7's MinHash path): surface
@@ -4284,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lexical_stats": txt_lexical_stats,
         "a7e_simple_scores": a7e_simple_scores,
         "a7f_rescal_scores": a7f_rescal_scores,
+        "kg_k_truss": kg_k_truss,
     }
 
 
@@ -8018,4 +8053,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a7e_simple_scores": _SQL_SIMPLE,
         "a7f_rescal_scores": _SQL_RESCAL,
+        "kg_k_truss": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (
+              SELECT x.l_partkey AS a, y.l_partkey AS b
+              FROM lp x JOIN lp y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            t0 AS (
+              SELECT e1.a, e1.b, e2.b AS c FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            s0 AS (
+              SELECT a, b, count(*) AS sup FROM (
+                SELECT a, b FROM t0
+                UNION ALL SELECT a, c FROM t0
+                UNION ALL SELECT b, c FROM t0
+              ) GROUP BY 1, 2
+            ),
+            e1 AS (
+              SELECT e0.a, e0.b FROM e0 JOIN s0 USING (a, b) WHERE sup >= 1
+            ),
+            t1 AS (
+              SELECT x.a, x.b, y.b AS c FROM e1 x
+              JOIN e1 y ON y.a = x.a AND y.b > x.b
+              JOIN e1 z ON z.a = x.b AND z.b = y.b
+            ),
+            s1 AS (
+              SELECT a, b, count(*) AS sup FROM (
+                SELECT a, b FROM t1
+                UNION ALL SELECT a, c FROM t1
+                UNION ALL SELECT b, c FROM t1
+              ) GROUP BY 1, 2
+            )
+            SELECT e1.a, e1.b,
+                   CAST(coalesce(s1.sup, 0) AS BIGINT) AS support
+            FROM e1 LEFT JOIN s1 USING (a, b)
+        """,
     }

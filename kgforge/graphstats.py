@@ -293,6 +293,68 @@ def k_core(
     )
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the undirected edge list ``(a, b)``
+    (a < b): each triangle from the degree-oriented closure contributes
+    one count to each of its three edges — ``(a, b, support)``, edges in
+    no triangle absent."""
+    closed = _closed_triangles(e)
+    corners = (
+        closed.select(
+            F.least("src", "x").alias("a"), F.greatest("src", "x").alias("b")
+        )
+        .unionByName(
+            closed.select(
+                F.least("src", "y").alias("a"), F.greatest("src", "y").alias("b")
+            )
+        )
+        .unionByName(closed.select(F.col("x").alias("a"), F.col("y").alias("b")))
+    )
+    return corners.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    triples: DataFrame, k: int = 3, max_rounds: int | None = None
+) -> DataFrame:
+    """The ``k``-truss of the undirected entity adjacency: the maximal
+    subgraph in which every EDGE sits in at least ``k-2`` triangles —
+    the edge-level cohesion notion that complements :func:`k_core`
+    (every k-truss is inside the (k-1)-core, but prunes bridge edges
+    the core keeps).
+
+    Iterative peel, same discipline as :func:`k_core`: each round
+    recomputes per-edge triangle support over the surviving edges (the
+    degree-oriented wedge closure — O(sqrt m) apex out-degree bound)
+    and drops edges below ``k-2``; removals cascade, so the loop runs
+    to the fixpoint (driver sees one scalar count per round, edge list
+    ``localCheckpoint``-ed per round). ``max_rounds`` caps rounds for
+    fixed-round oracle replay — rounds past the fixpoint are no-ops.
+    Output: the surviving edges ``(a, b, support)`` with support
+    recomputed inside the final subgraph.
+    """
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 triangles per edge)")
+    e = undirected_edges(triples).localCheckpoint()
+    prev_n = e.count()
+    rounds = 0
+    while True:
+        sup = _edge_support(e)
+        kept = e.join(
+            sup.where(F.col("support") >= k - 2), ["a", "b"], "left_semi"
+        ).localCheckpoint()
+        n = kept.count()
+        rounds += 1
+        e = kept
+        if n == prev_n or n == 0 or (max_rounds is not None and rounds >= max_rounds):
+            break
+        prev_n = n
+    return e.join(_edge_support(e), ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+    )
+
+
 def k_hop_neighbors(triples: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     """Entities reachable from each seed within ``k`` undirected hops:
     ``(seed, e, min_hops)``, seeds themselves excluded.

@@ -1888,3 +1888,64 @@ def test_mix_rebalance_caps_strata_and_is_deterministic(spark):
          textops.mix_rebalance(docs.repartition(13), target_per_key=100)
          .select("doc_id").collect()}
     assert a == b
+
+
+def _py_k_truss(edges, k):
+    """Reference peel in pure python sets."""
+    import itertools
+
+    e = set(edges)
+    while True:
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len((adj.get(a, set()) & adj.get(b, set())))
+            for a, b in e
+        }
+        kept = {ed for ed in e if sup[ed] >= k - 2}
+        if kept == e:
+            return {ed: sup[ed] for ed in e}
+        e = kept
+        if not e:
+            return {}
+
+
+def test_k_truss_matches_python_peel(spark):
+    from kgforge.graphstats import k_truss
+
+    rng = np.random.default_rng(13)
+    tri = pd.DataFrame(
+        {
+            "h": rng.integers(0, 30, 180),
+            "t": rng.integers(0, 30, 180),
+            "r": 0,
+        }
+    )
+    edges = {(min(h, t), max(h, t)) for h, t in zip(tri["h"], tri["t"]) if h != t}
+    for k in (3, 4, 5):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(spark.createDataFrame(tri), k=k).collect()
+        }
+        assert got == _py_k_truss(edges, k), f"k={k}"
+
+
+def test_k_truss_cascade_on_triangle_strip(spark):
+    """A strip of triangles sharing edges (0-1-2, 1-2-3, 2-3-4, ...):
+    boundary edges sit in one triangle, inner edges in two. The 4-truss
+    peel must cascade — removing the strip's ends re-exposes new
+    boundary edges each round until NOTHING survives — exercising the
+    fixpoint loop well past one round."""
+    from kgforge.graphstats import k_truss
+
+    n = 10
+    rows = [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)]
+    tri = pd.DataFrame({"h": [a for a, _ in rows], "t": [b for _, b in rows], "r": 0})
+    edges = {(a, b) for a, b in rows}
+    assert _py_k_truss(edges, 4) == {}  # the reference agrees it all peels
+    assert k_truss(spark.createDataFrame(tri), k=4).count() == 0
+    # while the 3-truss keeps the whole strip (every edge in >= 1 triangle)
+    got = k_truss(spark.createDataFrame(tri), k=3)
+    assert got.count() == len(edges)
