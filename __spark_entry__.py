@@ -4022,6 +4022,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("type_token_ratio"),
         )
 
+    def a15_ranks_distmult(spark, sf):
+        """Link-prediction ranks under the DistMult kernel (broadcast
+        path) — the bilinear family through the full raw+filtered rank
+        protocol, not just scoring. score_decimals=6: triple-product
+        sums round accumulation-order-dependently (same rationale as
+        the L2 variant); both engines rank on 1e-6-rounded scores."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="distmult",
+            score_decimals=6,
+        )
+
+    def kg_functional_resolution(spark, sf):
+        """Functional-predicate conflict resolution: for predicates that
+        admit ONE object per subject (livesIn/worksAt/ceoOf/bornIn),
+        keep the latest attestation under the total (conv_id, turn_idx,
+        obj) order — last-write-wins KG state materialization, the step
+        that turns an append-only attestation log into a consistent
+        current graph. One (subj, pred) shuffle serves both the
+        row_number window and the conflict counts."""
+        functional = ("livesIn", "worksAt", "ceoOf", "bornIn")
+        from pyspark.sql import Window
+
+        g = _golden(spark, sf).where(F.col("pred").isin(*functional))
+        w = Window.partitionBy("subj_canon", "pred").orderBy(
+            F.desc("conv_id"), F.desc("turn_idx"), F.desc("obj_canon")
+        )
+        ranked = g.select(
+            "subj_canon",
+            "pred",
+            "obj_canon",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("subj_canon", "pred"))
+            .cast("long")
+            .alias("n_attestations"),
+            F.size(
+                F.collect_set("obj_canon").over(
+                    Window.partitionBy("subj_canon", "pred")
+                )
+            )
+            .cast("long")
+            .alias("n_conflicting_values"),
+        )
+        return ranked.where(F.col("_rn") == 1).select(
+            F.col("subj_canon").alias("subj"),
+            "pred",
+            F.col("obj_canon").alias("obj"),
+            "n_attestations",
+            "n_conflicting_values",
+        )
+
     def kg_k_truss(spark, sf):
         """3-truss of the part co-purchase graph (parts sharing >= 2
         orders): every surviving edge sits in >= 1 triangle of the
@@ -4319,6 +4375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7e_simple_scores": a7e_simple_scores,
         "a7f_rescal_scores": a7f_rescal_scores,
         "kg_k_truss": kg_k_truss,
+        "a15_ranks_distmult": a15_ranks_distmult,
+        "kg_functional_resolution": kg_functional_resolution,
     }
 
 
@@ -4940,6 +4998,17 @@ _RANK_CTES_L2 = _RANK_CTES.replace(
 ).replace(
     "sum(abs(he.val + re.val - ce.val))",
     "round(sqrt(sum(power(he.val + re.val - ce.val, 2))), 6)",
+)
+
+# DistMult rank protocol: bilinear-diagonal product sums (negated),
+# rounded to 6 on both engines — f32×f32×f32 product sums are
+# accumulation-order dependent in the last ulp, same rationale as L2.
+_RANK_CTES_DISTMULT = _RANK_CTES.replace(
+    "sum(abs(ce.val + re.val - te.val))",
+    "round(-sum(ce.val * re.val * te.val), 6)",
+).replace(
+    "sum(abs(he.val + re.val - ce.val))",
+    "round(-sum(he.val * re.val * ce.val), 6)",
 )
 
 # TransH rank protocol: hyperplane-projected scoring (e_perp = e − (w·e)w),
@@ -8091,5 +8160,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.a, e1.b,
                    CAST(coalesce(s1.sup, 0) AS BIGINT) AS support
             FROM e1 LEFT JOIN s1 USING (a, b)
+        """,
+        "a15_ranks_distmult": f"""
+            WITH {_RANK_CTES_DISTMULT}
+            SELECT * FROM ranks
+        """,
+        "kg_functional_resolution": f"""
+            WITH g AS (
+              SELECT subj_canon, pred, obj_canon, conv_id, turn_idx
+              FROM {_GOLD}
+              WHERE pred IN ('livesIn', 'worksAt', 'ceoOf', 'bornIn')
+            ), ranked AS (
+              SELECT subj_canon, pred, obj_canon,
+                     row_number() OVER (
+                       PARTITION BY subj_canon, pred
+                       ORDER BY conv_id DESC, turn_idx DESC, obj_canon DESC
+                     ) AS rn,
+                     CAST(count(*) OVER (PARTITION BY subj_canon, pred)
+                          AS BIGINT) AS n_attestations,
+                     CAST(count(DISTINCT obj_canon) OVER (
+                       PARTITION BY subj_canon, pred) AS BIGINT)
+                         AS n_conflicting_values
+              FROM g
+            )
+            SELECT subj_canon AS subj, pred, obj_canon AS obj,
+                   n_attestations, n_conflicting_values
+            FROM ranked WHERE rn = 1
         """,
     }
