@@ -4078,6 +4078,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_conflicting_values",
         )
 
+    def a17_metrics_distmult(spark, sf):
+        """A17 metric aggregation over DistMult ranks — proves the
+        metric layer is kernel-agnostic end to end (same protocol, a
+        bilinear scorer underneath)."""
+        split, emb, known = _openke_emb()
+        ranks = ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="distmult",
+            score_decimals=6,
+        )
+        m = ev.link_prediction_metrics(ranks)
+        return m.select(*[F.round(F.col(c), 9).alias(c) for c in m.columns])
+
+    def cat_wap_publish(spark, sf):
+        """Iceberg write-audit-publish: staged rows commit to a BRANCH
+        (main readers untouched), the audit gate reads the branch head,
+        and fast_forward publishes atomically. Oracle = the published
+        row set; the in-flight assertions prove main isolation and the
+        ancestor precondition."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_wap_"))
+        t.overwrite(docs.where(F.col("n_chars") < 300), partition_by=("lang",))
+        main_rows = t.read(spark).count()
+        t.create_branch("staging")
+        t.commit_to_branch(
+            "staging",
+            docs.where(F.col("n_chars") >= 300),
+            partition_by=("lang",),
+        )
+        assert t.read(spark).count() == main_rows  # write staged, main isolated
+        audit = t.read_branch(spark, "staging")  # the audit gate
+        assert audit.count() > main_rows
+        t.fast_forward("staging")  # publish
+        return t.read(spark).select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+
     def kg_k_truss(spark, sf):
         """3-truss of the part co-purchase graph (parts sharing >= 2
         orders): every surviving edge sits in >= 1 triangle of the
@@ -4377,6 +4421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k_truss": kg_k_truss,
         "a15_ranks_distmult": a15_ranks_distmult,
         "kg_functional_resolution": kg_functional_resolution,
+        "cat_wap_publish": cat_wap_publish,
+        "a17_metrics_distmult": a17_metrics_distmult,
     }
 
 
@@ -8186,5 +8232,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj_canon AS subj, pred, obj_canon AS obj,
                    n_attestations, n_conflicting_values
             FROM ranked WHERE rn = 1
+        """,
+        "cat_wap_publish": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "a17_metrics_distmult": f"""
+            WITH {_RANK_CTES_DISTMULT},
+            both_ AS (
+                SELECT rank_head_raw AS raw, rank_head_filt AS filt FROM ranks
+                UNION ALL
+                SELECT rank_tail_raw AS raw, rank_tail_filt AS filt FROM ranks
+            )
+            SELECT
+              round(avg(raw), 9) AS mr_raw,
+              round(avg(1.0/raw), 9) AS mrr_raw,
+              round(avg(CASE WHEN raw <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_raw,
+              round(avg(CASE WHEN raw <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_raw,
+              round(avg(CASE WHEN raw <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_raw,
+              round(avg(filt), 9) AS mr_filt,
+              round(avg(1.0/filt), 9) AS mrr_filt,
+              round(avg(CASE WHEN filt <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_filt,
+              round(avg(CASE WHEN filt <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_filt,
+              round(avg(CASE WHEN filt <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_filt
+            FROM both_
         """,
     }

@@ -64,6 +64,13 @@ class IcebergLiteTable:
         # numeric order: filename sort would put snap-10 before snap-2
         return sorted(out, key=lambda s: s["snapshot_id"])
 
+    def _next_snapshot_id(self) -> int:
+        """Next free snapshot id: max over ALL manifests, not the current
+        pointer — branch commits create snapshots the main pointer never
+        saw, and `hint + 1` would collide with them."""
+        ids = [s["snapshot_id"] for s in self.snapshots()]
+        return (max(ids) + 1) if ids else 1
+
     def _list_data_files(self, data_dir: str) -> list[dict]:
         files = []
         for root, _dirs, fns in os.walk(data_dir):
@@ -87,7 +94,7 @@ class IcebergLiteTable:
         atomic pointer swap. A crash before the swap leaves the previous
         snapshot fully intact and readable."""
         prev = self.current_snapshot_id() or 0
-        snap_id = prev + 1
+        snap_id = self._next_snapshot_id()
         data_dir = os.path.join(self.root, "data", f"v{snap_id}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -162,7 +169,7 @@ class IcebergLiteTable:
                 )
         prev_dirs = (prev.get("data_dirs") or [prev["data_dir"]]) if prev else []
         prev_id = prev["snapshot_id"] if prev else 0
-        snap_id = prev_id + 1
+        snap_id = self._next_snapshot_id()
         data_dir = os.path.join(self.root, "data", f"v{snap_id}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -286,7 +293,7 @@ class IcebergLiteTable:
         if target is None:
             raise FileNotFoundError(f"snapshot {snapshot_id} does not exist")
         cur = self.current_snapshot_id() or 0
-        new_id = cur + 1
+        new_id = self._next_snapshot_id()
         manifest = dict(target)
         manifest["snapshot_id"] = new_id
         manifest["parent_id"] = cur or None
@@ -326,6 +333,114 @@ class IcebergLiteTable:
             json.dump(ref, f)
         os.replace(tmp, p)
         return ref
+
+    # -- branches (write-audit-publish) ----------------------------------------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Create a movable named ref (Iceberg branch). Unlike a tag it
+        advances with :meth:`commit_to_branch` — the staging pointer of
+        the write-audit-publish flow: jobs commit to the branch, an
+        audit reads the branch head, and :meth:`fast_forward` publishes
+        it to main atomically. Branch heads are protected from
+        :meth:`expire_snapshots` like any named ref."""
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        snap_id = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if snap_id is None or self.snapshot(snap_id) is None:
+            raise FileNotFoundError(f"snapshot {snap_id} does not exist")
+        ref = {"name": name, "snapshot_id": snap_id, "type": "branch"}
+        p = os.path.join(self.meta, f"ref-{name}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ref, f)
+        os.replace(tmp, p)
+        return ref
+
+    def _ref(self, name: str) -> dict:
+        p = os.path.join(self.meta, f"ref-{name}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no ref {name!r}")
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_to_branch(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> dict:
+        """Append-shaped commit whose parent is the BRANCH head: data
+        and manifest are written exactly like :meth:`append`, but only
+        the branch ref advances — the main pointer (and every main
+        reader) is untouched until :meth:`fast_forward`. This is
+        Iceberg's WAP staging write."""
+        ref = self._ref(name)
+        if ref.get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a {ref.get('type')}, not a branch")
+        head = self.snapshot(ref["snapshot_id"])
+        if head is not None and list(partition_by) != list(
+            head.get("partition_spec") or []
+        ):
+            raise ValueError(
+                f"branch commit partition_by {list(partition_by)} != spec "
+                f"{head.get('partition_spec')}"
+            )
+        prev_dirs = (head.get("data_dirs") or [head["data_dir"]]) if head else []
+        snap_id = self._next_snapshot_id()
+        data_dir = os.path.join(self.root, "data", f"v{snap_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        dirs = prev_dirs + [os.path.relpath(data_dir, self.root)]
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": ref["snapshot_id"],
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_spec": list(partition_by),
+            "data_dir": dirs[0],
+            "data_dirs": dirs,
+            "files": [
+                f
+                for d in dirs
+                for f in self._list_data_files(os.path.join(self.root, d))
+            ],
+            "columns": list(df.columns),
+            "summary": {"operation": "branch-append", "branch": name},
+        }
+        with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self.create_branch(name, snapshot_id=snap_id)  # advance the ref
+        return manifest
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read a branch head (the audit step of write-audit-publish)."""
+        ref = self._ref(name)
+        return self.read(spark, snapshot_id=ref["snapshot_id"])
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish: atomically move the MAIN pointer to the branch head.
+        Refuses unless main's current snapshot is an ancestor of the
+        branch head (the fast-forward invariant — anything else would
+        silently discard main commits; Iceberg's
+        ``fast_forward('main', branch)`` has the same precondition)."""
+        ref = self._ref(name)
+        head = ref["snapshot_id"]
+        cur = self.current_snapshot_id()
+        node: int | None = head
+        ancestors = set()
+        while node is not None:
+            ancestors.add(node)
+            snap = self.snapshot(node)
+            node = snap.get("parent_id") if snap else None
+        if cur is not None and cur not in ancestors:
+            raise ValueError(
+                f"main snapshot {cur} is not an ancestor of branch head "
+                f"{head}: fast-forward would drop main commits (rebase or "
+                "rollback first)"
+            )
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, self._hint_path())
+        return {"published_snapshot_id": head, "previous": cur}
 
     def tags(self) -> dict[str, int]:
         """``{tag name: snapshot id}`` for every named ref."""

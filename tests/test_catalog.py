@@ -272,3 +272,43 @@ def test_rollback_is_metadata_only_and_auditable(spark, tmp_path):
     assert {tuple(r) for r in t.read(spark).collect()} == good
     with pytest.raises(FileNotFoundError):
         t.rollback(99)
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [1, 2, 3]), partition_by=("part",))
+    main_before = {tuple(r) for r in t.read(spark).collect()}
+
+    t.create_branch("staging")
+    t.commit_to_branch("staging", _df(spark, [40, 50]), partition_by=("part",))
+    # WRITE staged: main readers untouched
+    assert {tuple(r) for r in t.read(spark).collect()} == main_before
+    # AUDIT: branch head sees old + staged rows
+    staged = {tuple(r) for r in t.read_branch(spark, "staging").collect()}
+    assert staged > main_before and len(staged) == 5
+    # PUBLISH: atomic fast-forward
+    pub = t.fast_forward("staging")
+    assert pub["published_snapshot_id"] == t.current_snapshot_id()
+    assert {tuple(r) for r in t.read(spark).collect()} == staged
+    # history intact: pre-publish main still time-travels
+    assert {tuple(r) for r in t.read(spark, snapshot_id=1).collect()} == main_before
+
+
+def test_fast_forward_refuses_divergence(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [1, 2]), partition_by=("part",))
+    t.create_branch("b")
+    t.commit_to_branch("b", _df(spark, [3]), partition_by=("part",))
+    # main advances independently -> branch head no longer a descendant
+    t.append(_df(spark, [9]), partition_by=("part",))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("b")
+    # snapshot ids never collided despite the two writers
+    ids = [s["snapshot_id"] for s in t.snapshots()]
+    assert len(ids) == len(set(ids)) == 3
+    # guards: tag is not a branch; unknown ref raises
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="not a branch"):
+        t.commit_to_branch("v1", _df(spark, [4]))
+    with pytest.raises(FileNotFoundError):
+        t.read_branch(spark, "nope")
