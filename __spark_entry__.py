@@ -4038,6 +4038,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_decimals=6,
         )
 
+    def a15_ranks_complex(spark, sf):
+        """Link-prediction ranks under the ComplEx kernel (broadcast
+        path): Re(<h, r, conj(t)>) expanded to real arithmetic drives
+        the full raw+filtered protocol — the asymmetric-relation family
+        beyond DistMult's symmetric diagonal. score_decimals=6 for the
+        same product-sum ulp rationale as the other non-L1 kernels."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="complex",
+            score_decimals=6,
+        )
+
+    def a15_ranks_rotate(spark, sf):
+        """Link-prediction ranks under the RotatE kernel (broadcast
+        path): per-dimension complex rotation h∘r with modulus distance
+        to t, through the full raw+filtered protocol. The rotation is
+        the precomputed (cos θ, sin θ) fixture pair, so both engines do
+        sqrt/mul/add only; scores round at 1e-6 before the strict-<
+        comparison (sqrt of squared sums is accumulation-order
+        dependent in the last ulp)."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="rotate",
+            score_decimals=6,
+        )
+
     def kg_functional_resolution(spark, sf):
         """Functional-predicate conflict resolution: for predicates that
         admit ONE object per subject (livesIn/worksAt/ceoOf/bornIn),
@@ -4423,6 +4457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_resolution": kg_functional_resolution,
         "cat_wap_publish": cat_wap_publish,
         "a17_metrics_distmult": a17_metrics_distmult,
+        "a15_ranks_complex": a15_ranks_complex,
+        "a15_ranks_rotate": a15_ranks_rotate,
     }
 
 
@@ -5055,6 +5091,128 @@ _RANK_CTES_DISTMULT = _RANK_CTES.replace(
 ).replace(
     "sum(abs(he.val + re.val - ce.val))",
     "round(-sum(he.val * re.val * ce.val), 6)",
+)
+
+# ComplEx / RotatE rank protocols: the hs/tsc candidate-scoring CTEs
+# need the imaginary-part (and rotation) tables, so they are rebuilt via
+# a shared scaffold rather than string surgery on _RANK_CTES; the
+# head_rank/tail_rank/ranks machinery is byte-identical to _RANK_CTES.
+# Scores round to 6 on both engines (product sums, L2 rationale).
+
+
+def _rank_protocol_ctes(extra_tables: str, hs_body: str, tsc_body: str) -> str:
+    """Raw+filtered rank scaffold with pluggable per-kernel candidate
+    scoring: ``hs_body`` scores every entity in the HEAD role of each
+    test triple (alias the candidate id ``cand``), ``tsc_body`` the
+    TAIL role. Everything downstream (true-score lookup, strict-<
+    counts, filtered correction via the known-triple left join) is the
+    shared protocol text."""
+    return f"""
+  test AS (SELECT * FROM read_parquet('{OKE}/test2id.parquet')),
+  known AS ({_KNOWN}),
+  ent AS (SELECT * FROM read_parquet('{OKE}/ent_emb_long.parquet')),
+  enti AS (SELECT * FROM read_parquet('{OKE}/entim_long.parquet')),
+  {extra_tables}
+  hs AS ({hs_body}),
+  ts_ AS (SELECT h, t, r, score FROM hs WHERE cand = h),
+  head_rank AS (
+    SELECT hs.h, hs.t, hs.r,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score) AS rank_head_raw,
+      1 + count(*) FILTER (WHERE hs.score < ts_.score AND k.h IS NULL) AS rank_head_filt
+    FROM hs
+    JOIN ts_ ON hs.h = ts_.h AND hs.t = ts_.t AND hs.r = ts_.r
+    LEFT JOIN known k ON k.h = hs.cand AND k.t = hs.t AND k.r = hs.r AND k.h <> hs.h
+    GROUP BY hs.h, hs.t, hs.r
+  ),
+  tsc AS ({tsc_body}),
+  tts AS (SELECT h, t, r, score FROM tsc WHERE cand = t),
+  tail_rank AS (
+    SELECT tsc.h, tsc.t, tsc.r,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score) AS rank_tail_raw,
+      1 + count(*) FILTER (WHERE tsc.score < tts.score AND k.h IS NULL) AS rank_tail_filt
+    FROM tsc
+    JOIN tts ON tsc.h = tts.h AND tsc.t = tts.t AND tsc.r = tts.r
+    LEFT JOIN known k ON k.t = tsc.cand AND k.h = tsc.h AND k.r = tsc.r AND k.t <> tsc.t
+    GROUP BY tsc.h, tsc.t, tsc.r
+  ),
+  ranks AS (
+    SELECT head_rank.h, head_rank.t, head_rank.r,
+           rank_head_raw, rank_head_filt, rank_tail_raw, rank_tail_filt
+    FROM head_rank
+    JOIN tail_rank ON head_rank.h = tail_rank.h AND head_rank.t = tail_rank.t
+                  AND head_rank.r = tail_rank.r
+  )
+"""
+
+
+_RANK_CTES_COMPLEX = _rank_protocol_ctes(
+    extra_tables=f"""rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  reli AS (SELECT * FROM read_parquet('{OKE}/relim_long.parquet')),""",
+    hs_body="""
+    SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+           round(-sum(
+               (cr.val * rr.val - ci.val * ri.val) * tr.val
+             + (cr.val * ri.val + ci.val * rr.val) * ti.val
+           ), 6) AS score
+    FROM test tt
+    JOIN rel rr ON rr.id = tt.r
+    JOIN reli ri ON ri.id = tt.r AND ri.k = rr.k
+    JOIN ent tr ON tr.id = tt.t AND tr.k = rr.k
+    JOIN enti ti ON ti.id = tt.t AND ti.k = rr.k
+    JOIN ent cr ON cr.k = rr.k
+    JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+    GROUP BY tt.h, tt.t, tt.r, cr.id
+  """,
+    tsc_body="""
+    SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+           round(-sum(
+               (hr.val * rr.val - hi.val * ri.val) * cr.val
+             + (hr.val * ri.val + hi.val * rr.val) * ci.val
+           ), 6) AS score
+    FROM test tt
+    JOIN rel rr ON rr.id = tt.r
+    JOIN reli ri ON ri.id = tt.r AND ri.k = rr.k
+    JOIN ent hr ON hr.id = tt.h AND hr.k = rr.k
+    JOIN enti hi ON hi.id = tt.h AND hi.k = rr.k
+    JOIN ent cr ON cr.k = rr.k
+    JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+    GROUP BY tt.h, tt.t, tt.r, cr.id
+  """,
+)
+
+_RANK_CTES_ROTATE = _rank_protocol_ctes(
+    extra_tables=f"""rotr AS (SELECT * FROM read_parquet('{OKE}/rotre_long.parquet')),
+  roti AS (SELECT * FROM read_parquet('{OKE}/rotim_long.parquet')),""",
+    hs_body="""
+    SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+           round(sum(sqrt(
+               pow(cr.val * rr.val - ci.val * ri.val - tr.val, 2)
+             + pow(cr.val * ri.val + ci.val * rr.val - ti.val, 2)
+           )), 6) AS score
+    FROM test tt
+    JOIN rotr rr ON rr.id = tt.r
+    JOIN roti ri ON ri.id = tt.r AND ri.k = rr.k
+    JOIN ent tr ON tr.id = tt.t AND tr.k = rr.k
+    JOIN enti ti ON ti.id = tt.t AND ti.k = rr.k
+    JOIN ent cr ON cr.k = rr.k
+    JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+    GROUP BY tt.h, tt.t, tt.r, cr.id
+  """,
+    tsc_body="""
+    SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+           round(sum(sqrt(
+               pow(hr.val * rr.val - hi.val * ri.val - cr.val, 2)
+             + pow(hr.val * ri.val + hi.val * rr.val - ci.val, 2)
+           )), 6) AS score
+    FROM test tt
+    JOIN rotr rr ON rr.id = tt.r
+    JOIN roti ri ON ri.id = tt.r AND ri.k = rr.k
+    JOIN ent hr ON hr.id = tt.h AND hr.k = rr.k
+    JOIN enti hi ON hi.id = tt.h AND hi.k = rr.k
+    JOIN ent cr ON cr.k = rr.k
+    JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+    GROUP BY tt.h, tt.t, tt.r, cr.id
+  """,
 )
 
 # TransH rank protocol: hyperplane-projected scoring (e_perp = e − (w·e)w),
@@ -8256,5 +8414,13 @@ def oracle_sql() -> dict[str, str]:
               round(avg(CASE WHEN filt <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_filt,
               round(avg(CASE WHEN filt <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_filt
             FROM both_
+        """,
+        "a15_ranks_complex": f"""
+            WITH {_RANK_CTES_COMPLEX}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_rotate": f"""
+            WITH {_RANK_CTES_ROTATE}
+            SELECT * FROM ranks
         """,
     }
