@@ -4072,6 +4072,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_decimals=6,
         )
 
+    def a4_constrained_negatives(spark, sf):
+        """Type-constrained corruption (A4 × type_constrain semantics):
+        negatives draw heads from the relation's domain and tails from
+        its range — the training-side companion of constrained eval.
+        Oracle-checkable properties: exact 2-per-positive count, zero
+        known-triple violations, zero domain/range violations (the
+        sampled rows themselves are counter-RNG; membership and counts
+        are engine-independent)."""
+        split, _, _ = _openke_emb()
+        train = split["train2id"]
+        t = spark.createDataFrame(train)
+        domains = {
+            int(r): np.unique(g["h"].to_numpy()) for r, g in train.groupby("r")
+        }
+        ranges = {
+            int(r): np.unique(g["t"].to_numpy()) for r, g in train.groupby("r")
+        }
+        neg = negative_samples(
+            t, n_ent=200, neg_per_pos=2, mode="uniform", seed=7,
+            constraints=(domains, ranges),
+        )
+        heads = t.select("h", "r").distinct()
+        tails = t.select("t", "r").distinct()
+        return (
+            neg.agg(F.count("*").cast("long").alias("n_neg"))
+            .crossJoin(
+                neg.join(t.select("h", "t", "r"), ["h", "t", "r"], "left_semi")
+                .agg(F.count("*").cast("long").alias("n_known_violations"))
+            )
+            .crossJoin(
+                neg.select("h", "r").join(heads, ["h", "r"], "left_anti")
+                .agg(F.count("*").cast("long").alias("n_domain_violations"))
+            )
+            .crossJoin(
+                neg.select("t", "r").join(tails, ["t", "r"], "left_anti")
+                .agg(F.count("*").cast("long").alias("n_range_violations"))
+            )
+        )
+
     def kg_functional_resolution(spark, sf):
         """Functional-predicate conflict resolution: for predicates that
         admit ONE object per subject (livesIn/worksAt/ceoOf/bornIn),
@@ -4459,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_metrics_distmult": a17_metrics_distmult,
         "a15_ranks_complex": a15_ranks_complex,
         "a15_ranks_rotate": a15_ranks_rotate,
+        "a4_constrained_negatives": a4_constrained_negatives,
     }
 
 
@@ -8422,5 +8462,12 @@ def oracle_sql() -> dict[str, str]:
         "a15_ranks_rotate": f"""
             WITH {_RANK_CTES_ROTATE}
             SELECT * FROM ranks
+        """,
+        "a4_constrained_negatives": f"""
+            SELECT CAST(2 * count(*) AS BIGINT) AS n_neg,
+                   CAST(0 AS BIGINT) AS n_known_violations,
+                   CAST(0 AS BIGINT) AS n_domain_violations,
+                   CAST(0 AS BIGINT) AS n_range_violations
+            FROM read_parquet('{OKE}/train2id.parquet')
         """,
     }

@@ -60,6 +60,11 @@ def bern_stats(triples: DataFrame) -> DataFrame:
 _CAND_SCHEMA = "sh long, st long, sr long, k long, attempt long, h long, t long, r long"
 _CAND_SIDE_SCHEMA = _CAND_SCHEMA + ", corrupt_head boolean"
 
+# sc.broadcast handles pinned for session lifetime — Spark 4's
+# ContextCleaner can reclaim an out-of-scope broadcast while a lazy plan
+# still references it (same pattern as link.py/evaluate.py)
+_PINNED: list = []
+
 
 def _mix_base(H, T, R, K, ATT, seed: int, salt: int) -> np.ndarray:
     return (
@@ -81,6 +86,7 @@ def _slot_candidates(
     bern_p: dict[int, float] | None,
     corrupt_rel: bool,
     with_side: bool = False,
+    constraints_bc=None,
 ) -> DataFrame:
     """One candidate per (slot, attempt) for attempts in [att_lo, att_hi).
 
@@ -92,6 +98,15 @@ def _slot_candidates(
     emits the ``corrupt_head`` decision — the observability path for
     the bern head/tail ratio property (exactly one row per slot ×
     attempt, so row counts are SQL-derivable).
+
+    ``constraints_bc``: optional *broadcast* of ``(domains, ranges)``
+    maps ``r → sorted unique entity ids`` (``type_constrain.txt``
+    semantics): a head corruption draws uniformly from ``domains[r]``
+    and a tail corruption from ``ranges[r]`` instead of the full entity
+    space; relations absent from a map fall back to uniform — mirroring
+    the eval path's candidate semantics (evaluate.link_prediction_ranks).
+    The same counter hash indexes the candidate list, so constrained
+    draws stay partition-independent.
     """
     n_att = att_hi - att_lo
 
@@ -121,6 +136,26 @@ def _slot_candidates(
                         splitmix64(base ^ np.uint64(0xABCDEF)) >> np.uint64(11)
                     ).astype(np.float64) / float(1 << 53)
                     corrupt_head = u < p
+                if constraints_bc is not None:
+                    # constrained draw: index the relation's candidate
+                    # list with the SAME counter hash (degenerate/known
+                    # rejection downstream is unchanged)
+                    domains, ranges = constraints_bc.value
+                    draw = splitmix64(base)
+                    Ri = R.astype(np.int64)
+                    for r_val in np.unique(Ri):
+                        dom = domains.get(int(r_val))
+                        rng = ranges.get(int(r_val))
+                        if dom is not None and len(dom):
+                            m = (Ri == r_val) & corrupt_head
+                            cand[m] = dom[
+                                (draw[m] % np.uint64(len(dom))).astype(np.int64)
+                            ]
+                        if rng is not None and len(rng):
+                            m = (Ri == r_val) & ~corrupt_head
+                            cand[m] = rng[
+                                (draw[m] % np.uint64(len(rng))).astype(np.int64)
+                            ]
                 nh = np.where(corrupt_head, cand, H.astype(np.int64))
                 nt = np.where(corrupt_head, T.astype(np.int64), cand)
                 nr = R.astype(np.int64)
@@ -154,6 +189,7 @@ def _exact_negatives(
     known: DataFrame,
     corrupt_rel: bool,
     max_attempts: int = 16,
+    constraints: tuple[dict[int, np.ndarray], dict[int, np.ndarray]] | None = None,
 ) -> DataFrame:
     """Exactly ``neg_per_pos`` negatives per positive (reference
     ``base/Corrupt.h`` semantics, recalled — SURVEY.md §0: redraw until
@@ -175,6 +211,10 @@ def _exact_negatives(
     the ungrouped construction).
     """
     spark = triples.sparkSession
+    constraints_bc = None
+    if constraints is not None:
+        constraints_bc = spark.sparkContext.broadcast(constraints)
+        _PINNED.append(constraints_bc)
     slots = (
         triples.groupBy("h", "t", "r")
         .agg(F.count("*").alias("_m"))
@@ -190,7 +230,8 @@ def _exact_negatives(
     step = 2
     while att < max_attempts:
         cand = _slot_candidates(
-            slots, n_space, att, att + step, seed, bern_p, corrupt_rel
+            slots, n_space, att, att + step, seed, bern_p, corrupt_rel,
+            constraints_bc=constraints_bc,
         )
         good = cand.join(kn, ["h", "t", "r"], "left_anti")
         best = (
@@ -235,6 +276,7 @@ def negative_samples(
     seed: int = 42,
     stats: DataFrame | None = None,
     known: DataFrame | None = None,
+    constraints: tuple[dict[int, np.ndarray], dict[int, np.ndarray]] | None = None,
 ) -> DataFrame:
     """A4/A5: exactly ``neg_per_pos`` negatives per positive, none of
     which is a known triple.
@@ -245,6 +287,15 @@ def negative_samples(
     independently). ``known`` defaults to ``triples``. Rejection is one
     distributed ``left_anti`` join per retry round (broadcast when
     small, sort-merge + AQE otherwise — never a driver-side set).
+
+    ``constraints``: optional ``(domains, ranges)`` maps ``r → entity
+    ids`` (``type_constrain.txt`` semantics): head corruptions draw from
+    the relation's domain, tail corruptions from its range — the
+    constrained-corruption companion to the eval path's constrained
+    ranking. Harder negatives (type-plausible), fewer wasted gradient
+    steps on trivially-typed corruptions. The maps are sc.broadcast once
+    per call (entity-dictionary scale, same contract as eval's
+    candidate maps).
     """
     if mode not in ("uniform", "bern"):
         raise ValueError(mode)
@@ -253,7 +304,10 @@ def negative_samples(
         st = (stats if stats is not None else bern_stats(triples)).toPandas()
         bern_p = {int(row.r): float(row.tph / (row.tph + row.hpt)) for row in st.itertuples()}
     known = known if known is not None else triples
-    return _exact_negatives(triples, n_ent, neg_per_pos, seed, bern_p, known, corrupt_rel=False)
+    return _exact_negatives(
+        triples, n_ent, neg_per_pos, seed, bern_p, known,
+        corrupt_rel=False, constraints=constraints,
+    )
 
 
 def negative_rel_samples(

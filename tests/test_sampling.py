@@ -174,3 +174,49 @@ def test_assign_splits_deterministic_and_proportional(spark):
         assign_splits(df, "k", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         assign_splits(df, "k", {"a": 0.5, "b": 0.4995, "c": 0.0005})
+
+
+def test_constrained_negatives_respect_domain_range(spark):
+    """Type-constrained corruption: every corrupted head sits in the
+    relation's domain and every corrupted tail in its range (both
+    derived from train, so the UNcorrupted side trivially satisfies its
+    map too — the checkable property), exact count and known-rejection
+    unchanged, deterministic across partitioning."""
+    import numpy as np
+
+    train = SPLIT["train2id"]
+    df = spark.createDataFrame(train)
+    domains = {int(r): np.unique(g["h"].to_numpy()) for r, g in train.groupby("r")}
+    ranges = {int(r): np.unique(g["t"].to_numpy()) for r, g in train.groupby("r")}
+    neg = negative_samples(
+        df, n_ent=60, neg_per_pos=2, mode="uniform", seed=7,
+        constraints=(domains, ranges),
+    ).toPandas()
+    _check_negatives(neg, train)
+    assert len(neg) == 2 * len(train)
+    for row in neg.itertuples(index=False):
+        assert row.h in domains[int(row.r)], (row, "head outside domain")
+        assert row.t in ranges[int(row.r)], (row, "tail outside range")
+    # partition-independent determinism (counter-based RNG contract)
+    neg2 = negative_samples(
+        df.repartition(13), n_ent=60, neg_per_pos=2, mode="uniform", seed=7,
+        constraints=(domains, ranges),
+    ).toPandas()
+    key = ["h", "t", "r"]
+    assert sorted(map(tuple, neg[key].values)) == sorted(map(tuple, neg2[key].values))
+    # bern mode composes with constraints
+    negb = negative_samples(
+        df, n_ent=60, neg_per_pos=1, mode="bern", seed=7,
+        constraints=(domains, ranges),
+    ).toPandas()
+    _check_negatives(negb, train)
+    assert len(negb) == len(train)
+    # a relation missing from the maps falls back to the full space
+    dom_part = {k: v for k, v in domains.items() if k != 0}
+    rng_part = {k: v for k, v in ranges.items() if k != 0}
+    negf = negative_samples(
+        df, n_ent=60, neg_per_pos=1, mode="uniform", seed=7,
+        constraints=(dom_part, rng_part),
+    ).toPandas()
+    _check_negatives(negf, train)
+    assert len(negf) == len(train)
