@@ -4111,6 +4111,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def a11_softplus_distmult(spark, sf):
+        """A11 loss-function axis: bilinear kernels train under the
+        softplus/logistic loss (the reference family's SoftplusLoss
+        recipe — margin ranking suits bounded distance scores, not an
+        unbounded bilinear f). Properties the oracle pins: the trained
+        logistic loss beats the untrained init on the same fixed
+        corruption, and every parameter stays finite (weight decay
+        holds the unbounded score in check)."""
+        from kgforge import training
+
+        split, _, _ = _openke_emb()
+        n_ent, n_rel = len(split["entity2id"]), len(split["relation2id"])
+        tr = split["train2id"]
+        rng = np.random.default_rng(11)
+        ent0 = training._xavier(rng, n_ent, 16)
+        rel0 = training._xavier(rng, n_rel, 16)
+        h = tr["h"].to_numpy(np.int64)
+        t = tr["t"].to_numpy(np.int64)
+        r = tr["r"].to_numpy(np.int64)
+        nh, nt = (h + 1) % n_ent, t
+        base = training.softplus_loss_distmult(ent0, rel0, h, t, r, nh, nt)
+        ent1, rel1 = training.sgd_epochs_softplus(
+            tr, ent0, rel0, epochs=20, lr=0.05, seed=3
+        )
+        trained = training.softplus_loss_distmult(ent1, rel1, h, t, r, nh, nt)
+        finite = np.isfinite(ent1).all() and np.isfinite(rel1).all()
+        return spark.createDataFrame(
+            [("distmult_softplus", bool(trained < base), bool(finite))],
+            "model string, improved boolean, finite boolean",
+        )
+
     def kg_functional_resolution(spark, sf):
         """Functional-predicate conflict resolution: for predicates that
         admit ONE object per subject (livesIn/worksAt/ceoOf/bornIn),
@@ -4499,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_complex": a15_ranks_complex,
         "a15_ranks_rotate": a15_ranks_rotate,
         "a4_constrained_negatives": a4_constrained_negatives,
+        "a11_softplus_distmult": a11_softplus_distmult,
     }
 
 
@@ -8469,5 +8501,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_domain_violations,
                    CAST(0 AS BIGINT) AS n_range_violations
             FROM read_parquet('{OKE}/train2id.parquet')
+        """,
+        "a11_softplus_distmult": """
+            SELECT 'distmult_softplus' AS model,
+                   true AS improved, true AS finite
         """,
     }

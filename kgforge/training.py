@@ -339,6 +339,7 @@ def train_distributed(
     n_shards: int = 4,
     seed: int = 42,
     opt_method: str = "sgd",
+    loss: str = "margin",
 ):
     """A13 replacement: synchronous parameter-averaged data-parallel SGD.
 
@@ -346,7 +347,16 @@ def train_distributed(
     local epochs in ``applyInPandas`` → driver averages shard results
     (weighted by shard size). Deterministic: shard assignment is a hash
     of the triple, local SGD is counter-seeded per (shard, round).
+
+    ``loss``: ``margin`` (TransE recipe, byte-identical path) or
+    ``softplus`` — the bilinear DistMult recipe
+    (:func:`sgd_epochs_softplus`); parameter averaging is loss-agnostic.
+    Under softplus the final entity rows are NOT re-normalized: the
+    logistic loss learns score magnitudes, and the L2 weight decay is
+    the norm control.
     """
+    if loss not in ("margin", "softplus"):
+        raise ValueError(loss)
     from pyspark.sql import functions as F
 
     rng = np.random.default_rng(seed)
@@ -364,11 +374,18 @@ def train_distributed(
             def fit(key, pdf):
                 e0, r0 = b.value
                 shard = int(key[0])
-                e1, r1 = sgd_epochs(
-                    pdf, e0, r0, epochs_per_round, lr, margin,
-                    seed=seed * 31 + shard, norm=norm,
-                    epoch_offset=rnd_ * epochs_per_round, opt_method=opt_method,
-                )
+                if loss == "softplus":
+                    e1, r1 = sgd_epochs_softplus(
+                        pdf, e0, r0, epochs_per_round, lr,
+                        seed=seed * 31 + shard,
+                        epoch_offset=rnd_ * epochs_per_round,
+                    )
+                else:
+                    e1, r1 = sgd_epochs(
+                        pdf, e0, r0, epochs_per_round, lr, margin,
+                        seed=seed * 31 + shard, norm=norm,
+                        epoch_offset=rnd_ * epochs_per_round, opt_method=opt_method,
+                    )
                 return pd.DataFrame(
                     {
                         "shard": [shard, shard],
@@ -393,6 +410,8 @@ def train_distributed(
                 ent += w * mat.reshape(ent.shape)
             else:
                 rel += w * mat.reshape(rel.shape)
+    if loss == "softplus":
+        return {"ent": ent.astype("float32"), "rel": rel.astype("float32")}
     return {"ent": _normalize_rows(ent).astype("float32"), "rel": rel.astype("float32")}
 
 
@@ -587,3 +606,89 @@ def sgd_epochs_rotate(
             _sparse_sgd(ent_im, rows, np.concatenate([phi, pti, -nhi, -nti]), lr)
             _sparse_sgd(theta, r[a], pth - nth, lr)
     return ent_re, ent_im, theta
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    """Numerically stable logistic: never exponentiates a large positive."""
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def softplus_loss_distmult(
+    ent: np.ndarray,
+    rel: np.ndarray,
+    h: np.ndarray,
+    t: np.ndarray,
+    r: np.ndarray,
+    nh: np.ndarray,
+    nt: np.ndarray,
+) -> float:
+    """Mean softplus(-y·f) over the (positive, negative) pairs, with
+    f = Σ_k h_k r_k t_k the RAW positive-is-high DistMult score (note
+    ``kernels.distmult`` returns the NEGATED score so lower-is-better
+    matches the distance kernels; the loss works on the raw sign)."""
+    f_pos = (ent[h] * rel[r] * ent[t]).sum(1)
+    f_neg = (ent[nh] * rel[r] * ent[nt]).sum(1)
+    return float((np.logaddexp(0.0, -f_pos) + np.logaddexp(0.0, f_neg)).mean() / 2)
+
+
+def sgd_epochs_softplus(
+    triples: pd.DataFrame,
+    ent: np.ndarray,
+    rel: np.ndarray,
+    epochs: int,
+    lr: float,
+    seed: int,
+    reg: float = 1e-3,
+    batch_size: int = 1024,
+    epoch_offset: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """DistMult softplus-loss epochs (the reference family's recipe for
+    bilinear scorers — OpenKE ``SoftplusLoss`` + L2 regularization,
+    recalled, SURVEY.md §0): margin ranking suits bounded distance
+    kernels, but a bilinear score is unbounded both ways, so the
+    logistic loss ``softplus(-y·f)`` with per-occurrence L2 weight decay
+    is what keeps DistMult/ComplEx from margin-chasing blowup.
+
+    Same deterministic counter-based corruption and in-place-free
+    sparse-SGD contract as :func:`sgd_epochs`; gradients are
+    ``-σ(-f_pos)`` / ``σ(f_neg)`` times the bilinear partials plus
+    ``2·reg·param`` on every touched row. Returns updated ``(ent, rel)``.
+    """
+    ent, rel = ent.copy(), rel.copy()
+    h_all = triples["h"].to_numpy(np.int64)
+    t_all = triples["t"].to_numpy(np.int64)
+    r_all = triples["r"].to_numpy(np.int64)
+    n = len(h_all)
+    n_ent = ent.shape[0]
+    n_rel_pack = int(r_all.max()) + 1 if n else 1
+    known_keys = None
+    if n and float(n_ent) * n_ent * n_rel_pack < 2**63:
+        known_keys = np.sort(_pack_keys(h_all, t_all, r_all, n_ent, n_rel_pack))
+    for ep in range(epoch_offset, epoch_offset + epochs):
+        order = np.random.default_rng(seed * 7919 + ep).permutation(n)
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            h, t, r = h_all[idx], t_all[idx], r_all[idx]
+            nh, nt = _corrupt(h, t, r, n_ent, seed, ep, None, known_keys, n_rel_pack)
+            H, R, T = ent[h], rel[r], ent[t]
+            NH, NT = ent[nh], ent[nt]
+            gpos = -_sigmoid(-(H * R * T).sum(1))[:, None]  # dL/df, y=+1
+            gneg = _sigmoid((NH * R * NT).sum(1))[:, None]  # dL/df, y=-1
+            gh = gpos * (R * T) + 2 * reg * H
+            gt = gpos * (H * R) + 2 * reg * T
+            gnh = gneg * (R * NT) + 2 * reg * NH
+            gnt = gneg * (NH * R) + 2 * reg * NT
+            gr = gpos * (H * T) + gneg * (NH * NT) + 2 * reg * R
+            _sparse_sgd(
+                ent,
+                np.concatenate([h, t, nh, nt]),
+                np.concatenate([gh, gt, gnh, gnt]),
+                lr,
+            )
+            _sparse_sgd(rel, r, gr, lr)
+    return ent, rel

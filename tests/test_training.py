@@ -249,3 +249,87 @@ def test_rotate_training_learns_the_split():
         )
         hits += int((s < s[t]).sum() < 10)
     assert hits / len(sample) > 0.75
+
+
+def test_softplus_distmult_trainer():
+    """Softplus-loss DistMult (the bilinear family's reference recipe):
+    the logistic loss falls hard, training is seed-deterministic, and
+    the analytic gradient matches central finite differences of
+    softplus_loss_distmult on a small batch."""
+    from kgforge.training import (
+        _sigmoid,
+        _xavier,
+        sgd_epochs_softplus,
+        softplus_loss_distmult,
+    )
+
+    split = gen_openke_split(n_ent=40, n_rel=4, n_train=300, n_valid=30, n_test=30)
+    train = split["train2id"]
+    rng = np.random.default_rng(5)
+    ent0, rel0 = _xavier(rng, 40, 16), _xavier(rng, 4, 16)
+    h = train["h"].to_numpy(np.int64)
+    t = train["t"].to_numpy(np.int64)
+    r = train["r"].to_numpy(np.int64)
+    nh, nt = (h + 1) % 40, t  # fixed corruption for the loss metric
+
+    base = softplus_loss_distmult(ent0, rel0, h, t, r, nh, nt)
+    ent1, rel1 = sgd_epochs_softplus(train, ent0, rel0, epochs=40, lr=0.05, seed=3)
+    trained = softplus_loss_distmult(ent1, rel1, h, t, r, nh, nt)
+    assert trained < base * 0.7, (base, trained)
+    # inputs untouched (in-place-free contract) and seed-deterministic
+    assert softplus_loss_distmult(ent0, rel0, h, t, r, nh, nt) == base
+    ent2, rel2 = sgd_epochs_softplus(train, ent0, rel0, epochs=40, lr=0.05, seed=3)
+    np.testing.assert_array_equal(ent1, ent2)
+    np.testing.assert_array_equal(rel1, rel2)
+
+    # gradient check: analytic dL/dent vs central differences (no reg —
+    # the regularizer is a separate, trivially-correct 2λp term)
+    hs, ts, rs = h[:3], t[:3], r[:3]
+    nhs, nts = nh[:3], nt[:3]
+
+    def loss(e):
+        return softplus_loss_distmult(e, rel0, hs, ts, rs, nhs, nts)
+
+    n_pairs = len(hs)
+    gpos = -_sigmoid(-(ent0[hs] * rel0[rs] * ent0[ts]).sum(1))[:, None]
+    gneg = _sigmoid((ent0[nhs] * rel0[rs] * ent0[nts]).sum(1))[:, None]
+    analytic = np.zeros_like(ent0)
+    np.add.at(analytic, hs, gpos * rel0[rs] * ent0[ts] / (2 * n_pairs))
+    np.add.at(analytic, ts, gpos * ent0[hs] * rel0[rs] / (2 * n_pairs))
+    np.add.at(analytic, nhs, gneg * rel0[rs] * ent0[nts] / (2 * n_pairs))
+    np.add.at(analytic, nts, gneg * ent0[nhs] * rel0[rs] / (2 * n_pairs))
+    eps = 1e-6
+    check = [(int(i), int(k)) for i in np.unique(np.r_[hs, ts, nhs, nts]) for k in (0, 7)]
+    for i, k in check:
+        ep = ent0.copy(); ep[i, k] += eps
+        em = ent0.copy(); em[i, k] -= eps
+        num = (loss(ep) - loss(em)) / (2 * eps)
+        assert abs(num - analytic[i, k]) < 1e-7, (i, k, num, analytic[i, k])
+
+
+def test_train_distributed_softplus(spark):
+    """Param averaging is loss-agnostic: the softplus/DistMult local
+    trainer slots into the same shard → average rounds, the trained
+    model scores positives below corruptions under the distmult
+    kernel, entity rows are NOT re-normalized (magnitudes carry the
+    logistic score), and everything stays finite."""
+    df = spark.createDataFrame(SPLIT["train2id"])
+    emb = training.train_distributed(
+        spark, df, N_ENT, N_REL, dim=16, rounds=3, epochs_per_round=8,
+        lr=0.05, n_shards=3, loss="softplus",
+    )
+    t = SPLIT["train2id"]
+    rng = np.random.default_rng(0)
+    pos = kernels.score_batch(
+        "distmult", emb, t["h"].to_numpy(), t["r"].to_numpy(), t["t"].to_numpy()
+    )
+    neg = kernels.score_batch(
+        "distmult", emb, t["h"].to_numpy(), t["r"].to_numpy(),
+        rng.integers(0, N_ENT, len(t)),
+    )
+    assert pos.mean() < neg.mean(), (pos.mean(), neg.mean())
+    assert np.isfinite(emb["ent"]).all() and np.isfinite(emb["rel"]).all()
+    norms = np.linalg.norm(emb["ent"], axis=1)
+    assert norms.std() > 1e-6  # not row-normalized
+    with pytest.raises(ValueError):
+        training.train_distributed(spark, df, N_ENT, N_REL, loss="hinge2")
