@@ -953,6 +953,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h", "t", "r", F.round("score", 9).alias("score")
         )
 
+    def a7g_analogy_scores(spark, sf):
+        """Analogy kernel scores (Liu, Wen & Yuille 2017): bilinear form
+        with a block-diagonal normal relation matrix — computed as the
+        reference family does, DistMult over a scalar block (ent_sc/
+        rel_sc fixture tensors, drawn append-only after every earlier
+        tensor) plus ComplEx over the complex block (reusing ent/rel +
+        ent_im/rel_im). Negated to the shared lower-is-better
+        convention; the oracle sums all three product terms in one
+        relational aggregation."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="analogy").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
+    def a7h_hole_scores(spark, sf):
+        """HolE kernel scores (Nickel, Rosasco & Poggio 2016):
+        ``r · (h ⋆ t)`` with ⋆ = circular correlation — the d-parameter
+        compression of RESCAL's d² pairwise interaction; reuses the
+        ent/rel tables with NO new fixture state. The engine computes
+        the direct index-gather einsum Σ_{{i,k}} r_k h_i t_(i+k mod d);
+        the oracle replays it as a modular-index three-way join —
+        identical double-precision products, round(9) absorbing
+        summation-order ulp exactly as for the other bilinear
+        kernels."""
+        split, emb, _ = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        return ev.score_triples(spark, test, emb, model="hole").select(
+            "h", "t", "r", F.round("score", 9).alias("score")
+        )
+
     def a12b_distmult_training(spark, sf):
         """DistMult under the A12 training harness: the deterministic-
         corruption margin loss must fall vs the untrained init for both
@@ -4072,6 +4103,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_decimals=6,
         )
 
+    def a15_ranks_analogy(spark, sf):
+        """Link-prediction ranks under the Analogy kernel (broadcast
+        path): the DistMult-scalar-block + ComplEx-block sum drives the
+        full raw+filtered protocol. score_decimals=6 — the shared
+        product-sum ulp rationale; the oracle's candidate CTEs sum all
+        three product terms relationally on the same rounded scores."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="analogy",
+            score_decimals=6,
+        )
+
+    def a15_ranks_hole(spark, sf):
+        """Link-prediction ranks under the HolE kernel (broadcast
+        path): circular-correlation scoring through the full
+        raw+filtered protocol — the 11th and final model of the
+        recalled OpenKE family through the rank pipeline. The oracle
+        scores every candidate with the modular-index join form;
+        score_decimals=6 re-synchronizes the double-sum ordering ulp
+        before the strict-< comparison."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks(
+            spark,
+            spark.createDataFrame(split["test2id"]),
+            emb,
+            known,
+            model="hole",
+            score_decimals=6,
+        )
+
     def a4_constrained_negatives(spark, sf):
         """Type-constrained corruption (A4 × type_constrain semantics):
         negatives draw heads from the relation's domain and tails from
@@ -4531,6 +4596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_rotate": a15_ranks_rotate,
         "a4_constrained_negatives": a4_constrained_negatives,
         "a11_softplus_distmult": a11_softplus_distmult,
+        "a7g_analogy_scores": a7g_analogy_scores,
+        "a7h_hole_scores": a7h_hole_scores,
+        "a15_ranks_analogy": a15_ranks_analogy,
+        "a15_ranks_hole": a15_ranks_hole,
     }
 
 
@@ -5287,6 +5356,95 @@ _RANK_CTES_ROTATE = _rank_protocol_ctes(
   """,
 )
 
+_RANK_CTES_ANALOGY = _rank_protocol_ctes(
+    extra_tables=f"""rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  reli AS (SELECT * FROM read_parquet('{OKE}/relim_long.parquet')),
+  ents AS (SELECT * FROM read_parquet('{OKE}/entsc_long.parquet')),
+  rels AS (SELECT * FROM read_parquet('{OKE}/relsc_long.parquet')),""",
+    hs_body="""
+    SELECT d.h, d.t, d.r, d.cand, round(-(d.s + c.s), 6) AS score
+    FROM (
+      SELECT tt.h, tt.t, tt.r, cs.id AS cand,
+             sum(cs.val * rs.val * ts.val) AS s
+      FROM test tt
+      JOIN rels rs ON rs.id = tt.r
+      JOIN ents ts ON ts.id = tt.t AND ts.k = rs.k
+      JOIN ents cs ON cs.k = rs.k
+      GROUP BY tt.h, tt.t, tt.r, cs.id
+    ) d
+    JOIN (
+      SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+             sum(
+               (cr.val * rr.val - ci.val * ri.val) * tr.val
+             + (cr.val * ri.val + ci.val * rr.val) * ti.val
+             ) AS s
+      FROM test tt
+      JOIN rel rr ON rr.id = tt.r
+      JOIN reli ri ON ri.id = tt.r AND ri.k = rr.k
+      JOIN ent tr ON tr.id = tt.t AND tr.k = rr.k
+      JOIN enti ti ON ti.id = tt.t AND ti.k = rr.k
+      JOIN ent cr ON cr.k = rr.k
+      JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+      GROUP BY tt.h, tt.t, tt.r, cr.id
+    ) c ON c.h = d.h AND c.t = d.t AND c.r = d.r AND c.cand = d.cand
+  """,
+    tsc_body="""
+    SELECT d.h, d.t, d.r, d.cand, round(-(d.s + c.s), 6) AS score
+    FROM (
+      SELECT tt.h, tt.t, tt.r, cs.id AS cand,
+             sum(hs2.val * rs.val * cs.val) AS s
+      FROM test tt
+      JOIN rels rs ON rs.id = tt.r
+      JOIN ents hs2 ON hs2.id = tt.h AND hs2.k = rs.k
+      JOIN ents cs ON cs.k = rs.k
+      GROUP BY tt.h, tt.t, tt.r, cs.id
+    ) d
+    JOIN (
+      SELECT tt.h, tt.t, tt.r, cr.id AS cand,
+             sum(
+               (hr.val * rr.val - hi.val * ri.val) * cr.val
+             + (hr.val * ri.val + hi.val * rr.val) * ci.val
+             ) AS s
+      FROM test tt
+      JOIN rel rr ON rr.id = tt.r
+      JOIN reli ri ON ri.id = tt.r AND ri.k = rr.k
+      JOIN ent hr ON hr.id = tt.h AND hr.k = rr.k
+      JOIN enti hi ON hi.id = tt.h AND hi.k = rr.k
+      JOIN ent cr ON cr.k = rr.k
+      JOIN enti ci ON ci.id = cr.id AND ci.k = rr.k
+      GROUP BY tt.h, tt.t, tt.r, cr.id
+    ) c ON c.h = d.h AND c.t = d.t AND c.r = d.r AND c.cand = d.cand
+  """,
+)
+
+# HolE rank protocol: every candidate scored with the modular-index
+# circular-correlation join; the candidate's vector takes the h-role
+# (head pass) / the shifted t-role (tail pass)
+_RANK_CTES_HOLE = _rank_protocol_ctes(
+    extra_tables=f"""rel AS (SELECT * FROM read_parquet('{OKE}/rel_emb_long.parquet')),
+  dims AS (SELECT max(k) + 1 AS d FROM rel),""",
+    hs_body="""
+    SELECT tt.h, tt.t, tt.r, ch.id AS cand,
+           round(-sum(rr.val * ch.val * te.val), 6) AS score
+    FROM test tt
+    CROSS JOIN dims
+    JOIN rel rr ON rr.id = tt.r
+    JOIN ent ch ON TRUE
+    JOIN ent te ON te.id = tt.t AND te.k = (ch.k + rr.k) % dims.d
+    GROUP BY tt.h, tt.t, tt.r, ch.id
+  """,
+    tsc_body="""
+    SELECT tt.h, tt.t, tt.r, ce.id AS cand,
+           round(-sum(rr.val * he.val * ce.val), 6) AS score
+    FROM test tt
+    CROSS JOIN dims
+    JOIN rel rr ON rr.id = tt.r
+    JOIN ent he ON he.id = tt.h
+    JOIN ent ce ON ce.k = (he.k + rr.k) % dims.d
+    GROUP BY tt.h, tt.t, tt.r, ce.id
+  """,
+)
+
 # TransH rank protocol: hyperplane-projected scoring (e_perp = e − (w·e)w),
 # rounded to 6 decimals on BOTH engines — projection dots are f32×f32
 # product sums whose last ulp is accumulation-order dependent (same
@@ -5671,6 +5829,60 @@ _SQL_RESCAL = f"""
     JOIN mat m ON m.id = tt.r
     JOIN ent eh ON eh.id = tt.h AND eh.k = m.i
     JOIN ent et ON et.id = tt.t AND et.k = m.j
+    GROUP BY tt.h, tt.t, tt.r
+"""
+
+# Analogy: DistMult over the scalar block (entsc/relsc tables) plus
+# ComplEx over the complex block (ent/rel + *_im tables), one summed
+# aggregation — negated
+_SQL_ANALOGY = f"""
+    WITH {_K_BASE},
+    enti AS (SELECT * FROM read_parquet('{OKE}/entim_long.parquet')),
+    reli AS (SELECT * FROM read_parquet('{OKE}/relim_long.parquet')),
+    ents AS (SELECT * FROM read_parquet('{OKE}/entsc_long.parquet')),
+    rels AS (SELECT * FROM read_parquet('{OKE}/relsc_long.parquet')),
+    dm AS (
+      SELECT tt.h, tt.t, tt.r,
+             sum(ehs.val * ers.val * ets.val) AS s
+      FROM test tt
+      JOIN rels ers ON ers.id = tt.r
+      JOIN ents ehs ON ehs.id = tt.h AND ehs.k = ers.k
+      JOIN ents ets ON ets.id = tt.t AND ets.k = ers.k
+      GROUP BY tt.h, tt.t, tt.r
+    ),
+    cx AS (
+      SELECT tt.h, tt.t, tt.r,
+             sum(
+               (ehr.val * err.val - ehi.val * eri.val) * etr.val
+             + (ehr.val * eri.val + ehi.val * err.val) * eti.val
+             ) AS s
+      FROM test tt
+      JOIN rel err ON err.id = tt.r
+      JOIN reli eri ON eri.id = tt.r AND eri.k = err.k
+      JOIN ent ehr ON ehr.id = tt.h AND ehr.k = err.k
+      JOIN enti ehi ON ehi.id = tt.h AND ehi.k = err.k
+      JOIN ent etr ON etr.id = tt.t AND etr.k = err.k
+      JOIN enti eti ON eti.id = tt.t AND eti.k = err.k
+      GROUP BY tt.h, tt.t, tt.r
+    )
+    SELECT dm.h, dm.t, dm.r, round(-(dm.s + cx.s), 9) AS score
+    FROM dm
+    JOIN cx ON cx.h = dm.h AND cx.t = dm.t AND cx.r = dm.r
+"""
+
+# HolE: r · (h ⋆ t) with ⋆ = circular correlation, as a modular-index
+# three-way join (Σ_{i,k} r_k · h_i · t_(i+k mod d)) — negated; the
+# dimension d comes from the data, not a literal
+_SQL_HOLE = f"""
+    WITH {_K_BASE},
+    dims AS (SELECT max(k) + 1 AS d FROM rel)
+    SELECT tt.h, tt.t, tt.r,
+           round(-sum(er.val * eh.val * et.val), 9) AS score
+    FROM test tt
+    CROSS JOIN dims
+    JOIN rel er ON er.id = tt.r
+    JOIN ent eh ON eh.id = tt.h
+    JOIN ent et ON et.id = tt.t AND et.k = (eh.k + er.k) % dims.d
     GROUP BY tt.h, tt.t, tt.r
 """
 
@@ -8493,6 +8705,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a15_ranks_rotate": f"""
             WITH {_RANK_CTES_ROTATE}
+            SELECT * FROM ranks
+        """,
+        "a7g_analogy_scores": _SQL_ANALOGY,
+        "a7h_hole_scores": _SQL_HOLE,
+        "a15_ranks_analogy": f"""
+            WITH {_RANK_CTES_ANALOGY}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_hole": f"""
+            WITH {_RANK_CTES_HOLE}
             SELECT * FROM ranks
         """,
         "a4_constrained_negatives": f"""

@@ -438,6 +438,11 @@ def gen_embeddings(n_ent: int = 200, n_rel: int = 12, dim: int = 16, seed: int =
         # keeps all committed fixture files byte-identical.
         "ent_tail": _norm(rng.normal(size=(n_ent, dim))),
         "rel_inv": _norm(rng.normal(size=(n_rel, dim))),
+        # Analogy scalar-block vectors (the DistMult half; the complex
+        # half reuses ent/rel + ent_im/rel_im). Drawn AFTER every
+        # pre-existing tensor — append-only fixture discipline.
+        "ent_sc": _norm(rng.normal(size=(n_ent, dim))),
+        "rel_sc": _norm(rng.normal(size=(n_rel, dim))),
     }
 
 
@@ -513,6 +518,9 @@ def ensure_openke_fixture(seed: int = SEED) -> str:
     # SimplE tail-role / inverse-relation vectors
     _long(emb["ent_tail"]).to_parquet(os.path.join(d, "enttail_long.parquet"), index=False)
     _long(emb["rel_inv"]).to_parquet(os.path.join(d, "relinv_long.parquet"), index=False)
+    # Analogy scalar-block vectors (complex block = ent/rel + im tables)
+    _long(emb["ent_sc"]).to_parquet(os.path.join(d, "entsc_long.parquet"), index=False)
+    _long(emb["rel_sc"]).to_parquet(os.path.join(d, "relsc_long.parquet"), index=False)
     n_r, dim, _ = emb["mat"].shape
     pd.DataFrame(
         {

@@ -135,6 +135,47 @@ def simple_score(
     )
 
 
+def analogy(
+    h_sc: np.ndarray, r_sc: np.ndarray, t_sc: np.ndarray,
+    h_re: np.ndarray, h_im: np.ndarray,
+    r_re: np.ndarray, r_im: np.ndarray,
+    t_re: np.ndarray, t_im: np.ndarray,
+) -> np.ndarray:
+    """Analogy (Liu, Wen & Yuille 2017): bilinear form with a
+    block-diagonal *normal* relation matrix — equivalently (and as the
+    reference family implements it) the SUM of a DistMult score over a
+    scalar embedding block and a ComplEx score over a complex block.
+    The normality constraint is what lets the model provably recover
+    analogical structure (a:b :: c:d); parameter-wise it is exactly
+    DistMult ⊕ ComplEx, so both sub-kernels are reused verbatim.
+    Negated (by the sub-kernels) for the shared lower-is-better
+    ranking convention."""
+    return distmult(h_sc, r_sc, t_sc) + complex_score(
+        h_re, h_im, r_re, r_im, t_re, t_im
+    )
+
+
+def hole(h: np.ndarray, r: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """HolE (Nickel, Rosasco & Poggio 2016): holographic embeddings —
+    ``score = r · (h ⋆ t)`` with ``⋆`` the circular correlation
+    ``(h ⋆ t)_k = Σ_i h_i · t_{(i+k) mod d}``: a compositional pairwise
+    interaction at vector-sized memory (the d²-parameter RESCAL
+    interaction compressed to d). Computed as a direct index-gather
+    einsum (``Σ_{i,k} r_k h_i t_{(i+k) mod d}``) rather than the FFT
+    form — same O(d²) per-row cost class as the TransR/RESCAL matmuls
+    the engine already accepts at d=16..200, and the plain sum keeps
+    the float accumulation in the same family as the relational oracle
+    (the shared round-at-6/9 contract absorbs ordering ulp, as for
+    every other kernel). Negated for the shared lower-is-better
+    ranking convention. Mathematically HolE is isomorphic to ComplEx
+    (Hayashi & Shimbo 2017); it is carried as its own kernel because
+    checkpoints and the reference family treat it as one."""
+    d = h.shape[-1]
+    idx = (np.arange(d)[:, None] + np.arange(d)[None, :]) % d  # idx[i, k]
+    tg = t[..., idx]  # [B, d(i), d(k)]
+    return -np.einsum("bi,bik,bk->b", h, tg, r)
+
+
 def score_batch(
     model: str,
     emb: dict[str, np.ndarray],
@@ -176,6 +217,21 @@ def score_batch(
         )
     if model == "rescal":
         return rescal(h, emb["mat"][r_ids].astype(np.float64), t)
+    if model == "hole":
+        # circular correlation over the same real ent/rel tables as
+        # DistMult — no extra parameter state
+        return hole(h, r, t)
+    if model == "analogy":
+        # scalar (DistMult) block = ent_sc/rel_sc; complex block reuses
+        # the ComplEx tables (ent/rel real parts + ent_im/rel_im)
+        return analogy(
+            emb["ent_sc"][h_ids].astype(np.float64),
+            emb["rel_sc"][r_ids].astype(np.float64),
+            emb["ent_sc"][t_ids].astype(np.float64),
+            h, emb["ent_im"][h_ids].astype(np.float64),
+            r, emb["rel_im"][r_ids].astype(np.float64),
+            t, emb["ent_im"][t_ids].astype(np.float64),
+        )
     if model == "simple":
         return simple_score(
             h, emb["ent_tail"][h_ids].astype(np.float64),

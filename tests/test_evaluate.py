@@ -106,7 +106,7 @@ def test_relation_ranks_match_oracle(spark):
 
 @pytest.mark.parametrize(
     "model",
-    ["transe", "transd", "distmult", "complex", "rotate", "simple", "rescal"],
+    ["transe", "transd", "distmult", "complex", "rotate", "simple", "rescal", "analogy", "hole"],
 )
 def test_ranks_match_oracle(spark, model):
     test = SPLIT["test2id"].head(15)

@@ -149,3 +149,63 @@ def test_rescal_matches_paper_loop_and_is_asymmetric():
     # a full (non-symmetric) matrix scores direction: swapping h and t moves it
     rev = kernels.score_batch("rescal", EMB, T, R, H)
     assert np.abs(got - rev).max() > 1e-3
+
+
+def test_analogy_is_distmult_plus_complex():
+    """Analogy = DistMult over the scalar block + ComplEx over the
+    complex block (Liu et al. 2017's block-diagonal normal form), and a
+    paper-style explicit loop over both blocks."""
+    got = kernels.score_batch("analogy", EMB, H, R, T)
+    dm = kernels.distmult(
+        EMB["ent_sc"][H].astype(np.float64),
+        EMB["rel_sc"][R].astype(np.float64),
+        EMB["ent_sc"][T].astype(np.float64),
+    )
+    cx = kernels.complex_score(
+        EMB["ent"][H].astype(np.float64), EMB["ent_im"][H].astype(np.float64),
+        EMB["rel"][R].astype(np.float64), EMB["rel_im"][R].astype(np.float64),
+        EMB["ent"][T].astype(np.float64), EMB["ent_im"][T].astype(np.float64),
+    )
+    np.testing.assert_allclose(got, dm + cx, rtol=1e-12)
+    want = []
+    for i in range(B):
+        s = float(
+            np.sum(
+                EMB["ent_sc"][H[i]].astype(np.float64)
+                * EMB["rel_sc"][R[i]].astype(np.float64)
+                * EMB["ent_sc"][T[i]].astype(np.float64)
+            )
+        )
+        hc = EMB["ent"][H[i]].astype(np.float64) + 1j * EMB["ent_im"][H[i]].astype(np.float64)
+        rc = EMB["rel"][R[i]].astype(np.float64) + 1j * EMB["rel_im"][R[i]].astype(np.float64)
+        tc = EMB["ent"][T[i]].astype(np.float64) + 1j * EMB["ent_im"][T[i]].astype(np.float64)
+        s += float(np.real(np.sum(hc * rc * np.conj(tc))))
+        want.append(-s)
+    np.testing.assert_allclose(got, np.array(want), rtol=1e-6)
+
+
+def test_hole_matches_paper_loop_and_fft_form():
+    """Independent oracles for the circular correlation: (1) the
+    explicit double loop Σ_{i,k} r_k h_i t_{(i+k) mod d} from the paper,
+    (2) the FFT identity h ⋆ t = F⁻¹(conj(F(h)) ∘ F(t)) HolE's authors
+    compute with — both must agree with the gather-einsum kernel."""
+    got = kernels.score_batch("hole", EMB, H, R, T)
+    d = EMB["ent"].shape[1]
+    want = []
+    for b in range(B):
+        h = EMB["ent"][H[b]].astype(np.float64)
+        t = EMB["ent"][T[b]].astype(np.float64)
+        r = EMB["rel"][R[b]].astype(np.float64)
+        s = 0.0
+        for k in range(d):
+            s += r[k] * sum(h[i] * t[(i + k) % d] for i in range(d))
+        want.append(-s)
+    np.testing.assert_allclose(got, np.array(want), rtol=1e-6)
+    h = EMB["ent"][H].astype(np.float64)
+    t = EMB["ent"][T].astype(np.float64)
+    r = EMB["rel"][R].astype(np.float64)
+    corr = np.fft.irfft(np.conj(np.fft.rfft(h, axis=1)) * np.fft.rfft(t, axis=1), d, axis=1)
+    np.testing.assert_allclose(got, -(r * corr).sum(axis=1), rtol=1e-9)
+    # circular correlation is NOT commutative: swapping h and t moves scores
+    rev = kernels.score_batch("hole", EMB, T, R, H)
+    assert np.abs(got - rev).max() > 1e-3
