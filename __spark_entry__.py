@@ -4207,6 +4207,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "model string, improved boolean, finite boolean",
         )
 
+    def a11_selfadv_rotate(spark, sf):
+        """A11 negative-sampling axis: RotatE under SELF-ADVERSARIAL
+        negative sampling (Sun et al. 2019 eq. 5) — K corruptions per
+        positive, each weighted by the detached softmax of its own
+        plausibility, the refinement that keeps gradients alive once
+        uniform corruptions become trivially false. Properties the
+        oracle pins: the trained adversarial loss beats the untrained
+        init on the same fixed negative set, parameters stay finite,
+        and the derived rotations remain exactly unit-modulus (the
+        θ parametrization guarantees it by construction)."""
+        from kgforge import training
+
+        split, _, _ = _openke_emb()
+        n_ent, n_rel = len(split["entity2id"]), len(split["relation2id"])
+        tr = split["train2id"]
+        rng = np.random.default_rng(17)
+        er0 = training._xavier(rng, n_ent, 16)
+        ei0 = training._xavier(rng, n_ent, 16)
+        th0 = rng.uniform(-np.pi, np.pi, size=(n_rel, 16))
+        h = tr["h"].to_numpy(np.int64)
+        t = tr["t"].to_numpy(np.int64)
+        r = tr["r"].to_numpy(np.int64)
+        K = 4
+        nh = np.stack([(h + k + 1) % n_ent for k in range(K)], axis=1)
+        nt = np.repeat(t[:, None], K, axis=1)
+        base = training.selfadv_loss_rotate(er0, ei0, th0, h, t, r, nh, nt)
+        er1, ei1, th1 = training.sgd_epochs_selfadv(
+            tr, er0, ei0, th0, epochs=15, lr=0.05, seed=7
+        )
+        trained = training.selfadv_loss_rotate(er1, ei1, th1, h, t, r, nh, nt)
+        finite = bool(
+            np.isfinite(er1).all() and np.isfinite(ei1).all()
+            and np.isfinite(th1).all()
+        )
+        unit = bool(
+            np.allclose(np.cos(th1) ** 2 + np.sin(th1) ** 2, 1.0, atol=1e-12)
+        )
+        return spark.createDataFrame(
+            [("rotate_selfadv", bool(trained < base), finite, unit)],
+            "model string, improved boolean, finite boolean, unit_modulus boolean",
+        )
+
     def kg_functional_resolution(spark, sf):
         """Functional-predicate conflict resolution: for predicates that
         admit ONE object per subject (livesIn/worksAt/ceoOf/bornIn),
@@ -4600,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7h_hole_scores": a7h_hole_scores,
         "a15_ranks_analogy": a15_ranks_analogy,
         "a15_ranks_hole": a15_ranks_hole,
+        "a11_selfadv_rotate": a11_selfadv_rotate,
     }
 
 
@@ -8727,5 +8770,9 @@ def oracle_sql() -> dict[str, str]:
         "a11_softplus_distmult": """
             SELECT 'distmult_softplus' AS model,
                    true AS improved, true AS finite
+        """,
+        "a11_selfadv_rotate": """
+            SELECT 'rotate_selfadv' AS model,
+                   true AS improved, true AS finite, true AS unit_modulus
         """,
     }

@@ -692,3 +692,142 @@ def sgd_epochs_softplus(
             )
             _sparse_sgd(rel, r, gr, lr)
     return ent, rel
+
+def selfadv_loss_rotate(
+    ent_re: np.ndarray,
+    ent_im: np.ndarray,
+    theta: np.ndarray,
+    h: np.ndarray,
+    t: np.ndarray,
+    r: np.ndarray,
+    nh: np.ndarray,
+    nt: np.ndarray,
+    gamma: float = 6.0,
+    alpha: float = 1.0,
+) -> float:
+    """RotatE's self-adversarial loss (Sun et al. 2019, eq. 5) on a
+    FIXED negative set: ``nh``/``nt`` are ``[n, K]`` corruption arrays.
+    ``L = −log σ(γ − d(pos)) − Σ_k p_k · log σ(d(neg_k) − γ)`` with
+    ``p = softmax_k(α · (γ − d(neg)))`` — harder (lower-distance)
+    negatives carry more weight, which is the entire point: uniform
+    corruption mostly draws trivially-false triples whose gradient
+    vanishes once training starts."""
+    C, S = np.cos(theta[r]), np.sin(theta[r])
+    def dist(hh, tt, c, s):
+        z_re = ent_re[hh] * c - ent_im[hh] * s - ent_re[tt]
+        z_im = ent_re[hh] * s + ent_im[hh] * c - ent_im[tt]
+        return np.sqrt(z_re * z_re + z_im * z_im).sum(-1)
+    d_pos = dist(h, t, C, S)
+    d_neg = dist(nh, nt, C[:, None], S[:, None])  # [n, K]
+    logits = alpha * (gamma - d_neg)
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    # -log σ(x) = softplus(-x) = logaddexp(0, -x)
+    pos_term = np.logaddexp(0.0, -(gamma - d_pos))
+    neg_term = (p * np.logaddexp(0.0, -(d_neg - gamma))).sum(axis=1)
+    return float((pos_term + neg_term).mean())
+
+
+def sgd_epochs_selfadv(
+    triples: pd.DataFrame,
+    ent_re: np.ndarray,
+    ent_im: np.ndarray,
+    theta: np.ndarray,
+    epochs: int,
+    lr: float,
+    seed: int,
+    gamma: float = 6.0,
+    alpha: float = 1.0,
+    n_neg: int = 4,
+    batch_size: int = 1024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RotatE epochs under self-adversarial negative sampling (Sun et
+    al. 2019): K corruptions per positive, each weighted by the
+    DETACHED softmax of its own plausibility — the negative-sampling
+    refinement the margin trainer (:func:`sgd_epochs_rotate`) lacks,
+    and the recipe the RotatE paper actually ships.
+
+    Determinism contract shared with every other trainer here: the
+    k-th corruption of epoch ``ep`` comes from the counter-based
+    ``_corrupt`` at epoch key ``ep * n_neg + k`` (no RNG state, replay
+    = identity), batches iterate a seeded permutation, updates are
+    accumulated sparse-SGD (`np.add.at` — duplicate rows in a batch
+    sum, never race). Gradient coefficients: ``σ(d_pos − γ)`` on the
+    positive distance, ``−p_k · σ(γ − d_neg_k)`` on each negative
+    (p treated as a constant, per the paper). The rotation stays
+    parametrized by θ so unit modulus holds by construction.
+    """
+    ent_re, ent_im = ent_re.copy(), ent_im.copy()
+    theta = theta.copy()
+    h_all = triples["h"].to_numpy(np.int64)
+    t_all = triples["t"].to_numpy(np.int64)
+    r_all = triples["r"].to_numpy(np.int64)
+    n = len(h_all)
+    n_ent = ent_re.shape[0]
+    n_rel_pack = int(r_all.max()) + 1 if n else 1
+    known_keys = None
+    if n and float(n_ent) * n_ent * n_rel_pack < 2**63:
+        known_keys = np.sort(_pack_keys(h_all, t_all, r_all, n_ent, n_rel_pack))
+    eps = 1e-12
+
+    def parts(hre, him, c, s, tre, tim):
+        z_re = hre * c - him * s - tre
+        z_im = hre * s + him * c - tim
+        m = np.sqrt(z_re * z_re + z_im * z_im)
+        return z_re, z_im, np.maximum(m, eps)
+
+    for ep in range(epochs):
+        order = np.random.default_rng(seed * 7919 + ep).permutation(n)
+        for lo in range(0, n, batch_size):
+            idx = order[lo:lo + batch_size]
+            h, t, r = h_all[idx], t_all[idx], r_all[idx]
+            C, S = np.cos(theta[r]), np.sin(theta[r])
+            H_re, H_im = ent_re[h], ent_im[h]
+            # K corruption draws, distinct counter key per k
+            negs = [
+                _corrupt(h, t, r, n_ent, seed, ep * n_neg + k, None,
+                         known_keys, n_rel_pack)
+                for k in range(n_neg)
+            ]
+            pz_re, pz_im, pm = parts(H_re, H_im, C, S, ent_re[t], ent_im[t])
+            d_pos = pm.sum(1)
+            nparts = []
+            d_neg = np.empty((len(h), n_neg))
+            for k, (nh, nt) in enumerate(negs):
+                zr, zi, m = parts(ent_re[nh], ent_im[nh], C, S,
+                                  ent_re[nt], ent_im[nt])
+                nparts.append((nh, nt, zr, zi, m))
+                d_neg[:, k] = m.sum(1)
+            logits = alpha * (gamma - d_neg)
+            logits -= logits.max(axis=1, keepdims=True)
+            p = np.exp(logits)
+            p /= p.sum(axis=1, keepdims=True)
+            gp = _sigmoid(d_pos - gamma)          # dL/dd_pos
+            gn = p * _sigmoid(gamma - d_neg)      # -dL/dd_neg_k, [B, K]
+
+            def grads(z_re, z_im, m, hre, him):
+                ur, ui = z_re / m, z_im / m
+                g_hre = ur * C + ui * S
+                g_him = -ur * S + ui * C
+                g_th = ur * (-hre * S - him * C) + ui * (hre * C - him * S)
+                return g_hre, g_him, -ur, -ui, g_th
+
+            phr, phi, ptr, pti, pth = grads(pz_re, pz_im, pm, H_re, H_im)
+            w = gp[:, None]
+            rows = [h, t]
+            g_re = [w * phr, w * ptr]
+            g_im = [w * phi, w * pti]
+            g_th_acc = (w * pth).copy()
+            for k, (nh, nt, zr, zi, m) in enumerate(nparts):
+                nhr, nhi, ntr, nti, nth = grads(zr, zi, m, ent_re[nh], ent_im[nh])
+                wk = gn[:, k][:, None]
+                rows += [nh, nt]
+                g_re += [-wk * nhr, -wk * ntr]
+                g_im += [-wk * nhi, -wk * nti]
+                g_th_acc -= wk * nth
+            rows_cat = np.concatenate(rows)
+            _sparse_sgd(ent_re, rows_cat, np.concatenate(g_re), lr)
+            _sparse_sgd(ent_im, rows_cat, np.concatenate(g_im), lr)
+            _sparse_sgd(theta, r, g_th_acc, lr)
+    return ent_re, ent_im, theta
