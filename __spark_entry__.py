@@ -559,6 +559,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             model="transd", score_decimals=6,
         )
 
+    def a15_ranks_blocked_distmult(spark, sf):
+        """Blocked (beyond-broadcast) rank path under the DistMult
+        kernel: the bilinear-diagonal score as nested zip_with products
+        + one codegen fold — the bilinear family no longer needs the
+        broadcast escape hatch at |E| beyond executor memory. Same
+        protocol text as the broadcast a15_ranks_distmult; equality
+        pinned by test_blocked_ranks_equal_broadcast[distmult-1-6]."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="distmult", score_decimals=6,
+        )
+
+    def a15_ranks_blocked_complex(spark, sf):
+        """Blocked rank path under ComplEx: the expanded real-arithmetic
+        form as four nested product arrays + two folds, imaginary
+        halves joined along exactly the real halves' paths (broadcast
+        per-relation, one |E|-sized candidate join). Equality with the
+        broadcast path pinned by
+        test_blocked_ranks_equal_broadcast[complex-1-6]."""
+        split, emb, known = _openke_emb()
+        return ev.link_prediction_ranks_blocked(
+            spark, spark.createDataFrame(split["test2id"]), emb, known,
+            model="complex", score_decimals=6,
+        )
+
     def a15_ranks_blocked_transr(spark, sf):
         # blocked path with the per-relation matmul done relationally:
         # entities pre-projected per test relation (transform over
@@ -4643,6 +4669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_analogy": a15_ranks_analogy,
         "a15_ranks_hole": a15_ranks_hole,
         "a11_selfadv_rotate": a11_selfadv_rotate,
+        "a15_ranks_blocked_distmult": a15_ranks_blocked_distmult,
+        "a15_ranks_blocked_complex": a15_ranks_blocked_complex,
     }
 
 
@@ -8758,6 +8786,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a15_ranks_hole": f"""
             WITH {_RANK_CTES_HOLE}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_distmult": f"""
+            WITH {_RANK_CTES_DISTMULT}
+            SELECT * FROM ranks
+        """,
+        "a15_ranks_blocked_complex": f"""
+            WITH {_RANK_CTES_COMPLEX}
             SELECT * FROM ranks
         """,
         "a4_constrained_negatives": f"""

@@ -230,6 +230,46 @@ def _with_score(
     Catalyst collapses a withColumn dot into the zip_with lambda, where
     the O(d) fold would re-evaluate per array element (O(d²)/row —
     verified in the captured plan, docs/PLANS.md §6)."""
+    if model == "distmult":
+        # bilinear diagonal: −Σ a_k r_k b_k as two nested element-wise
+        # products + ONE fold (each zip_with lambda is O(1) per element,
+        # so no O(d²) re-evaluation — the docs/PLANS.md §6 trap needs an
+        # O(d) fold inside the lambda)
+        prod = F.zip_with(
+            F.zip_with(F.col(a), F.col("rvec"), lambda x, y: x * y),
+            F.col(b),
+            lambda x, y: x * y,
+        )
+        s = -F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        return df.withColumn(
+            out, F.round(s, score_decimals) if score_decimals is not None else s
+        )
+    if model == "complex":
+        # Re(<a, r, conj(b)>) expanded: −Σ (a_re r_re − a_im r_im) b_re
+        # + (a_re r_im + a_im r_re) b_im — four nested element-wise
+        # product arrays, two folds; imaginary parts ride as the
+        # ``{a}_im`` join attributes (same convention as the wdot/pdot
+        # dots)
+        def _p3(x_, y_, z_):
+            return F.zip_with(F.zip_with(x_, y_, lambda p, q: p * q), z_, lambda p, q: p * q)
+
+        t1 = F.zip_with(
+            _p3(F.col(a), F.col("rvec"), F.col(b)),
+            _p3(F.col(f"{a}_im"), F.col("rvec_im"), F.col(b)),
+            lambda p, q: p - q,
+        )
+        t2 = F.zip_with(
+            _p3(F.col(a), F.col("rvec_im"), F.col(f"{b}_im")),
+            _p3(F.col(f"{a}_im"), F.col("rvec"), F.col(f"{b}_im")),
+            lambda p, q: p + q,
+        )
+        s = -(
+            F.aggregate(t1, F.lit(0.0), lambda acc, x: acc + x)
+            + F.aggregate(t2, F.lit(0.0), lambda acc, x: acc + x)
+        )
+        return df.withColumn(
+            out, F.round(s, score_decimals) if score_decimals is not None else s
+        )
     if model == "transe":
         pa, pb = F.col(a), F.col(b)
     elif model == "transh":
@@ -240,8 +280,8 @@ def _with_score(
         pb = F.zip_with(F.col(b), F.col("rpvec"), lambda x, y: x + F.col(f"{b}_pdot") * y)
     else:
         raise NotImplementedError(
-            f"blocked eval supports transe/transh/transd; {model!r} needs per-relation "
-            "matrices (use the broadcast path or link_prediction_ranks_relfilter)"
+            f"blocked eval supports transe/transh/transd/transr/distmult/complex; "
+            f"{model!r} needs the broadcast path or link_prediction_ranks_relfilter"
         )
     s = F.zip_with(pa, F.col("rvec"), lambda x, y: x + y)
     d = F.zip_with(s, pb, lambda x, y: x - y)
@@ -362,11 +402,15 @@ def link_prediction_ranks_blocked(
     intended ingestion at beyond-broadcast |E|; see ``io_openke.
     read_embedding_df``) or a NumPy dict (tests/fixtures convenience).
     ``known``: triples DataFrame (scale path) or pandas (convenience).
-    Models: all four (TransE/TransH/TransD/TransR), L1 + L2. TransR's
-    per-relation matmul is relational too: entities are pre-projected
-    per distinct test relation (:func:`_transr_proj` — the matrix rides
-    broadcast, the |E|-sized projection table is a localCheckpointed
-    JVM pass) and scoring is then TransE over the projections.
+    Models: the four translational (TransE/TransH/TransD/TransR, L1 +
+    L2) and the diagonal bilinear pair (DistMult / ComplEx — pass
+    ``score_decimals=6``, product sums round order-dependently).
+    TransR's per-relation matmul is relational too: entities are
+    pre-projected per distinct test relation (:func:`_transr_proj` —
+    the matrix rides broadcast, the |E|-sized projection table is a
+    localCheckpointed JVM pass) and scoring is then TransE over the
+    projections; ComplEx's imaginary halves join on exactly the real
+    halves' paths.
 
     Same protocol (strict <, raw + filtered); output is identical to the
     broadcast path (tested). L1 TransE scores of float32 embeddings are
@@ -419,6 +463,21 @@ def link_prediction_ranks_blocked(
         )
         cand_extra_join = wdot.select(
             F.col("id").alias("cand"), "r", F.col("wdot").alias("cvec_wdot")
+        )
+    elif model == "complex":
+        # imaginary halves ride exactly like the real ones: per-relation
+        # vector broadcast onto the test side, per-entity vectors joined
+        # on h/t (broadcast: test-batch-sized) and onto the candidate
+        # table (one |E|-sized JVM join, same shape as TransD's edot)
+        ri = dfs["rel_im"].select(F.col("id").alias("r"), F.col("vec").alias("rvec_im"))
+        ei = dfs["ent_im"]
+        t = (
+            t.join(F.broadcast(ri), "r")
+            .join(F.broadcast(ei.select(F.col("id").alias("h"), F.col("vec").alias("hvec_im"))), "h")
+            .join(F.broadcast(ei.select(F.col("id").alias("t"), F.col("vec").alias("tvec_im"))), "t")
+        )
+        cand_ent = cand_ent.join(
+            ei.select(F.col("id").alias("cand"), F.col("vec").alias("cvec_im")), "cand"
         )
     elif model == "transd":
         rp = dfs["rel_p"].select(F.col("id").alias("r"), F.col("vec").alias("rpvec"))

@@ -122,6 +122,8 @@ EMB_COMPONENTS = (
     "ent_im", "rel_im", "rot_re", "rot_im",
     # SimplE tail-role entity / inverse-relation vectors
     "ent_tail", "rel_inv",
+    # Analogy scalar-block vectors
+    "ent_sc", "rel_sc",
 )
 
 

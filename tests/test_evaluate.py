@@ -156,6 +156,8 @@ BLOCKED_CASES = [
     ("transd", 2, 6),
     ("transr", 1, 6),
     ("transr", 2, 6),
+    ("distmult", 1, 6),
+    ("complex", 1, 6),
 ]
 
 
