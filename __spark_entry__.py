@@ -2567,6 +2567,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.append(ev.where(~gate), allow_schema_evolution=True)
         return t.read(spark)
 
+    def cat_partition_evolution(spark, sf):
+        """Iceberg partition-spec evolution: commit 1 writes half the
+        events hive-partitioned by event_type; a metadata-only
+        evolve_partition_spec commit switches the table's write
+        contract to a derived bucket column; commit 2 appends the other
+        half under the new layout. read() scans each dir as its own
+        hive tree (basePath recovers that dir's partition columns) and
+        aligns the logical schema across layouts — the oracle replays
+        the projection directly, pinning that NO row, partition value,
+        or column is lost or duplicated across the layout boundary."""
+        import tempfile
+
+        from kgforge.catalog import IcebergLiteTable
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "event_type",
+            (F.col("event_id") % 4).cast("long").alias("bucket"),
+        )
+        gate = F.md5(F.col("event_id").cast("string").cast("binary")) < "8"
+        t = IcebergLiteTable(tempfile.mkdtemp(prefix="kgforge_pevo_"))
+        t.append(ev.where(gate), partition_by=("event_type",))
+        t.evolve_partition_spec(("bucket",))
+        t.append(ev.where(~gate), partition_by=("bucket",))
+        return t.read(spark).select(
+            "event_id", "user_id", "event_type", F.col("bucket").cast("long").alias("bucket")
+        )
+
     def cat_upsert(spark, sf):
         """Copy-on-write MERGE INTO: doubled values arrive for the
         low-id half of the events plus a batch of brand-new keys; one
@@ -4671,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_selfadv_rotate": a11_selfadv_rotate,
         "a15_ranks_blocked_distmult": a15_ranks_blocked_distmult,
         "a15_ranks_blocked_complex": a15_ranks_blocked_complex,
+        "cat_partition_evolution": cat_partition_evolution,
     }
 
 
@@ -8795,6 +8823,11 @@ def oracle_sql() -> dict[str, str]:
         "a15_ranks_blocked_complex": f"""
             WITH {_RANK_CTES_COMPLEX}
             SELECT * FROM ranks
+        """,
+        "cat_partition_evolution": """
+            SELECT event_id, user_id, event_type,
+                   CAST(event_id % 4 AS BIGINT) AS bucket
+            FROM events
         """,
         "a4_constrained_negatives": f"""
             SELECT CAST(2 * count(*) AS BIGINT) AS n_neg,

@@ -145,14 +145,16 @@ class IcebergLiteTable:
                 f"snapshot already spans {len(prev['data_dirs'])} data dirs "
                 f"(max_data_dirs={max_data_dirs}): run compact() before appending more"
             )
-        # invariant: one partition spec per table lineage. read() unions
-        # every commit's hive tree with unionByName and compact() reapplies
-        # only the latest spec — mixing specs across appends would make the
-        # union fail (or compaction silently relayout) later, so fail HERE.
+        # invariant: appends write under the table's CURRENT spec. The
+        # spec itself changes only through an explicit commit —
+        # evolve_partition_spec (metadata-only, old dirs keep their
+        # layout) or overwrite (full rewrite) — so a writer passing a
+        # stale spec is a bug and fails HERE, loudly.
         if prev is not None and list(partition_by) != list(prev.get("partition_spec") or []):
             raise ValueError(
                 f"append partition_by {list(partition_by)} != table spec "
-                f"{prev.get('partition_spec')} (use overwrite() to change the spec)"
+                f"{prev.get('partition_spec')} (use evolve_partition_spec() "
+                "for a metadata-only spec change, or overwrite() to rewrite)"
             )
         # schema evolution (Iceberg add-column): a silent column drift is
         # almost always a writer bug, so a differing column set REFUSES
@@ -175,12 +177,21 @@ class IcebergLiteTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
-        dirs = prev_dirs + [os.path.relpath(data_dir, self.root)]
+        new_rel = os.path.relpath(data_dir, self.root)
+        dirs = prev_dirs + [new_rel]
+        # per-dir layout record: pre-evolution dirs keep their pinned
+        # spec, the new dir takes the current one
+        dir_specs = dict(
+            (prev.get("dir_specs") if prev else None)
+            or {d: list((prev or {}).get("partition_spec") or []) for d in prev_dirs}
+        )
+        dir_specs[new_rel] = list(partition_by)
         manifest = {
             "snapshot_id": snap_id,
             "parent_id": prev_id or None,
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "partition_spec": list(partition_by),
+            "dir_specs": dir_specs,
             "data_dir": dirs[0],
             "data_dirs": dirs,
             "files": [f for d in dirs for f in self._list_data_files(os.path.join(self.root, d))],
@@ -302,6 +313,64 @@ class IcebergLiteTable:
             **(target.get("summary") or {}),
             "operation": "rollback",
             "rolled_back_to": snapshot_id,
+        }
+        with open(os.path.join(self.meta, f"snap-{new_id}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, self._hint_path())
+        return manifest
+
+    def evolve_partition_spec(self, partition_by: tuple[str, ...]) -> dict:
+        """Iceberg partition-spec EVOLUTION: change the table's spec
+        without touching a byte of data — a metadata-only commit (same
+        O(1) shape as :meth:`rollback`) that reuses the current
+        snapshot's data dirs and records the new spec as the table's
+        write contract. Existing dirs keep their old hive layout (their
+        per-dir spec is pinned in ``dir_specs``); subsequent
+        :meth:`append` calls must use — and are validated against — the
+        NEW spec, so one table lineage legitimately spans several
+        layouts, exactly as Iceberg tables do after
+        ``ALTER TABLE ... REPLACE PARTITION FIELD``.
+
+        Reads need no special casing: :meth:`read` already scans each
+        data dir as its own hive tree (``basePath`` recovers that dir's
+        partition columns as ordinary columns) and
+        ``unionByName(allowMissingColumns=True)`` aligns the logical
+        schema across layouts. Partition PRUNING applies per dir —
+        old-layout dirs prune on the old columns, new dirs on the new —
+        which is also Iceberg's behavior (spec evolution improves
+        pruning for data written after it, never retroactively).
+        :meth:`compact` rewrites everything under the CURRENT spec
+        (Iceberg ``rewrite_data_files``), which is how a table
+        eventually converges to one layout."""
+        cur = self.snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        new_spec = list(partition_by)
+        for c in new_spec:
+            if c not in (cur.get("columns") or []):
+                raise ValueError(
+                    f"partition column {c!r} not in table schema {cur.get('columns')}"
+                )
+        if new_spec == list(cur.get("partition_spec") or []):
+            raise ValueError(f"table already partitioned by {new_spec}")
+        dirs = cur.get("data_dirs") or [cur["data_dir"]]
+        old_specs = cur.get("dir_specs") or {
+            d: list(cur.get("partition_spec") or []) for d in dirs
+        }
+        new_id = self._next_snapshot_id()
+        manifest = dict(cur)
+        manifest["snapshot_id"] = new_id
+        manifest["parent_id"] = cur["snapshot_id"]
+        manifest["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        manifest["partition_spec"] = new_spec
+        manifest["dir_specs"] = old_specs  # existing dirs keep their layout
+        manifest["summary"] = {
+            **(cur.get("summary") or {}),
+            "operation": "evolve_partition_spec",
+            "previous_spec": list(cur.get("partition_spec") or []),
         }
         with open(os.path.join(self.meta, f"snap-{new_id}.json"), "w") as f:
             json.dump(manifest, f, indent=1)

@@ -312,3 +312,51 @@ def test_fast_forward_refuses_divergence(spark, tmp_path):
         t.commit_to_branch("v1", _df(spark, [4]))
     with pytest.raises(FileNotFoundError):
         t.read_branch(spark, "nope")
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition-spec evolution: a metadata-only commit changes
+    the write contract; old dirs keep their layout, new appends use the
+    new spec, reads align both layouts, time travel is unaffected, and
+    compact() converges the table to one layout."""
+    t = IcebergLiteTable(str(tmp_path / "tab"))
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"part": [0, 1, 2], "grp": [9, 9, 8], "x": [1, 2, 3]})
+    )
+    m1 = t.append(df1, partition_by=("part",))
+    ev = t.evolve_partition_spec(("grp",))
+    assert ev["summary"]["operation"] == "evolve_partition_spec"
+    assert ev["partition_spec"] == ["grp"]
+    # metadata-only: same data dirs as the parent, old dir keeps old spec
+    assert ev["data_dirs" if "data_dirs" in ev else "data_dir"] == (
+        m1.get("data_dirs") or [m1["data_dir"]]
+    )
+    assert list(ev["dir_specs"].values()) == [["part"]]
+    # stale-spec append refuses; new-spec append lands
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"part": [0, 1], "grp": [7, 7], "x": [4, 5]})
+    )
+    with pytest.raises(ValueError, match="evolve_partition_spec"):
+        t.append(df2, partition_by=("part",))
+    m2 = t.append(df2, partition_by=("grp",))
+    assert m2["dir_specs"][m2["data_dirs"][0]] == ["part"]
+    assert m2["dir_specs"][m2["data_dirs"][1]] == ["grp"]
+    # read aligns both layouts: full row set, both partition columns
+    got = t.read(spark).select("part", "grp", "x").toPandas().sort_values("x")
+    assert got["x"].tolist() == [1, 2, 3, 4, 5]
+    assert got["part"].astype(int).tolist() == [0, 1, 2, 0, 1]
+    assert got["grp"].astype(int).tolist() == [9, 9, 8, 7, 7]
+    # time travel to the pre-evolution snapshot is untouched
+    old = t.read(spark, m1["snapshot_id"]).toPandas()
+    assert sorted(old["x"].tolist()) == [1, 2, 3]
+    # compact converges to ONE dir under the current spec
+    mc = t.compact(spark)
+    assert mc["partition_spec"] == ["grp"]
+    assert len(mc.get("data_dirs") or [mc["data_dir"]]) == 1
+    after = t.read(spark).select("x").toPandas()
+    assert sorted(after["x"].tolist()) == [1, 2, 3, 4, 5]
+    # guards: unknown column / no-op evolution
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.evolve_partition_spec(("nope",))
+    with pytest.raises(ValueError, match="already partitioned"):
+        t.evolve_partition_spec(("grp",))
