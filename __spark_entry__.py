@@ -1291,6 +1291,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the shuffle budget); oracle replays lines + lead-window grams.
         return textops.repetition_stats(spark.read.parquet(f"{sf}/documents.parquet"))
 
+    def txt_duplicate_spans(spark, sf):
+        """Cross-document exact substring duplication (Lee et al. 2022
+        substring dedup): per doc, the tokens covered by word 8-grams
+        shared with at least one OTHER document — overlapping spans
+        unioned by a sweep-line window, so no token double-counts. The
+        near-dup family finds copied documents; this finds copied
+        PASSAGES. Oracle replays splitting, lead-window grams, the
+        cross-doc df gate, and the same running-max sweep."""
+        return textops.duplicate_spans(
+            spark.read.parquet(f"{sf}/documents.parquet"), n=8
+        )
+
     def docs_benchmark_contamination(spark, sf):
         # train-test leakage gate: deterministic doc_id%37 split plays
         # the benchmark/eval set; the benchmark gram table is broadcast
@@ -4699,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_blocked_distmult": a15_ranks_blocked_distmult,
         "a15_ranks_blocked_complex": a15_ranks_blocked_complex,
         "cat_partition_evolution": cat_partition_evolution,
+        "txt_duplicate_spans": txt_duplicate_spans,
     }
 
 
@@ -8828,6 +8841,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    CAST(event_id % 4 AS BIGINT) AS bucket
             FROM events
+        """,
+        "txt_duplicate_spans": r"""
+            WITH words AS (
+              SELECT doc_id, w AS word, ord FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w,
+                       unnest(generate_series(
+                         1, len(string_split_regex(trim(text), '\s+')))) AS ord
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            led AS (
+              SELECT doc_id, ord, word,
+                     lead(word, 1) OVER dw AS w1, lead(word, 2) OVER dw AS w2,
+                     lead(word, 3) OVER dw AS w3, lead(word, 4) OVER dw AS w4,
+                     lead(word, 5) OVER dw AS w5, lead(word, 6) OVER dw AS w6,
+                     lead(word, 7) OVER dw AS w7
+              FROM words
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            grams AS (
+              SELECT doc_id, ord AS pos,
+                     concat_ws(' ', word, w1, w2, w3, w4, w5, w6, w7) AS gram
+              FROM led WHERE w7 IS NOT NULL
+            ),
+            dup AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            occ AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+            sweep AS (
+              SELECT doc_id, pos,
+                     max(pos + 7) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS runmax
+              FROM occ
+            ),
+            cov AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_dup_grams,
+                     CAST(sum(greatest(
+                       0, pos + 7 - greatest(coalesce(runmax, pos - 1), pos - 1)
+                     )) AS BIGINT) AS dup_tokens
+              FROM sweep GROUP BY doc_id
+            ),
+            tok AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM words GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(tok.n_tokens, 0) AS n_tokens,
+                   COALESCE(cov.n_dup_grams, 0) AS n_dup_grams,
+                   COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+                   CASE WHEN COALESCE(tok.n_tokens, 0) > 0
+                        THEN CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+                             / CAST(tok.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM documents d
+            LEFT JOIN tok USING (doc_id)
+            LEFT JOIN cov USING (doc_id)
         """,
         "a4_constrained_negatives": f"""
             SELECT CAST(2 * count(*) AS BIGINT) AS n_neg,

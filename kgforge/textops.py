@@ -1606,3 +1606,102 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+def duplicate_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-document EXACT substring duplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many tokens sit inside a word ``n``-gram that also
+    appears in at least one OTHER document. The near-dup family
+    (MinHash/SimHash/Jaccard) finds whole-document copies; this finds
+    the copied PASSAGES inside otherwise-distinct documents — quote
+    farms, license blocks, templated intros — which are what substring
+    dedup actually removes from an LLM corpus.
+
+    Output per doc: ``(doc_id, n_tokens, n_dup_grams, dup_tokens,
+    dup_token_frac)`` — ``n_dup_grams`` counts this doc's gram
+    occurrences whose gram is shared cross-doc; ``dup_tokens`` is the
+    size of the UNION of their ``[pos, pos+n-1]`` spans (a sweep-line
+    window: running max of span end, each span contributes only past
+    that), so overlapping grams never double-count a token.
+    Within-document repetition alone does NOT mark a gram (the df is
+    ``count_distinct(doc_id) >= 2``) — that axis is
+    :func:`repetition_stats`.
+
+    Plan shape: posexplode + lead-window grams (no HOF lambdas — the
+    re-evaluation trap), ONE corpus-sized groupBy(gram) for the
+    document frequency (the irreducible cost of exact substring
+    matching — this is the distributed stand-in for the suffix-array
+    pass), a semi-join back, and a doc-keyed window+agg. All counts
+    are exact integers; the fraction is one integer ratio, so the
+    DuckDB oracle replays every row bit-exactly. At 100 TB the gram
+    JOIN KEY should be ``xxhash64(gram)`` (hashed_gram_table's trick —
+    8 bytes instead of ~50); kept as the string here so the oracle
+    needs no hash-function parity.
+    """
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", k).over(w).alias(f"_w{k}") for k in range(1, n)
+    ]
+    grams = (
+        words.select("doc_id", "pos", *parts)
+        .where(F.col(f"_w{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", F.col("word"), *[F.col(f"_w{k}") for k in range(1, n)]
+            ).alias("gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("gram")
+    )
+    occ = grams.join(dup, "gram", "left_semi")
+    end = F.col("pos") + F.lit(n - 1)
+    runmax = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        occ.withColumn("_runmax", runmax)
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                end - F.greatest(F.coalesce("_runmax", F.col("pos") - 1), F.col("pos") - 1),
+            ).alias("_new"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum("_new").cast("long").alias("dup_tokens"),
+        )
+    )
+    tok = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        docs.select("doc_id")
+        .join(tok, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
+    )

@@ -1949,3 +1949,37 @@ def test_k_truss_cascade_on_triangle_strip(spark):
     # while the 3-truss keeps the whole strip (every edge in >= 1 triangle)
     got = k_truss(spark.createDataFrame(tri), k=3)
     assert got.count() == len(edges)
+
+
+def test_duplicate_spans_exact_union(spark):
+    """Hand-computed case: one shared 8-gram between two docs, a
+    too-short doc, and an identical pair whose two overlapping shared
+    grams must union to the full 9 tokens (no double counting)."""
+    from kgforge.textops import duplicate_spans
+
+    rows = [
+        ("d1", "a b c d e f g h i j"),
+        ("d2", "x x a b c d e f g h z"),
+        ("d3", "p q"),
+        ("d4", "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+        ("d5", "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_spans(docs, n=8).collect()
+    }
+    assert got["d1"] == {
+        "doc_id": "d1", "n_tokens": 10, "n_dup_grams": 1,
+        "dup_tokens": 8, "dup_token_frac": 0.8,
+    }
+    assert got["d2"]["n_dup_grams"] == 1 and got["d2"]["dup_tokens"] == 8
+    assert got["d2"]["dup_token_frac"] == 8 / 11
+    assert got["d3"] == {
+        "doc_id": "d3", "n_tokens": 2, "n_dup_grams": 0,
+        "dup_tokens": 0, "dup_token_frac": 0.0,
+    }
+    for d in ("d4", "d5"):
+        assert got[d]["n_dup_grams"] == 2       # grams at pos 0 and 1
+        assert got[d]["dup_tokens"] == 9        # overlapping spans union
+        assert got[d]["dup_token_frac"] == 1.0
