@@ -675,6 +675,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = ev.link_prediction_metrics(ranks)
         return m.select(*[F.round(F.col(c), 9).alias(c) for c in m.columns])
 
+    def a17_kernel_leaderboard(spark, sf):
+        """Kernel-selection leaderboard: every kernel whose full rank
+        protocol carries a DuckDB oracle (TransE, TransH, DistMult,
+        ComplEx, RotatE, Analogy, HolE), scored on the same test split
+        through the same raw+filtered protocol and aggregated to the
+        A17 metric row with a model tag — the one-query answer to
+        "which embedding model fits this KG". Per-kernel
+        score_decimals match each oracle's rounding (L1 TransE is exact
+        unrounded; every product-sum kernel ranks on 1e-6-rounded
+        scores). The oracle is the union of the per-kernel rank-CTE
+        metric blocks — identical aggregation text per block."""
+        split, emb, known = _openke_emb()
+        test = spark.createDataFrame(split["test2id"])
+        out = None
+        for name, dec, _ctes in _LEADERBOARD_KERNELS:
+            ranks = ev.link_prediction_ranks(
+                spark, test, emb, known, model=name, score_decimals=dec
+            )
+            m = ev.link_prediction_metrics(ranks)
+            m = m.select(
+                F.lit(name).alias("model"),
+                *[F.round(F.col(c), 9).alias(c) for c in m.columns],
+            )
+            out = m if out is None else out.unionByName(m)
+        return out
+
     def a17_metrics_by_category(spark, sf):
         split, emb, known = _openke_emb()
         ranks = ev.link_prediction_ranks(
@@ -4712,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_ranks_blocked_complex": a15_ranks_blocked_complex,
         "cat_partition_evolution": cat_partition_evolution,
         "txt_duplicate_spans": txt_duplicate_spans,
+        "a17_kernel_leaderboard": a17_kernel_leaderboard,
     }
 
 
@@ -6264,6 +6291,49 @@ _NGRAM_PAIRS_CTES = """
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5)"""
+
+
+# A17 kernel leaderboard: one metric block per oracle-backed kernel's
+# rank protocol, unioned with a model tag — the model-selection query a
+# KG owner runs before committing to a kernel. Each block is the SAME
+# aggregation text as a17_link_prediction_metrics over that kernel's
+# rank CTEs.
+_LEADERBOARD_METRICS = """
+            both_ AS (
+                SELECT rank_head_raw AS raw, rank_head_filt AS filt FROM ranks
+                UNION ALL
+                SELECT rank_tail_raw AS raw, rank_tail_filt AS filt FROM ranks
+            )
+            SELECT
+              round(avg(raw), 9) AS mr_raw,
+              round(avg(1.0/raw), 9) AS mrr_raw,
+              round(avg(CASE WHEN raw <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_raw,
+              round(avg(CASE WHEN raw <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_raw,
+              round(avg(CASE WHEN raw <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_raw,
+              round(avg(filt), 9) AS mr_filt,
+              round(avg(1.0/filt), 9) AS mrr_filt,
+              round(avg(CASE WHEN filt <= 10 THEN 1.0 ELSE 0.0 END), 9) AS hits10_filt,
+              round(avg(CASE WHEN filt <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3_filt,
+              round(avg(CASE WHEN filt <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1_filt
+            FROM both_
+"""
+
+#: (model, score_decimals, rank CTE text) — the leaderboard's kernel set
+#: is exactly the kernels whose full rank protocol has a DuckDB oracle
+_LEADERBOARD_KERNELS = [
+    ("transe", None, _RANK_CTES),
+    ("transh", 6, _RANK_CTES_TRANSH),
+    ("distmult", 6, _RANK_CTES_DISTMULT),
+    ("complex", 6, _RANK_CTES_COMPLEX),
+    ("rotate", 6, _RANK_CTES_ROTATE),
+    ("analogy", 6, _RANK_CTES_ANALOGY),
+    ("hole", 6, _RANK_CTES_HOLE),
+]
+
+_LEADERBOARD_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS model, m.* FROM (WITH {ctes}, {_LEADERBOARD_METRICS}) m"
+    for name, _dec, ctes in _LEADERBOARD_KERNELS
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8842,6 +8912,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 4 AS BIGINT) AS bucket
             FROM events
         """,
+        "a17_kernel_leaderboard": _LEADERBOARD_SQL,
         "txt_duplicate_spans": r"""
             WITH words AS (
               SELECT doc_id, w AS word, ord FROM (
