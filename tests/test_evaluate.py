@@ -346,3 +346,28 @@ def test_blocked_constrained_equals_broadcast_constrained(spark):
         ).toPandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_kernel_leaderboard_consistent_with_individual_metrics(spark):
+    """a17_kernel_leaderboard must agree with the standalone metric
+    query kernel-by-kernel: the transe row (unrounded scores, same as
+    a17_link_prediction_metrics) is pinned exactly, every oracle-backed
+    kernel appears exactly once, and the filtered protocol dominates the
+    raw protocol on every row (filtering can only remove competitors
+    ranked above the gold candidate)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    lb = qs["a17_kernel_leaderboard"](spark, "fixtures/sf0.01").toPandas()
+    assert list(lb["model"]) == [
+        "transe", "transh", "distmult", "complex", "rotate", "analogy", "hole"
+    ]
+    single = qs["a17_link_prediction_metrics"](spark, "fixtures/sf0.01").toPandas()
+    transe_row = (
+        lb[lb["model"] == "transe"].drop(columns=["model"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(transe_row, single, check_dtype=False)
+    assert (lb["mrr_filt"] >= lb["mrr_raw"] - 1e-12).all()
+    assert (lb["mr_filt"] <= lb["mr_raw"] + 1e-12).all()
+    for k in (1, 3, 10):
+        assert (lb[f"hits{k}_filt"] >= lb[f"hits{k}_raw"] - 1e-12).all()
