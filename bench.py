@@ -112,6 +112,7 @@ def main() -> int:
         "docs_pack_sequences",  # two-phase distributed cumsum manifest
         "docs_pii_scrub",  # scan-bound regex scrub (zero-shuffle path)
         "docs_training_export",  # filter→dedup→split→pack composition
+        "a17_kernel_leaderboard",  # all 7 oracle-backed kernels, one query
     ]
     for name in bench_queries:
         runs = []
