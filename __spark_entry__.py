@@ -701,6 +701,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out
 
+    def kg_ntriples_roundtrip(spark, sf):
+        """RDF N-Triples codec (io_rdf): canonical string triples →
+        distributed percent-encoded N-Triples export (directory of
+        range-sorted part files, no driver concatenation — the format
+        has no count header) → distributed parse back. The read-back
+        set must equal the relational source exactly, so any
+        encode/decode regression — including on names carrying '#'
+        and spaces, which TPC-H customer names do — is a hash
+        mismatch. The W3C interchange path out of materialize:
+        OpenKE txt for the reference's tooling, N-Triples for every
+        RDF store."""
+        import tempfile
+
+        from kgforge.io_rdf import read_ntriples, write_ntriples
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        triples = cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        ).select(
+            F.col("c_name").alias("s"),
+            F.lit("in_nation").alias("p"),
+            F.col("n_name").alias("o"),
+        )
+        out = os.path.join(tempfile.mkdtemp(prefix="kgforge_nt_"), "nt")
+        write_ntriples(triples, out, n_partitions=8)
+        return read_ntriples(spark, out)
+
     def a17_metrics_by_category(spark, sf):
         split, emb, known = _openke_emb()
         ranks = ev.link_prediction_ranks(
@@ -4739,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_partition_evolution": cat_partition_evolution,
         "txt_duplicate_spans": txt_duplicate_spans,
         "a17_kernel_leaderboard": a17_kernel_leaderboard,
+        "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
     }
 
 
@@ -8913,6 +8942,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "a17_kernel_leaderboard": _LEADERBOARD_SQL,
+        "kg_ntriples_roundtrip": """
+            SELECT c_name AS s, 'in_nation' AS p, n_name AS o
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
         "txt_duplicate_spans": r"""
             WITH words AS (
               SELECT doc_id, w AS word, ord FROM (

@@ -1,0 +1,115 @@
+"""RDF N-Triples export / import for the constructed KG.
+
+The materialize stage speaks OpenKE txt (:mod:`kgforge.io_openke` —
+the reference's file layout); N-Triples (W3C, https://www.w3.org/TR/
+n-triples/) is the interchange format every RDF toolchain reads, so a
+KG built here can be bulk-loaded into Jena / Virtuoso / GraphDB or
+set-diffed against public KGs without custom glue.
+
+Scale design
+------------
+Writer and reader are fully distributed: ``df.write.text`` /
+``spark.read.text`` over a *directory* of part files — N-Triples has
+no count header, so unlike :func:`kgforge.io_openke.
+write_triples_txt_spark` there is no driver-side file concatenation at
+all; a 100 TB export stays a pure executor-side job and the part files
+land sorted by (s, p, o) ranges (``repartitionByRange`` +
+``sortWithinPartitions``), giving a deterministic, diffable layout.
+Term encoding runs on JVM built-ins (``url_encode`` / ``url_decode``
+— percent-encoding whose output alphabet is IRI-safe), never per-row
+Python, so the export plan is one range shuffle and zero Python
+workers.
+
+Encoding contract
+-----------------
+Canonical entity / relation strings become absolute IRIs under
+private-scheme bases (default ``kg:e/`` for entities, ``kg:p/`` for
+predicates): ``<kg:e/Jo%C3%A3o+Silva> <kg:p/works_at> <kg:e/Acme> .``
+``url_encode`` percent-encodes every character N-Triples forbids
+inside ``<...>`` (space, angle brackets, quotes, backslash, control
+characters — application/x-www-form-urlencoded is a strict subset of
+the IRI-legal alphabet, with space mapped to ``+``), and
+``url_decode`` inverts it exactly, so ``read_ntriples(write_ntriples
+(df))`` is the identity on any UTF-8 canonical strings, including
+newlines and the delimiters themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_ntriples", "read_ntriples"]
+
+_ENTITY_BASE = "kg:e/"
+_PREDICATE_BASE = "kg:p/"
+
+
+def _iri(col: str, base: str):
+    return F.concat(F.lit("<" + base), F.url_encode(F.col(col)), F.lit(">"))
+
+
+def write_ntriples(
+    df: DataFrame,
+    path: str,
+    n_partitions: int = 16,
+    entity_base: str = _ENTITY_BASE,
+    predicate_base: str = _PREDICATE_BASE,
+) -> None:
+    """``(s, p, o)`` string DataFrame → directory of ``part-*`` N-Triples
+    files, globally range-sorted by (s, p, o).
+
+    All three positions are written as IRIs (this engine's object
+    position holds canonical *entity* strings — RDF literals are out of
+    scope and documented as such). Ascending key ranges land in
+    ascending partition ids, so the concatenation of the part files in
+    name order is a fully sorted, reproducible export.
+    """
+    lines = (
+        df.select("s", "p", "o")
+        .repartitionByRange(n_partitions, "s", "p", "o")
+        .sortWithinPartitions("s", "p", "o")
+        .select(
+            F.concat_ws(
+                " ",
+                _iri("s", entity_base),
+                _iri("p", predicate_base),
+                _iri("o", entity_base),
+                F.lit("."),
+            ).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+
+
+def read_ntriples(
+    spark: SparkSession,
+    path: str,
+    entity_base: str = _ENTITY_BASE,
+    predicate_base: str = _PREDICATE_BASE,
+) -> DataFrame:
+    """Distributed parse of an N-Triples directory (or single file) back
+    to an ``(s, p, o)`` string DataFrame.
+
+    Grammar subset matching what :func:`write_ntriples` emits (three
+    IRIREFs + terminating dot); rows that don't match — blank lines,
+    comments — are dropped, mirroring the lenient header handling of
+    :func:`kgforge.io_openke.read_triples_spark`. Decoding strips the
+    configured base prefixes and ``url_decode``\\ s the remainder, the
+    exact inverse of the writer.
+    """
+    pat = r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$"
+
+    def _term(group: int, base: str):
+        raw = F.regexp_extract(F.trim(F.col("value")), pat, group)
+        return F.url_decode(F.substring(raw, len(base) + 1, 2**30))
+
+    raw = spark.read.text(path)
+    return (
+        raw.where(F.trim(F.col("value")).rlike(pat))
+        .select(
+            _term(1, entity_base).alias("s"),
+            _term(2, predicate_base).alias("p"),
+            _term(3, entity_base).alias("o"),
+        )
+    )
