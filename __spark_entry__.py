@@ -729,6 +729,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_ntriples(triples, out, n_partitions=8)
         return read_ntriples(spark, out)
 
+    def kg_nquads_provenance_roundtrip(spark, sf):
+        """N-Quads codec (io_rdf): same contract as
+        kg_ntriples_roundtrip plus a 4th graph-label IRI carrying the
+        statement's provenance key — the interchange form of the
+        kg_provenance story (per-source filtering/partitioning inside
+        any RDF store). Read-back must equal the relational source
+        including the graph column."""
+        import tempfile
+
+        from kgforge.io_rdf import read_nquads, write_nquads
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        quads = cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        ).select(
+            F.col("c_name").alias("s"),
+            F.lit("in_nation").alias("p"),
+            F.col("n_name").alias("o"),
+            F.col("c_mktsegment").alias("g"),
+        )
+        out = os.path.join(tempfile.mkdtemp(prefix="kgforge_nq_"), "nq")
+        write_nquads(quads, out, n_partitions=8)
+        return read_nquads(spark, out)
+
     def a17_metrics_by_category(spark, sf):
         split, emb, known = _openke_emb()
         ranks = ev.link_prediction_ranks(
@@ -4768,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_duplicate_spans": txt_duplicate_spans,
         "a17_kernel_leaderboard": a17_kernel_leaderboard,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
+        "kg_nquads_provenance_roundtrip": kg_nquads_provenance_roundtrip,
     }
 
 
@@ -8944,6 +8970,11 @@ def oracle_sql() -> dict[str, str]:
         "a17_kernel_leaderboard": _LEADERBOARD_SQL,
         "kg_ntriples_roundtrip": """
             SELECT c_name AS s, 'in_nation' AS p, n_name AS o
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "kg_nquads_provenance_roundtrip": """
+            SELECT c_name AS s, 'in_nation' AS p, n_name AS o,
+                   c_mktsegment AS g
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "txt_duplicate_spans": r"""

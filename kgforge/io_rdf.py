@@ -39,10 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_ntriples", "read_ntriples"]
+__all__ = ["write_ntriples", "read_ntriples", "write_nquads", "read_nquads"]
 
 _ENTITY_BASE = "kg:e/"
 _PREDICATE_BASE = "kg:p/"
+_GRAPH_BASE = "kg:g/"
 
 
 def _iri(col: str, base: str):
@@ -111,5 +112,70 @@ def read_ntriples(
             _term(1, entity_base).alias("s"),
             _term(2, predicate_base).alias("p"),
             _term(3, entity_base).alias("o"),
+        )
+    )
+
+
+def write_nquads(
+    df: DataFrame,
+    path: str,
+    n_partitions: int = 16,
+    entity_base: str = _ENTITY_BASE,
+    predicate_base: str = _PREDICATE_BASE,
+    graph_base: str = _GRAPH_BASE,
+) -> None:
+    """``(s, p, o, g)`` string DataFrame → N-Quads directory — the
+    provenance-carrying sibling of :func:`write_ntriples` (W3C
+    N-Quads: a 4th graph-label IRI per statement).
+
+    In this engine the graph term is the provenance key — typically
+    ``conv_id`` (the lineage column materialize already tracks) — so a
+    downstream RDF store can partition or filter statements by source
+    conversation, matching the `kg_provenance` query's semantics. Same
+    layout/encoding contract as the triple writer: one range Exchange
+    on (s, p, o, g), sorted diffable parts, JVM-only encoding.
+    """
+    lines = (
+        df.select("s", "p", "o", "g")
+        .repartitionByRange(n_partitions, "s", "p", "o", "g")
+        .sortWithinPartitions("s", "p", "o", "g")
+        .select(
+            F.concat_ws(
+                " ",
+                _iri("s", entity_base),
+                _iri("p", predicate_base),
+                _iri("o", entity_base),
+                _iri("g", graph_base),
+                F.lit("."),
+            ).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+
+
+def read_nquads(
+    spark: SparkSession,
+    path: str,
+    entity_base: str = _ENTITY_BASE,
+    predicate_base: str = _PREDICATE_BASE,
+    graph_base: str = _GRAPH_BASE,
+) -> DataFrame:
+    """Distributed N-Quads parse back to ``(s, p, o, g)`` — the exact
+    inverse of :func:`write_nquads`, with the same lenient row filter
+    as :func:`read_ntriples`."""
+    pat = r"^<([^>]*)> <([^>]*)> <([^>]*)> <([^>]*)> \.$"
+
+    def _term(group: int, base: str):
+        raw = F.regexp_extract(F.trim(F.col("value")), pat, group)
+        return F.url_decode(F.substring(raw, len(base) + 1, 2**30))
+
+    raw = spark.read.text(path)
+    return (
+        raw.where(F.trim(F.col("value")).rlike(pat))
+        .select(
+            _term(1, entity_base).alias("s"),
+            _term(2, predicate_base).alias("p"),
+            _term(3, entity_base).alias("o"),
+            _term(4, graph_base).alias("g"),
         )
     )

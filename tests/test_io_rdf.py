@@ -83,3 +83,23 @@ def test_roundtrip_matches_openke_materialize_output(spark, tmp_path):
     assert back.count() == df.count()
     assert back.exceptAll(df).count() == 0
     assert df.exceptAll(back).count() == 0
+
+
+def test_nquads_roundtrip_and_format_isolation(spark, tmp_path):
+    """Quad roundtrip is exact on hostile strings, and the two parsers
+    don't cross-match: a triples reader pointed at quads (or vice
+    versa) yields nothing rather than mis-parsed terms."""
+    from kgforge.io_rdf import read_nquads, write_nquads
+
+    quads = [(s, p, o, f"conv {i}") for i, (s, p, o) in enumerate(NASTY)]
+    df = spark.createDataFrame(quads, "s string, p string, o string, g string")
+    out = os.path.join(str(tmp_path), "nq")
+    write_nquads(df, out, n_partitions=3)
+    back = read_nquads(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(quads)
+    assert read_ntriples(spark, out).count() == 0
+    t_out = os.path.join(str(tmp_path), "nt")
+    write_ntriples(
+        spark.createDataFrame(NASTY, "s string, p string, o string"), t_out
+    )
+    assert read_nquads(spark, t_out).count() == 0
