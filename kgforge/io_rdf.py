@@ -32,6 +32,12 @@ the IRI-legal alphabet, with space mapped to ``+``), and
 ``url_decode`` inverts it exactly, so ``read_ntriples(write_ntriples
 (df))`` is the identity on any UTF-8 canonical strings, including
 newlines and the delimiters themselves.
+
+Terms must be non-null (canonical strings are, by construction — the
+extract stage coalesces text to ``""``): a null term nulls its IRI,
+``concat_ws`` then drops it, and the lenient reader skips the
+malformed line — so nulls would round-trip to silent row loss rather
+than an error. Filter or coalesce first if the source can hold nulls.
 """
 
 from __future__ import annotations
