@@ -62,6 +62,7 @@ class Pipeline:
         dense_ids_impl: str = "sort",
         embeddings_path: str | None = None,
         bucket_table: str | None = None,
+        export_ntriples: bool = False,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -75,6 +76,7 @@ class Pipeline:
         self.embeddings_seed = embeddings_seed
         self.embeddings_path = embeddings_path
         self.bucket_table = bucket_table
+        self.export_ntriples = export_ntriples
         if dense_ids_impl not in ("sort", "two_phase"):
             raise ValueError(dense_ids_impl)
         self.dense_ids_impl = dense_ids_impl
@@ -305,6 +307,33 @@ class Pipeline:
                 self.bucket_table,
                 key="s",
                 buckets=self.out_partitions,
+            )
+        # optional W3C interchange export: the canonical STRING triples
+        # as N-Triples (io_rdf) next to the OpenKE txt. The fact table
+        # holds dense ids, so map back through the (dictionary-sized,
+        # broadcast) entity/relation dicts — the export vocabulary is
+        # exactly entity2id/relation2id, and the write itself is
+        # distributed with no driver concatenation (no count header).
+        if self.export_ntriples:
+            from .io_rdf import write_ntriples
+
+            ids = self.spark.read.parquet(out).select("s", "p", "o")
+            e_s = e2id.select(F.col("id").alias("s"), F.col("name").alias("_s"))
+            e_o = e2id.select(F.col("id").alias("o"), F.col("name").alias("_o"))
+            r_p = r2id.select(F.col("id").alias("p"), F.col("name").alias("_p"))
+            named = (
+                ids.join(F.broadcast(e_s), "s")
+                .join(F.broadcast(r_p), "p")
+                .join(F.broadcast(e_o), "o")
+                .select(
+                    F.col("_s").alias("s"),
+                    F.col("_p").alias("p"),
+                    F.col("_o").alias("o"),
+                )
+            )
+            write_ntriples(
+                named, os.path.join(exp, "ntriples"),
+                n_partitions=self.out_partitions,
             )
         return {"row_count": int(lineage["row_count"]), "lineage": lineage}
 

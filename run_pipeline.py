@@ -35,6 +35,11 @@ def main() -> int:
         help="A20 Parquet embedding checkpoint dir (io_openke.write_embeddings_parquet "
              "layout); default: seeded frozen embeddings checkpointed under work-dir",
     )
+    ap.add_argument(
+        "--export-ntriples", action="store_true",
+        help="also write the canonical triples as W3C N-Triples "
+             "(materialize/openke/ntriples/, distributed io_rdf export)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--stages", default=None, help="comma-separated subset")
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
@@ -86,6 +91,7 @@ def main() -> int:
         out_partitions=args.out_partitions,
         resume=args.resume,
         embeddings_path=args.embeddings_path,
+        export_ntriples=args.export_ntriples,
     )
     report = pipe.run(stages)
     print(json.dumps(report, indent=1, default=str))

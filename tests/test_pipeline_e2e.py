@@ -25,6 +25,7 @@ def run_dir(spark, tmp_path_factory):
         patterns_path=os.path.join(fdir, "patterns.parquet"),
         out_partitions=4,
         bucket_table="kg_triples_e2e",
+        export_ntriples=True,
     )
     pipe.run(STAGES)
     return work, fdir, pipe
@@ -251,3 +252,28 @@ def test_canonicalize_recovers_unseen_aliases(spark, run_dir):
             want[row["obj"]] = row["obj_canon"]
     wrong = {s: (amap.get(s), c) for s, c in want.items() if amap.get(s) != c}
     assert not wrong, f"mis-canonicalized: {dict(list(wrong.items())[:3])}"
+
+
+def test_ntriples_export_matches_fact_table(spark, run_dir):
+    """--export-ntriples: the W3C interchange copy written by
+    materialize parses back to exactly the canonical STRING triples —
+    the id fact table mapped through entity2id/relation2id — with no
+    encode/decode loss."""
+    from kgforge.io_rdf import read_ntriples
+
+    work, _fdir, _pipe = run_dir
+    exp = os.path.join(work, "materialize", "openke")
+    e2id, r2id = {}, {}
+    for line in open(os.path.join(exp, "entity2id.txt")).read().splitlines()[1:]:
+        name, i = line.rsplit("\t", 1)
+        e2id[int(i)] = name
+    for line in open(os.path.join(exp, "relation2id.txt")).read().splitlines()[1:]:
+        name, i = line.rsplit("\t", 1)
+        r2id[int(i)] = name
+    fact = spark.read.parquet(os.path.join(work, "materialize", "triples"))
+    expected = sorted(
+        (e2id[r.s], r2id[r.p], e2id[r.o])
+        for r in fact.select("s", "p", "o").collect()
+    )
+    back = read_ntriples(spark, os.path.join(exp, "ntriples"))
+    assert sorted(map(tuple, back.collect())) == expected
