@@ -90,6 +90,9 @@ class Pipeline:
                 "embeddings_seed": embeddings_seed,
                 "embeddings_path": embeddings_path or "",
                 "bucket_table": bucket_table or "",
+                # in the fingerprint so toggling the export re-runs
+                # materialize instead of silently skipping the write
+                "export_ntriples": bool(export_ntriples),
             }
         )
         self.timings: dict[str, float] = {}

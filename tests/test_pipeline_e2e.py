@@ -98,6 +98,7 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         out_partitions=4,
         resume=True,
         bucket_table="kg_triples_e2e",
+        export_ntriples=True,  # must match run_dir's config (cfg fingerprint)
     )
     pipe2.run(STAGES)
     assert all(v == 0.0 for v in pipe2.timings.values()), pipe2.timings
@@ -122,6 +123,7 @@ def test_resume_skips_done_and_recomputes_invalidated(spark, run_dir):
         out_partitions=4,
         resume=True,
         bucket_table="kg_triples_e2e",
+        export_ntriples=True,  # must match run_dir's config (cfg fingerprint)
     )
     pipe3.run(STAGES)
     assert pipe3.timings["reassemble"] == 0.0
