@@ -245,7 +245,12 @@ def ngram_jaccard_pairs(
         F.explode("grams").alias("g"),
     )
     if df_cap is not None:
-        dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+        # one df pass shared by the kept-filter AND the dropped-gram
+        # side tables below (was computed once per join side: two full
+        # Exchange+HashAggregate subtrees in the executed plan)
+        dfreq = (
+            ex.groupBy("g").agg(F.count("*").alias("df")).localCheckpoint(eager=False)
+        )
         ex_gen = ex.join(
             dfreq.where((F.col("df") >= 2) & (F.col("df") <= df_cap)).select("g"), "g"
         )
@@ -258,25 +263,50 @@ def ngram_jaccard_pairs(
         & (F.col("na") >= threshold * F.col("nb"))
         & (F.col("nb") >= threshold * F.col("na"))
     )
+    # shared-KEPT-shingle count per candidate pair falls out of the same
+    # shuffle the old dropDuplicates paid (partial map-side agg either
+    # way) — but c is exact for the kept universe, so most candidates
+    # can be rejected WITHOUT ever touching the gram arrays.
+    cnt = joined.groupBy("a", "b", "na", "nb").agg(F.count("*").alias("c"))
     if df_cap is None:
-        # count-based: |A∩B| falls straight out of the join (one groupBy)
-        inter = joined.groupBy("a", "b", "na", "nb").agg(F.count("*").alias("n_common"))
+        # uncapped: every shared df>=2 shingle is in the join, c IS |A∩B|
+        inter = cnt.withColumnRenamed("c", "n_common")
     else:
-        # capped generation undercounts the join; verify candidates
-        # exactly against the full gram arrays (array_intersect is JVM)
-        cands = joined.select("a", "b").dropDuplicates(["a", "b"])
-        ga = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("_ga"))
-        gb = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("_gb"))
+        # Exact composition instead of the old full-array verify join:
+        #   n_common = c + |dropped(A) ∩ dropped(B)|
+        # (df=1 shingles are shared by nobody; kept shingles are counted
+        # exactly by c; only df>df_cap stop-shingles are missing). The
+        # sound upper bound  c + min(|dropped(A)|, |dropped(B)|)  >=
+        # n_common rejects pairs below threshold BEFORE the (tiny)
+        # dropped-array intersect — jaccard is monotone in n_common, so
+        # no true pair is lost and survivors are verified exactly.
+        dropped_docs = (
+            ex.join(dfreq.where(F.col("df") > df_cap).select("g"), "g")
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("_dg"))
+        )
+        nd_a = dropped_docs.select(
+            F.col("doc_id").alias("a"), F.col("_dg").alias("_dga")
+        )
+        nd_b = dropped_docs.select(
+            F.col("doc_id").alias("b"), F.col("_dg").alias("_dgb")
+        )
+        ub = F.col("c") + F.least(
+            F.coalesce(F.size("_dga"), F.lit(0)),
+            F.coalesce(F.size("_dgb"), F.lit(0)),
+        ).cast("long")
+        n_common = F.col("c") + F.when(
+            F.col("_dga").isNotNull() & F.col("_dgb").isNotNull(),
+            F.size(F.array_intersect("_dga", "_dgb")).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         inter = (
-            cands.join(ga, "a")
-            .join(gb, "b")
-            .select(
-                "a",
-                "b",
-                F.size("_ga").cast("long").alias("na"),
-                F.size("_gb").cast("long").alias("nb"),
-                F.size(F.array_intersect("_ga", "_gb")).cast("long").alias("n_common"),
+            cnt.join(nd_a, "a", "left")
+            .join(nd_b, "b", "left")
+            .where(
+                ub.cast("double") / (F.col("na") + F.col("nb") - ub).cast("double")
+                >= threshold
             )
+            .select("a", "b", "na", "nb", n_common.alias("n_common"))
         )
     return (
         inter.withColumn(
