@@ -171,7 +171,11 @@ class Pipeline:
             .distinct()
             .localCheckpoint(eager=False)
         )
-        pairs = canon.alias_pairs(names, threshold=0.5)
+        # driver_threshold: like the CC fast path below, the alias
+        # universe is dictionary-scale, so the LSH chain's ~10 small
+        # jobs collapse into one driver pass under the gate (identical
+        # output; above the gate the distributed chain runs unchanged)
+        pairs = canon.alias_pairs(names, threshold=0.5, driver_threshold=10_000)
         a_can = gazmap.select(F.col("surface").alias("a"), F.col("canonical").alias("_ca"))
         b_can = gazmap.select(F.col("surface").alias("b"), F.col("canonical").alias("_cb"))
         anchored = (

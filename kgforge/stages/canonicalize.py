@@ -257,11 +257,96 @@ def alias_pairs(
     n_bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 50,
+    driver_threshold: int = 0,
 ) -> DataFrame:
-    """Full B7: names → verified near-duplicate alias pairs (a, b, jaccard)."""
+    """Full B7: names → verified near-duplicate alias pairs (a, b, jaccard).
+
+    ``driver_threshold`` > 0 enables the scale-ADAPTIVE fast path
+    (same contract as :func:`connected_components`'s): if there are at
+    most that many distinct names, the whole minhash→band→bucket→verify
+    chain runs on the driver in one pass — identical output (same
+    :func:`minhash_matrix` signatures, same band slicing, same
+    ``max_bucket`` cap, same exact-shingle-Jaccard verify) computed
+    without the ~10 small Spark jobs the distributed chain schedules.
+    The pipeline's alias universe is DICTIONARY-scale (distinct
+    surfaces + gazetteer, not the corpus), so nearly all of its B7 wall
+    was fixed job overhead. Default 0 keeps every other caller on the
+    distributed path.
+    """
+    if driver_threshold:
+        head = (
+            names.select(F.col(name_col).alias("name")).distinct()
+            .limit(driver_threshold + 1).toPandas()
+        )
+        if len(head) <= driver_threshold:
+            return _alias_pairs_driver(
+                head["name"].tolist(), names.sparkSession,
+                n_perm, n_bands, threshold, max_bucket,
+            )
     sigs = minhash_signatures(names, name_col, n_perm)
     cands = lsh_candidate_pairs(sigs, name_col, n_bands, max_bucket)
     return exact_jaccard_filter(cands, threshold)
+
+
+def _alias_pairs_driver(
+    name_list: list,
+    spark,
+    n_perm: int,
+    n_bands: int,
+    threshold: float,
+    max_bucket: int,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Driver-side replica of the distributed B7 chain (see
+    :func:`alias_pairs` ``driver_threshold``). Bucket identity uses the
+    raw band-slice bytes (the JVM path hashes the slice with xxhash64 —
+    same row partition, hash collisions aside); the verify uses raw
+    string shingle sets (equal to the hashed-array Jaccard the JVM path
+    computes, FNV collisions aside)."""
+    import re as _re
+
+    from collections import defaultdict
+
+    out_schema = "a string, b string, jaccard double"
+    names_sorted = [s for s in name_list if s is not None]
+    if not names_sorted:
+        return spark.createDataFrame([], out_schema)
+    norm = [_re.sub(r"[^\w]", "", s.lower()) for s in names_sorted]
+    sigs = minhash_matrix(norm, n_perm, k, seed)
+    rpb = n_perm // n_bands
+    cand: set = set()
+    for b in range(n_bands):
+        buckets: dict = defaultdict(list)
+        sl = sigs[:, b * rpb:(b + 1) * rpb]
+        for i in range(len(names_sorted)):
+            buckets[sl[i].tobytes()].append(i)
+        for grp in buckets.values():
+            if len(grp) > max_bucket:
+                continue
+            for x in range(len(grp)):
+                for y in range(x + 1, len(grp)):
+                    p, q = names_sorted[grp[x]], names_sorted[grp[y]]
+                    if p != q:
+                        cand.add((p, q) if p < q else (q, p))
+    shingles: dict = {}
+
+    def _sh(s: str) -> set:
+        if s not in shingles:
+            ns = _re.sub(r"[^\w]", "", s.lower())
+            shingles[s] = {ns[j:j + k] for j in range(max(1, len(ns) - k + 1))}
+        return shingles[s]
+
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = _sh(a), _sh(b)
+        inter = len(sa & sb)
+        j = float(inter) / float(len(sa) + len(sb) - inter)
+        if j >= threshold:
+            rows.append((a, b, j))
+    from ..session import tiny_df
+
+    return tiny_df(spark, rows, out_schema)
 
 
 def _unionfind_components(pdf, spark) -> DataFrame:
@@ -290,8 +375,12 @@ def _unionfind_components(pdf, spark) -> DataFrame:
         if r not in comp_min or node < comp_min[r]:
             comp_min[r] = node
     rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
-    out = spark.createDataFrame(rows, schema=["node", "component"])
-    return out
+    if not rows:
+        return spark.createDataFrame(rows, schema=["node", "component"])
+    # pandas/Arrow path: the plain-list createDataFrame parallelizes into
+    # defaultParallelism pickled slices (~4s per call at local[32])
+    pdf = pd.DataFrame(rows, columns=["node", "component"], dtype=object)
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(

@@ -37,12 +37,23 @@ def dense_ids(names: DataFrame, name_col: str = "name") -> DataFrame:
     )
 
 
-def two_phase_dense_ids(names: DataFrame, name_col: str = "name", buckets: int = 256) -> DataFrame:
+def two_phase_dense_ids(
+    names: DataFrame, name_col: str = "name", buckets: int | None = None
+) -> DataFrame:
     """Scale path for dense IDs: range-bucket by name, rank within bucket,
     add exclusive prefix-sum offsets. Identical output to :func:`dense_ids`
     (global order by name) without a single-partition global sort.
+
+    ``buckets`` defaults to ``spark.sql.shuffle.partitions`` — the
+    output (global dense rank by name) is identical for ANY bucket
+    count, so the bucketing tracks the session's shuffle sizing instead
+    of a constant (the old fixed 256 scheduled 256 tiny tasks per phase
+    at dictionary cardinality; at real scale raise shuffle partitions
+    and this follows).
     """
     distinct = names.select(F.col(name_col).alias("name")).distinct()
+    if buckets is None:
+        buckets = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # repartitionByRange gives contiguous name ranges per partition
     ranged = distinct.repartitionByRange(buckets, "name").withColumn(
         "bucket", F.spark_partition_id()
@@ -137,16 +148,23 @@ def salted_write(
         "part"
     ).parquet(path)
     lineage = dict(obs.get)
-    # per-partition lineage rows: cheap metadata-sized readback aggregation
+    # per-partition lineage rows: cheap metadata-sized readback
+    # aggregation — collected ONCE; the lineage parquet is written from
+    # the collected rows (the old collect-after-write re-executed the
+    # whole readback aggregation a second time)
     spark = df.sparkSession
-    per_part = (
+    parts = (
         spark.read.parquet(path)
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("rows"))
         .orderBy("part")
+        .collect()
     )
-    per_part.coalesce(1).write.mode("overwrite").parquet(path + "_lineage")
-    parts = per_part.collect()
+    from ..session import tiny_df
+
+    tiny_df(
+        spark, [(int(r["part"]), int(r["rows"])) for r in parts], "part int, rows bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_lineage")
     lineage["partitions"] = {int(r["part"]): int(r["rows"]) for r in parts}
     lineage["max_partition_rows"] = max((int(r["rows"]) for r in parts), default=0)
     return lineage

@@ -355,3 +355,21 @@ def test_driver_unionfind_equals_distributed_cc(spark):
         ).collect()
     }
     assert big == dist and "mode" not in stats_big
+
+
+def test_driver_alias_pairs_equals_distributed(spark):
+    """The alias_pairs driver fast path (driver_threshold) must produce
+    exactly the distributed chain's verified pairs — same candidates
+    (band-slice buckets, max_bucket cap) and same jaccard doubles."""
+    gaz = gazetteer()
+    names = spark.createDataFrame(gaz[["surface"]].rename(columns={"surface": "name"}))
+    dist = alias_pairs(names, threshold=0.5).toPandas()
+    drv = alias_pairs(names, threshold=0.5, driver_threshold=10_000).toPandas()
+    key = ["a", "b"]
+    dist = dist.sort_values(key).reset_index(drop=True)
+    drv = drv.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, drv, check_like=True)
+    # above the gate the distributed path must run unchanged
+    over = alias_pairs(names, threshold=0.5, driver_threshold=2).toPandas()
+    over = over.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, over, check_like=True)
