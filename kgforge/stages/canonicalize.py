@@ -41,7 +41,9 @@ def char_shingles(s: pd.Series, k: int = 3) -> pd.Series:
     return s.map(lambda x: {x[i:i + k] for i in range(max(1, len(x) - k + 1))})
 
 
-def minhash_matrix(strings: list[str], n_perm: int, k: int, seed: int) -> np.ndarray:
+def minhash_matrix(
+    strings: list[str], n_perm: int, k: int, seed: int, return_shingles: bool = False
+) -> np.ndarray:
     """MinHash signatures for normalized strings → ``[n, n_perm]`` int64.
 
     Bit-identical to the scalar recipe (FNV-1a per shingle via
@@ -93,21 +95,36 @@ def minhash_matrix(strings: list[str], n_perm: int, k: int, seed: int) -> np.nda
             row_lo = row_hi
         return (sig >> np.uint64(1)).astype(np.int64)
 
+    sh_out: list | None = [None] * n if return_shingles else None
+
     if long_i:
         buf, offsets, lens = pack_strings([strings[i].encode() for i in long_i])
         starts, counts = flat_windows(lens, offsets, k)
         base = fnv1a_windows(buf, starts, k, seed)
         out[long_i] = _sig_from_grouped(base, counts)
+        if return_shingles:
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            b64 = base.astype(np.int64)
+            for j, i in enumerate(long_i):
+                sh_out[i] = np.unique(b64[bounds[j]:bounds[j + 1]])
     if short_i:
         padded, lens = pad_tokens([strings[i].encode() for i in short_i])
         base = fnv1a_tokens(padded, lens, seed)
         out[short_i] = _sig_from_grouped(base, np.ones(len(short_i), dtype=np.int64))
+        if return_shingles:
+            b64 = base.astype(np.int64)
+            for j, i in enumerate(short_i):
+                sh_out[i] = b64[j:j + 1]
     for i in fb_i:
         x = strings[i]
         sh = {x[j:j + k] for j in range(max(1, len(x) - k + 1))}
         base = np.array([hash_shingle(y, seed) for y in sh], dtype=np.uint64)
         m = splitmix64(base[:, None] ^ pc[None, :])
         out[i] = (m.min(axis=0) >> np.uint64(1)).astype(np.int64)
+        if return_shingles:
+            sh_out[i] = np.unique(base.astype(np.int64))
+    if return_shingles:
+        return out, sh_out
     return out
 
 
@@ -184,23 +201,33 @@ def lsh_candidate_pairs(
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
     )
-    # pinned before the self-join: the a/b sides are not recognized as a
-    # reusable exchange (verified in the executed plan), so without this
-    # the signature mapInPandas and the bucket window run twice. Lazy
-    # (eager=False): the first consuming job materializes it — an eager
-    # pin here costs a whole extra job, measured +0.5s per call at
-    # bench scale with zero benefit (the compute dedup is identical).
-    ok = (
-        sized.where(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
-        .localCheckpoint(eager=False)
+    # intra-bucket pairs via collect_list + combination expansion in ONE
+    # plan: the groupBy rides the window's (band, bucket) partitioning —
+    # no second corpus exchange, no self-join, no checkpoint (the old
+    # checkpoint + broadcast self-join + dedup shape cost 3 extra
+    # materializations; the executed plan here shows exactly 2 Exchanges
+    # total: the banding shuffle and the final pair dedup). The
+    # bucket_n <= max_bucket filter runs BEFORE collect_list, so no
+    # aggregation row ever exceeds max_bucket ids (degenerate stop-
+    # buckets never materialize as arrays). least/greatest normalizes
+    # pair order (ids within a bucket are distinct).
+    ok = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    grp = (
+        ok.groupBy("band", "bucket")
+        .agg(F.collect_list(name_col).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    a = ok.withColumnRenamed(name_col, "a")
-    b = ok.withColumnRenamed(name_col, "b")
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) as a, greatest(x, y) as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
 

@@ -554,24 +554,54 @@ def minhash_neardup_docs(
     Output: ``a, b, jaccard`` (doc_id pairs).
     """
     from .session import ensure_min_partitions
-    from .stages.canonicalize import lsh_candidate_pairs, minhash_signatures
+    from .stages.canonicalize import lsh_candidate_pairs, minhash_matrix
 
     docs = ensure_min_partitions(docs)
-    sigs = minhash_signatures(
-        docs.select("doc_id", "text"), name_col="text", id_col="doc_id",
-        n_perm=n_perm, k=shingle_k,
+    # ONE fused pass computes signatures AND the verify shingle arrays:
+    # both derive from the same per-doc FNV window hashes, so the old
+    # separate minhash_signatures + char_shingle_table passes normalized
+    # and hashed every document twice (and the shingle table, feeding
+    # both verify sides unpinned, executed twice more in the plan —
+    # three corpus text scans where one suffices). Shingle SETS are
+    # identical to char_shingle_table's (same normalization, same FNV,
+    # same seed), so jaccard doubles are unchanged.
+    id_type = dict(docs.dtypes)["doc_id"]
+    seed = 42
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            norm = (
+                pdf["text"].astype("string").fillna("")
+                .str.lower().str.replace(r"[^\w]", "", regex=True)
+            )
+            sigs_m, shs = minhash_matrix(
+                norm.tolist(), n_perm, shingle_k, seed, return_shingles=True
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sigs_m), "shingles": shs}
+            )
+
+    combo = (
+        docs.select("doc_id", "text")
+        .mapInPandas(_fused, f"doc_id {id_type}, sig array<long>, shingles array<long>")
+        .localCheckpoint(eager=False)
     )
-    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands, max_bucket)
-    # exact verify against per-doc hashed shingle arrays (computed once;
-    # JVM array_intersect — no per-pair Python shingling)
-    sh = char_shingle_table(docs, shingle_k)
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("_sa"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("_sb"))
+    cands = lsh_candidate_pairs(combo.select("doc_id", "sig"), "doc_id", n_bands, max_bucket)
+    sa = combo.select(F.col("doc_id").alias("a"), F.col("shingles").alias("_sa"))
+    sb = combo.select(F.col("doc_id").alias("b"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
     return (
         cands.join(sa, "a")
         .join(sb, "b")
+        # exact size prefilter (jaccard <= min/max) gates the per-pair
+        # array_intersect — sizes are O(1) on the already-joined arrays
+        .where(
+            (F.size("_sa") >= threshold * F.size("_sb"))
+            & (F.size("_sb") >= threshold * F.size("_sa"))
+        )
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
