@@ -927,9 +927,11 @@ def phrase_search(docs: DataFrame, phrase: str, text_col: str = "text") -> DataF
     terms = [t for t in phrase.lower().strip().split() if t]
     if not terms:
         raise ValueError("phrase_search: phrase must contain tokens")
+    from .session import tiny_df
+
     spark = docs.sparkSession
-    slots = spark.createDataFrame(
-        [(t, j) for j, t in enumerate(terms)], "token string, slot long"
+    slots = tiny_df(
+        spark, [(t, j) for j, t in enumerate(terms)], "token string, slot long"
     )
     postings = inverted_index(docs, text_col=text_col)
     hits = postings.join(F.broadcast(slots), "token").select(
@@ -1037,9 +1039,13 @@ def running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # pinned: the totals collect below is the first action AND the
+    # returned plan re-reads the same pass — without the checkpoint the
+    # range shuffle + window executed twice (and offsets keyed by _pid
+    # from run 1 would join run 2's re-sampled range boundaries)
     local = ranged.withColumn(
         "_cum_local", F.sum(F.col(amount_col).cast("long")).over(w)
-    )
+    ).localCheckpoint(eager=False)
     # partition totals: partition-count-sized, never data-sized
     totals = {
         r["_pid"]: r["_tot"]
@@ -1051,9 +1057,12 @@ def running_sum(
     for pid in sorted(totals):
         offsets[pid] = running
         running += totals[pid]
+    from .session import tiny_df
+
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
+        tiny_df(
+            spark,
             [(int(pid), int(off)) for pid, off in offsets.items()],
             "_pid int, _off long",
         )

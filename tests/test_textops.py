@@ -1021,13 +1021,30 @@ def test_prefix_by_budget_matches_global_cumsum(spark):
         )
         assert list(got["k"]) == list(want["k"])
         assert list(got["cum_amount"]) == list(want["cum"])
+    # the cumsum pass is pinned behind a localCheckpoint (it feeds both
+    # the totals collect and the returned plan), so the range-partition
+    # guard must inspect the PRE-checkpoint plan: the local-window pass
+    # itself, built exactly as running_sum builds it
+    from pyspark.sql import Window as W
+
+    ranged = (
+        spark.createDataFrame(pdf)
+        .repartitionByRange(32, F.col("k"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     plan = (
-        prefix_by_budget(spark.createDataFrame(pdf), [F.col("k")], "amt", budget)
+        ranged.withColumn("_cum_local", F.sum(F.col("amt").cast("long")).over(w))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
     # strict prefix: a budget below the first row selects nothing
     assert prefix_by_budget(spark.createDataFrame(pdf), [F.col("k")], "amt", 0).count() == 0
 
