@@ -50,16 +50,25 @@ def cosine_topk(
     the embedding table; rank per query with a deterministic id
     tie-break. Output: ``query_id, neighbor_id, rk, cos``.
     """
+    # norms are per-ROW quantities: computing them before the cross join
+    # evaluates |Q| + |E| interpreted aggregate() expressions instead of
+    # 3·|Q|·|E| (the higher-order _dot is interpreted, not codegen).
+    # cos = dot(q,e) / (sqrt(dot(q,q)) * sqrt(dot(e,e))) is the SAME
+    # operation tree as cosine_expr, so scores are bit-identical.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
     )
     joined = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_evec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_evec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_en"),
     ).crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine_expr(F.col("_qvec"), F.col("_evec")).alias("cos"),
+        (_dot(F.col("_qvec"), F.col("_evec")) / (F.col("_qn") * F.col("_en"))).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -102,13 +111,24 @@ def cosine_neardup_pairs(
     """
     if method == "auto":
         method = "lsh" if threshold >= 0.7 else "exact"
+    # per-side norms hoisted out of the pair expression everywhere below:
+    # N + N interpreted aggregates instead of 3·|pairs| (bit-identical —
+    # same operation tree as cosine_expr; see cosine_topk)
+    _w_norm = lambda side, vname: embeddings.select(  # noqa: E731
+        F.col(id_col).alias(side),
+        F.col(vec_col).alias(vname),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias(f"_n{side}"),
+    )
     if method == "exact":
-        a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        a = _w_norm("a", "va")
+        b = _w_norm("b", "vb")
         return (
             a.crossJoin(b)
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+            .select(
+                "a", "b",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+            )
             .where(F.col("cos") >= threshold)
             .select("a", "b")
         )
@@ -124,12 +144,15 @@ def cosine_neardup_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    va = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    va = _w_norm("a", "va")
+    vb = _w_norm("b", "vb")
     return (
         cands.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "a", "b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .select("a", "b")
     )
@@ -365,17 +388,24 @@ def ivf_topk(
 
     q_probe = queries.select(F.col(query_id_col), F.col(vec_col)).mapInPandas(probe, schema)
     e = embeddings.join(e_assign, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_evec"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_evec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_en"),
+        "cluster",
     )
     q = queries.join(q_probe, query_id_col).select(
-        query_id_col, F.col(vec_col).alias("_qvec"), "cluster"
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
+        "cluster",
     )
     scored = (
         e.join(F.broadcast(q), "cluster")
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_expr(F.col("_qvec"), F.col("_evec")).alias("cos"),
+            # norms hoisted per side — bit-identical to cosine_expr
+            (_dot(F.col("_qvec"), F.col("_evec")) / (F.col("_qn") * F.col("_en"))).alias("cos"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
@@ -420,17 +450,24 @@ def lsh_topk(
         q_sig = q_sig.select(query_id_col, F.explode(probes).alias("bucket"))
 
     e = embeddings.join(e_sig, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_evec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_evec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_en"),
+        "bucket",
     )
     q = queries.join(q_sig, query_id_col).select(
-        query_id_col, F.col(vec_col).alias("_qvec"), "bucket"
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
+        "bucket",
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_expr(F.col("_qvec"), F.col("_evec")).alias("cos"),
+            # norms hoisted per side — bit-identical to cosine_expr
+            (_dot(F.col("_qvec"), F.col("_evec")) / (F.col("_qn") * F.col("_en"))).alias("cos"),
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
@@ -715,11 +752,13 @@ def knn_label_accuracy(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).cast("long").alias("nlabel"),
         F.col(vec_col).alias("_evec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_en"),
     )
     q = embeddings.where(F.col(id_col) < int(n_queries)).select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).cast("long").alias("true_label"),
         F.col(vec_col).alias("_qvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -729,7 +768,8 @@ def knn_label_accuracy(
             "true_label",
             "neighbor_id",
             "nlabel",
-            cosine_expr(F.col("_qvec"), F.col("_evec")).alias("cos"),
+            # norms hoisted per side — bit-identical to cosine_expr
+            (_dot(F.col("_qvec"), F.col("_evec")) / (F.col("_qn") * F.col("_en"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
