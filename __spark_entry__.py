@@ -688,18 +688,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         metric blocks — identical aggregation text per block."""
         split, emb, known = _openke_emb()
         test = spark.createDataFrame(split["test2id"])
-        out = None
-        for name, dec, _ctes in _LEADERBOARD_KERNELS:
-            ranks = ev.link_prediction_ranks(
-                spark, test, emb, known, model=name, score_decimals=dec
-            )
-            m = ev.link_prediction_metrics(ranks)
-            m = m.select(
-                F.lit(name).alias("model"),
-                *[F.round(F.col(c), 9).alias(c) for c in m.columns],
-            )
-            out = m if out is None else out.unionByName(m)
-        return out
+        # fused: one mapInPandas scores all 7 kernels (one broadcast set,
+        # one Arrow crossing), one grouped aggregation replaces the
+        # 7-branch union — per-kernel rank/metric values are identical
+        # (pinned by test_kernel_leaderboard_consistent_with_...)
+        ranks = ev.link_prediction_ranks_multi(
+            spark, test, emb, known,
+            models=[(name, dec) for name, dec, _ctes in _LEADERBOARD_KERNELS],
+        )
+        m = ev.link_prediction_metrics_by_model(ranks)
+        order = F.array(*[F.lit(name) for name, _d, _c in _LEADERBOARD_KERNELS])
+        return m.select(
+            "model",
+            *[F.round(F.col(c), 9).alias(c) for c in m.columns if c != "model"],
+        ).orderBy(F.array_position(order, F.col("model")))  # 7-row sort: kernel order
 
     def kg_ntriples_roundtrip(spark, sf):
         """RDF N-Triples codec (io_rdf): canonical string triples →
