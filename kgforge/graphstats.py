@@ -438,63 +438,77 @@ def pagerank(
     otherwise grow linearly with iterations (same trap as B8's CC loop,
     canonicalize.py).
     """
+    from pyspark.sql import Observation
+
     edges = (
         triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("e"))
-        .unionByName(edges.select(F.col("dst").alias("e")))
-        .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("od")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # out-degree is static: folded into the edge table ONCE, so the loop
     # never joins (or worse, broadcasts) the |V|-sized outdeg table —
     # per-iteration work is exactly edges⋈ranks + groupBy(dst)
-    edges_od = edges.join(outdeg, "src").localCheckpoint()
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
-    # the dangling (out-degree-0) node SET is static across iterations —
-    # computed once here so each round pays a semi-join against a small
-    # fixed table instead of re-deriving the anti-join vs |V|-sized outdeg
-    dangling = nodes.join(
-        outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
-    ).localCheckpoint()
+    edges_od = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    # the dangling (out-degree-0) flag is static: folded into the node
+    # table once, so each round's dangling MASS is collected by an
+    # Observation riding the round's own checkpoint materialization —
+    # the old per-round semi-join + one-row agg + broadcast cost two
+    # extra jobs per iteration
+    nodes_d = (
+        edges.select(F.col("src").alias("e"))
+        .unionByName(edges.select(F.col("dst").alias("e")))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "e"), "e", "left")
+        .select("e", F.col("od").isNull().alias("_dang"))
+        .localCheckpoint()
+    )
+    n_val = float(nodes_d.count())
+    _dang_sum = F.coalesce(
+        F.sum(F.when(F.col("_dang"), F.col("rank"))), F.lit(0.0)
+    ).alias("dang")
+    obs = Observation("pr_init")
     ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"))
+        nodes_d.select(
+            "e", "_dang", F.round(F.lit(1.0 / n_val), round_decimals).alias("rank")
+        )
+        .observe(obs, _dang_sum)
         .localCheckpoint()
     )
     d = F.lit(damping)
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        dang_val = float(obs.get["dang"])
         contrib = (
-            edges_od.join(ranks.withColumnRenamed("e", "src"), "src")
+            edges_od.join(
+                ranks.select(F.col("e").alias("src"), "rank"), "src"
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
             .withColumnRenamed("dst", "e")
         )
-        dang = ranks.join(dangling, "e", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
+        obs = Observation(f"pr_round_{it}")
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, "e", "left")
+            nodes_d.join(contrib, "e", "left")
             .select(
                 "e",
+                "_dang",
                 F.round(
-                    (F.lit(1.0) - d) / F.col("n")
-                    + d * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") / F.col("n")),
+                    (F.lit(1.0) - d) / F.lit(n_val)
+                    + d
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dang_val) / F.lit(n_val)
+                    ),
                     round_decimals,
                 ).alias("rank"),
             )
+            .observe(obs, _dang_sum)
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("e", "rank")
 
 
 def label_propagation(triples: DataFrame, n_iter: int = 5) -> DataFrame:
