@@ -453,7 +453,9 @@ def _constraint_df(spark: SparkSession, c) -> DataFrame | None:
     )
     if not rows:
         return None
-    return spark.createDataFrame(rows, "r long, cand long")
+    from .session import tiny_df
+
+    return tiny_df(spark, rows, "r long, cand long")
 
 
 def _flag_constraint(cand: DataFrame, cdf: DataFrame | None, flag: str) -> DataFrame:

@@ -466,7 +466,9 @@ def pagerank(
         .select("e", F.col("od").isNull().alias("_dang"))
         .localCheckpoint()
     )
-    n_val = float(nodes_d.count())
+    # max(1): an empty graph has no rank rows at all, so the value is
+    # never observed — the guard only avoids Python's 0-division
+    n_val = float(nodes_d.count()) or 1.0
     _dang_sum = F.coalesce(
         F.sum(F.when(F.col("_dang"), F.col("rank"))), F.lit(0.0)
     ).alias("dang")
