@@ -813,33 +813,37 @@ def personalized_pagerank(
     loop-invariant tables (edge+outdeg fold, dangling set, base vector)
     are built once and checkpointed, exactly as in :func:`pagerank`.
     """
+    from pyspark.sql import Observation
+
     edges = (
         triples.select(F.col("h").alias("src"), F.col("t").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("e"))
         .unionByName(edges.select(F.col("dst").alias("e")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("od")
-    ).localCheckpoint()
-    edges_od = edges.join(outdeg, "src").localCheckpoint()
-    dangling = nodes.join(
-        outdeg.withColumnRenamed("src", "e"), "e", "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    edges_od = edges.join(outdeg, "src").localCheckpoint(eager=False)
     s = (
         seeds.select(F.col("seed").alias("e"))
         .dropDuplicates()
         .join(nodes, "e", "left_semi")
     )
     ns = s.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    # the dangling flag and teleport base are both static: folded into
+    # one node table, so each round's dangling mass rides the round's
+    # checkpoint as an Observation instead of a semi-join + one-row agg
+    # + broadcast (two extra jobs per iteration — same shape as pagerank)
     base = (
         nodes.join(s.withColumn("_s", F.lit(1)), "e", "left")
+        .join(outdeg.withColumnRenamed("src", "e").withColumn("_o", F.lit(1)).select("e", "_o"), "e", "left")
         .crossJoin(F.broadcast(ns))
         .select(
             "e",
@@ -849,36 +853,45 @@ def personalized_pagerank(
                 ),
                 round_decimals,
             ).alias("b"),
+            F.col("_o").isNull().alias("_dang"),
         )
         .localCheckpoint()
     )
-    ranks = base.select("e", F.col("b").alias("rank")).localCheckpoint()
+    _dang_sum = F.coalesce(
+        F.sum(F.when(F.col("_dang"), F.col("rank"))), F.lit(0.0)
+    ).alias("dang")
+    obs = Observation("ppr_init")
+    ranks = (
+        base.select("e", "_dang", F.col("b").alias("rank"))
+        .observe(obs, _dang_sum)
+        .localCheckpoint()
+    )
     d = F.lit(damping)
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        dang_val = float(obs.get["dang"])
         contrib = (
-            edges_od.join(ranks.withColumnRenamed("e", "src"), "src")
+            edges_od.join(ranks.select(F.col("e").alias("src"), "rank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
             .withColumnRenamed("dst", "e")
         )
-        dang = ranks.join(dangling, "e", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
+        obs = Observation(f"ppr_round_{it}")
         ranks = (
-            base.crossJoin(F.broadcast(dang))
-            .join(contrib, "e", "left")
+            base.join(contrib, "e", "left")
             .select(
                 "e",
+                "_dang",
                 F.round(
                     (F.lit(1.0) - d) * F.col("b")
                     + d
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") * F.col("b")),
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dang_val) * F.col("b")),
                     round_decimals,
                 ).alias("rank"),
             )
+            .observe(obs, _dang_sum)
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("e", "rank")
 
 
 def top_hubs(triples: DataFrame, k: int = 10) -> DataFrame:
@@ -1265,55 +1278,71 @@ def pagerank_weighted(
     its docstring for the determinism and scale arguments); the only
     structural change is the weighted edge table folding its
     out-strength once, loop-invariant."""
+    from pyspark.sql import Observation
+
     edges = (
         triples.where(F.col("h") != F.col("t"))
         .groupBy(F.col("h").alias("src"), F.col("t").alias("dst"))
         .agg(F.count_distinct("r").cast("double").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = (
+    outs = edges.groupBy("src").agg(F.sum("w").alias("sw"))
+    edges_w = edges.join(outs, "src").localCheckpoint(eager=False)
+    # dangling flag folded into the node table; per-round dangling mass
+    # rides each round's checkpoint as an Observation (see pagerank)
+    nodes_d = (
         edges.select(F.col("src").alias("e"))
         .unionByName(edges.select(F.col("dst").alias("e")))
         .distinct()
+        .join(
+            edges.select(F.col("src").alias("e")).distinct().withColumn("_o", F.lit(1)),
+            "e",
+            "left",
+        )
+        .select("e", F.col("_o").isNull().alias("_dang"))
         .localCheckpoint()
     )
-    outs = edges.groupBy("src").agg(F.sum("w").alias("sw"))
-    edges_w = edges.join(outs, "src").localCheckpoint()
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint()
-    dangling = nodes.join(
-        edges.select(F.col("src").alias("e")).distinct(), "e", "left_anti"
-    ).localCheckpoint()
+    n_val = float(nodes_d.count()) or 1.0
+    _dang_sum = F.coalesce(
+        F.sum(F.when(F.col("_dang"), F.col("rank"))), F.lit(0.0)
+    ).alias("dang")
+    obs = Observation("wpr_init")
     ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("e", F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"))
+        nodes_d.select(
+            "e", "_dang", F.round(F.lit(1.0 / n_val), round_decimals).alias("rank")
+        )
+        .observe(obs, _dang_sum)
         .localCheckpoint()
     )
     d = F.lit(damping)
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        dang_val = float(obs.get["dang"])
         contrib = (
-            edges_w.join(ranks.withColumnRenamed("e", "src"), "src")
+            edges_w.join(ranks.select(F.col("e").alias("src"), "rank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("sw")).alias("contrib"))
             .withColumnRenamed("dst", "e")
         )
-        dang = ranks.join(dangling, "e", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
+        obs = Observation(f"wpr_round_{it}")
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, "e", "left")
+            nodes_d.join(contrib, "e", "left")
             .select(
                 "e",
+                "_dang",
                 F.round(
-                    (F.lit(1.0) - d) / F.col("n")
-                    + d * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") / F.col("n")),
+                    (F.lit(1.0) - d) / F.lit(n_val)
+                    + d
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dang_val) / F.lit(n_val)
+                    ),
                     round_decimals,
                 ).alias("rank"),
             )
+            .observe(obs, _dang_sum)
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("e", "rank")
 
 
 def shortest_paths(
