@@ -574,8 +574,11 @@ def link_prediction_ranks_blocked(
     elif model == "complex":
         # imaginary halves ride exactly like the real ones: per-relation
         # vector broadcast onto the test side, per-entity vectors joined
-        # on h/t (broadcast: test-batch-sized) and onto the candidate
-        # table (one |E|-sized JVM join, same shape as TransD's edot)
+        # on h/t (the broadcast side is the full |E|-sized ent_im vector
+        # table — same shape and cost as the pre-existing ent joins
+        # above; a semi-join down to the test batch's h/t ids would
+        # shrink both) and onto the candidate table (one |E|-sized JVM
+        # join, same shape as TransD's edot)
         ri = dfs["rel_im"].select(F.col("id").alias("r"), F.col("vec").alias("rvec_im"))
         ei = dfs["ent_im"]
         t = (

@@ -14,7 +14,11 @@ no count header, so unlike :func:`kgforge.io_openke.
 write_triples_txt_spark` there is no driver-side file concatenation at
 all; a 100 TB export stays a pure executor-side job and the part files
 land sorted by (s, p, o) ranges (``repartitionByRange`` +
-``sortWithinPartitions``), giving a deterministic, diffable layout.
+``sortWithinPartitions``). ``repartitionByRange`` samples its range
+boundaries, so per-file contents can shift between sessions; what IS
+guaranteed is that the concatenation of the part files in name order
+is deterministically sorted — that concatenation is the diffable
+artifact.
 Term encoding runs on JVM built-ins (``url_encode`` / ``url_decode``
 — percent-encoding whose output alphabet is IRI-safe), never per-row
 Python, so the export plan is one range shuffle and zero Python
@@ -24,14 +28,21 @@ Encoding contract
 -----------------
 Canonical entity / relation strings become absolute IRIs under
 private-scheme bases (default ``kg:e/`` for entities, ``kg:p/`` for
-predicates): ``<kg:e/Jo%C3%A3o+Silva> <kg:p/works_at> <kg:e/Acme> .``
+predicates): ``<kg:e/Jo%C3%A3o%20Silva> <kg:p/works_at> <kg:e/Acme> .``
 ``url_encode`` percent-encodes every character N-Triples forbids
 inside ``<...>`` (space, angle brackets, quotes, backslash, control
-characters — application/x-www-form-urlencoded is a strict subset of
-the IRI-legal alphabet, with space mapped to ``+``), and
-``url_decode`` inverts it exactly, so ``read_ntriples(write_ntriples
-(df))`` is the identity on any UTF-8 canonical strings, including
-newlines and the delimiters themselves.
+characters); form-encoding's ``+``-for-space is post-processed to
+``%20`` so the IRIs are RFC-3986-faithful for external consumers
+(Jena/Virtuoso decode per RFC 3986, where ``+`` is a literal plus —
+a literal ``+`` in a term encodes as ``%2B``, so the mapping stays
+unambiguous). ``url_decode`` inverts it exactly, so ``read_ntriples
+(write_ntriples(df))`` is the identity on any UTF-8 canonical
+strings, including newlines and the delimiters themselves. The
+readers additionally require each term to start with its configured
+base (the base is compiled into the line regex): lines written under
+different bases — or foreign N-Triples files — are dropped like any
+other non-matching line instead of parsing into silently mangled
+terms.
 
 Terms must be non-null (canonical strings are, by construction — the
 extract stage coalesces text to ``""``): a null term nulls its IRI,
@@ -53,7 +64,21 @@ _GRAPH_BASE = "kg:g/"
 
 
 def _iri(col: str, base: str):
-    return F.concat(F.lit("<" + base), F.url_encode(F.col(col)), F.lit(">"))
+    # url_encode emits form-encoding's '+' for space; rewrite to '%20'
+    # (still JVM-only, still inverted exactly by url_decode — a literal
+    # '+' encodes as '%2B') so the IRIs are RFC-3986-faithful.
+    return F.concat(
+        F.lit("<" + base),
+        F.replace(F.url_encode(F.col(col)), F.lit("+"), F.lit("%20")),
+        F.lit(">"),
+    )
+
+
+def _re_escape(s: str) -> str:
+    """Escape a base string for literal use inside the line regex."""
+    import re
+
+    return re.escape(s)
 
 
 def write_ntriples(
@@ -100,24 +125,25 @@ def read_ntriples(
 
     Grammar subset matching what :func:`write_ntriples` emits (three
     IRIREFs + terminating dot); rows that don't match — blank lines,
-    comments — are dropped, mirroring the lenient header handling of
-    :func:`kgforge.io_openke.read_triples_spark`. Decoding strips the
-    configured base prefixes and ``url_decode``\\ s the remainder, the
-    exact inverse of the writer.
+    comments, terms under a different base — are dropped, mirroring
+    the lenient header handling of :func:`kgforge.io_openke.
+    read_triples_spark`. The configured bases are part of the line
+    regex, so each capture group is exactly the encoded remainder and
+    ``url_decode`` inverts the writer.
     """
-    pat = r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$"
+    eb, pb = _re_escape(entity_base), _re_escape(predicate_base)
+    pat = rf"^<{eb}([^>]*)> <{pb}([^>]*)> <{eb}([^>]*)> \.$"
 
-    def _term(group: int, base: str):
-        raw = F.regexp_extract(F.trim(F.col("value")), pat, group)
-        return F.url_decode(F.substring(raw, len(base) + 1, 2**30))
+    def _term(group: int):
+        return F.url_decode(F.regexp_extract(F.trim(F.col("value")), pat, group))
 
     raw = spark.read.text(path)
     return (
         raw.where(F.trim(F.col("value")).rlike(pat))
         .select(
-            _term(1, entity_base).alias("s"),
-            _term(2, predicate_base).alias("p"),
-            _term(3, entity_base).alias("o"),
+            _term(1).alias("s"),
+            _term(2).alias("p"),
+            _term(3).alias("o"),
         )
     )
 
@@ -168,20 +194,20 @@ def read_nquads(
 ) -> DataFrame:
     """Distributed N-Quads parse back to ``(s, p, o, g)`` — the exact
     inverse of :func:`write_nquads`, with the same lenient row filter
-    as :func:`read_ntriples`."""
-    pat = r"^<([^>]*)> <([^>]*)> <([^>]*)> <([^>]*)> \.$"
+    (including the base-prefix gate) as :func:`read_ntriples`."""
+    eb, pb, gb = _re_escape(entity_base), _re_escape(predicate_base), _re_escape(graph_base)
+    pat = rf"^<{eb}([^>]*)> <{pb}([^>]*)> <{eb}([^>]*)> <{gb}([^>]*)> \.$"
 
-    def _term(group: int, base: str):
-        raw = F.regexp_extract(F.trim(F.col("value")), pat, group)
-        return F.url_decode(F.substring(raw, len(base) + 1, 2**30))
+    def _term(group: int):
+        return F.url_decode(F.regexp_extract(F.trim(F.col("value")), pat, group))
 
     raw = spark.read.text(path)
     return (
         raw.where(F.trim(F.col("value")).rlike(pat))
         .select(
-            _term(1, entity_base).alias("s"),
-            _term(2, predicate_base).alias("p"),
-            _term(3, entity_base).alias("o"),
-            _term(4, graph_base).alias("g"),
+            _term(1).alias("s"),
+            _term(2).alias("p"),
+            _term(3).alias("o"),
+            _term(4).alias("g"),
         )
     )

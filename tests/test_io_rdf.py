@@ -66,6 +66,34 @@ def test_parse_is_lenient_to_comments_and_blanks(spark, tmp_path):
     assert back == [("a", "r", "b"), ("x y", "z", "é")]
 
 
+def test_reader_gates_on_configured_base(spark, tmp_path):
+    """Terms must start with the configured base: a file written under
+    different bases (or a foreign N-Triples file) is dropped line by
+    line — not silently mangled by positional prefix-stripping."""
+    out = os.path.join(str(tmp_path), "hand.nt")
+    with open(out, "w") as f:
+        f.write("<kg:e/a> <kg:p/r> <kg:e/b> .\n")            # ours
+        f.write("<ex:e/a> <ex:p/r> <ex:e/b> .\n")            # foreign base
+        f.write("<http://x.org/a> <kg:p/r> <kg:e/b> .\n")    # mixed: one bad term
+    assert sorted(map(tuple, read_ntriples(spark, out).collect())) == [("a", "r", "b")]
+    # reading with a different configured base sees only ITS lines
+    assert read_ntriples(spark, out, entity_base="ex:e/", predicate_base="ex:p/") \
+        .collect() == [("a", "r", "b")]
+
+
+def test_writer_emits_rfc3986_space(spark, tmp_path):
+    """Spaces encode as %20 (not form-encoding's '+'), and a literal
+    '+' as %2B, so standards-compliant RDF consumers recover the exact
+    canonical strings."""
+    df = spark.createDataFrame([("a b", "p+q", "c d")], "s string, p string, o string")
+    out = os.path.join(str(tmp_path), "nt")
+    write_ntriples(df, out, n_partitions=1)
+    parts = [f for f in os.listdir(out) if f.startswith("part-") and not f.endswith(".crc")]
+    text = "".join(open(os.path.join(out, p)).read() for p in parts)
+    assert text.strip() == "<kg:e/a%20b> <kg:p/p%2Bq> <kg:e/c%20d> ."
+    assert sorted(map(tuple, read_ntriples(spark, out).collect())) == [("a b", "p+q", "c d")]
+
+
 def test_roundtrip_matches_openke_materialize_output(spark, tmp_path):
     """The intended use: export the pipeline's canonical string triples
     and get the identical set back."""
